@@ -1,0 +1,17 @@
+"""cdm_data_loader_utils_ray — a from-scratch, Ray-Data-native CDC / incremental
+ingest engine with the query and data-processing capabilities of
+kbase/cdm-data-loader-utils.
+
+Design (see SURVEY.md §7):
+
+    event log (Parquet)  →  map_batches (pyarrow): validate + annotate errors,
+    sha256(content), schema-align  →  salted hash-partition on (repo, path)  →
+    per-partition last-writer-wins upsert/merge  →  two-phase-commit Parquet
+    lake sink (per-partition delta files + atomic manifest log + per-partition
+    high-water marks + lineage/metrics).
+
+Nothing here calls ``ray.init()`` / ``ray.shutdown()`` — sessions are owned by
+the caller (driver, bench.py, test fixture).
+"""
+
+__version__ = "0.1.0"

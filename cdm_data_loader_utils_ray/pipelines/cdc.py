@@ -1,0 +1,383 @@
+"""The flagship CDC replay pipeline (BASELINE.json north_star).
+
+    read_parquet(event log)
+      → map_batches (pyarrow, zero-copy): schema-align (drift) + validate +
+        sha256(content) + stable hash-partition + hwm skip + within-batch
+        LWW pre-reduce (combiner)
+      → groupby(_pid).map_groups: per-partition merge with prior state,
+        reject capture, phase-1 partition-file write
+      → driver: atomic manifest commit + audit (run/checkpoint/metrics)
+
+One all-to-all exchange total (the ``groupby``), fed by pre-reduced batches.
+Everything else streams.  Killed runs resume from the last committed
+manifest: per-partition hwm skips applied events fast, and the LWW merge is
+idempotent so even re-applied events cannot corrupt state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Mapping
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from cdm_data_loader_utils_ray.audit.tables import AuditLog, PipelineRun
+from cdm_data_loader_utils_ray.core.schemas import (
+    DELETED_COLUMN,
+    ERRORS_COLUMN,
+    EVENT_SCHEMA,
+    KEY_COLUMNS,
+    PARTITION_COLUMN,
+    SHA_COLUMN,
+    state_schema as make_state_schema,
+)
+from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.stages.hashing import add_content_sha256
+from cdm_data_loader_utils_ray.stages.partition import add_partition_column
+from cdm_data_loader_utils_ray.stages.schema_align import (
+    SchemaAligner,
+    align_to_schema,
+    evolve_schema,
+    rename_columns,
+)
+from cdm_data_loader_utils_ray.stages.validate import EventValidator, error_mask
+from cdm_data_loader_utils_ray.state.upsert import (
+    events_to_state,
+    merge_states,
+    prereduce_batch,
+)
+
+DEFAULT_PARTITIONS = 32
+
+_MERGE_RESULT_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int32()),
+        pa.field("file", pa.string()),
+        pa.field("rows", pa.int64()),
+        pa.field("hwm_seq", pa.int64()),
+        pa.field("live_keys", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("n_events", pa.int64()),
+        pa.field("n_rejects", pa.int64()),
+        pa.field("distinct_errors", pa.string()),
+    ]
+)
+
+
+def event_schema_of(state_sch: pa.Schema) -> pa.Schema:
+    """Recover the event schema from a state schema (drop engine columns,
+    re-insert ``op`` after ``seq``)."""
+    fields = []
+    for f in state_sch:
+        if f.name in (SHA_COLUMN, DELETED_COLUMN):
+            continue
+        fields.append(f)
+        if f.name == "seq":
+            fields.append(pa.field("op", pa.string(), nullable=False))
+    return pa.schema(fields)
+
+
+class EventPrep:
+    """Stateless fused prep stage (one ``map_batches`` pass, Arrow in/out):
+    rename+align -> validate -> sha256 -> partition -> hwm skip ->
+    pre-reduce valid rows (rejects always survive to be recorded)."""
+
+    def __init__(
+        self,
+        event_sch: pa.Schema,
+        num_partitions: int,
+        hwm: Mapping[int, int],
+        rename_map: Mapping[str, str] | None = None,
+    ):
+        self.aligner = SchemaAligner(event_sch, rename_map)
+        self.validator = EventValidator(event_sch)
+        self.num_partitions = num_partitions
+        self.hwm = dict(hwm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.aligner(batch)
+        b = self.validator(b)
+        b = add_content_sha256(b)
+        b = add_partition_column(b, self.num_partitions)
+        if self.hwm:
+            pid = b[PARTITION_COLUMN].to_pandas()
+            hwm_of = pid.map(self.hwm).fillna(-1).to_numpy(dtype=np.int64)
+            seq = b["seq"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(seq > hwm_of))
+        mask = error_mask(b)
+        rejects = b.filter(mask)
+        valid = prereduce_batch(b.filter(pc.invert(mask)))
+        if len(rejects) == 0:
+            return valid
+        return pa.concat_tables([valid, rejects])
+
+
+def _make_merge_fn(
+    table_dir: str,
+    prior_files: dict[int, str],
+    state_sch: pa.Schema,
+    epoch: int,
+    run: PipelineRun,
+    commit_ts_us: int,
+):
+    """Per-group merge task.  Deterministic outputs + deterministic file
+    paths ⇒ safe under Ray task retries (a retried task rewrites the same
+    bytes before the manifest references them)."""
+
+    schema_b = state_sch
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        lake = LakeTable(table_dir)
+        pid = int(group[PARTITION_COLUMN][0].as_py())
+        mask = error_mask(group)
+        rejects = group.filter(mask)
+        events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN, PARTITION_COLUMN])
+        # capture rejects (reference audit/rejects.py) — deterministic path
+        distinct_errors: list[str] = []
+        if len(rejects):
+            distinct_errors = sorted(
+                {e for lst in rejects[ERRORS_COLUMN].to_pylist() for e in (lst or [])}
+            )
+            rej_dir = os.path.join(lake.audit_dir, "rejects")
+            os.makedirs(rej_dir, exist_ok=True)
+            errs = rejects[ERRORS_COLUMN]
+            plain = rejects.drop_columns([ERRORS_COLUMN, PARTITION_COLUMN])
+            raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
+            ts = pa.array([commit_ts_us] * len(rejects), type=pa.timestamp("us"))
+            rej_table = pa.table(
+                {
+                    "run_id": pa.array([run.run_id] * len(rejects)),
+                    "pipeline": pa.array([run.pipeline] * len(rejects)),
+                    "source_path": pa.array([run.source_path] * len(rejects)),
+                    "raw_record": pa.array(raw),
+                    "parsed_record": pa.array(raw),
+                    ERRORS_COLUMN: errs,
+                    "timestamp": ts,
+                }
+            )
+            pq.write_table(
+                rej_table,
+                os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet"),
+            )
+        # LWW merge with prior state
+        delta = events_to_state(events, schema_b)
+        prior_t = None
+        rel = prior_files.get(pid)
+        if rel is not None:
+            prior_t = pq.read_table(lake.abspath(rel))
+        merged = merge_states(prior_t, delta, schema_b)
+        entry = lake.write_partition(merged, pid, epoch)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "pid": entry.pid,
+                    "file": entry.file,
+                    "rows": entry.rows,
+                    "hwm_seq": entry.hwm_seq,
+                    "live_keys": entry.live_keys,
+                    "bytes": entry.bytes,
+                    "n_events": len(events),
+                    "n_rejects": len(rejects),
+                    "distinct_errors": json.dumps(distinct_errors),
+                }
+            ],
+            schema=_MERGE_RESULT_SCHEMA,
+        )
+
+    return merge_group
+
+
+def apply_epoch(
+    table: LakeTable,
+    events_ds,
+    *,
+    num_partitions: int | None = None,
+    rename_map: Mapping[str, str] | None = None,
+    run: PipelineRun | None = None,
+    batch_size: int = 32768,
+    audit: bool = True,
+) -> Manifest:
+    """Apply one epoch (micro-batch) of change events to the lake table and
+    commit a new manifest.  Returns the committed manifest."""
+    prior = table.latest_manifest()
+    if prior is not None:
+        P = prior.num_partitions
+        prior_state_sch = prior.schema
+    else:
+        P = num_partitions or DEFAULT_PARTITIONS
+        prior_state_sch = None
+    run = run or PipelineRun.new("cdc_replay", "events")
+    epoch = (prior.epoch if prior else 0) + 1
+    commit_ts_us = int(time.time() * 1e6)
+
+    # Schema evolution: union prior event schema with (renamed) incoming.
+    incoming = events_ds.schema().base_schema
+    if rename_map:
+        incoming = pa.schema(
+            [pa.field(rename_map.get(f.name, f.name), f.type, f.nullable) for f in incoming]
+        )
+    if prior_state_sch is not None:
+        event_sch = evolve_schema(event_schema_of(prior_state_sch), incoming)
+    else:
+        event_sch = evolve_schema(EVENT_SCHEMA, incoming)
+    state_sch = make_state_schema(event_sch)
+
+    hwm = prior.hwm if prior else {}
+    prior_files = {p.pid: p.file for p in prior.partitions.values()} if prior else {}
+
+    prep = EventPrep(event_sch, P, hwm, rename_map)
+    merge_fn = _make_merge_fn(table.dir, prior_files, state_sch, epoch, run, commit_ts_us)
+
+    if audit:
+        log = AuditLog(table.audit_dir)
+        log.start_run(run)
+
+    records_read = events_ds.count()
+
+    prepped = events_ds.map_batches(
+        prep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    results = prepped.groupby(PARTITION_COLUMN).map_groups(
+        merge_fn, batch_format="pyarrow"
+    )
+    rows = results.take_all()  # ≤ P tiny manifest rows
+
+    partitions: dict[int, PartitionEntry] = {}
+    if prior:
+        partitions.update(prior.partitions)  # carry forward untouched pids
+    n_events = n_rejects = 0
+    all_errors: set[str] = set()
+    touched_records: dict[int, int] = {}
+    for r in rows:
+        partitions[r["pid"]] = PartitionEntry(
+            pid=r["pid"],
+            file=r["file"],
+            rows=r["rows"],
+            hwm_seq=r["hwm_seq"],
+            live_keys=r["live_keys"],
+            bytes=r["bytes"],
+        )
+        n_events += r["n_events"]
+        n_rejects += r["n_rejects"]
+        touched_records[r["pid"]] = r["n_events"]
+        all_errors.update(json.loads(r["distinct_errors"]))
+
+    manifest = Manifest(
+        epoch=epoch,
+        num_partitions=P,
+        schema=state_sch,
+        partitions=partitions,
+        parent_epoch=prior.epoch if prior else None,
+        run_id=run.run_id,
+        metrics={
+            "records_read": records_read,
+            "events_applied": n_events,
+            "records_invalid": n_rejects,
+            "touched_partitions": len(rows),
+            "commit_ts_us": commit_ts_us,
+        },
+        rename_history={**(prior.rename_history if prior else {}), **(rename_map or {})},
+    )
+    table.commit(manifest)
+
+    if audit:
+        log.upsert_checkpoints(run, manifest.hwm, touched_records)
+        log.write_metrics(
+            run,
+            records_read=records_read,
+            records_valid=records_read - n_rejects,
+            records_invalid=n_rejects,
+            validation_errors=sorted(all_errors),
+        )
+        log.complete_run(run, records_read)
+    return manifest
+
+
+def read_final_state(table: LakeTable, live_only: bool = True):
+    """Committed final state as a streaming Dataset, schema-aligned across
+    epochs (older partition files may predate a schema evolution)."""
+    import ray.data as rd
+
+    m = table.latest_manifest()
+    if m is None or not m.partitions:
+        return rd.from_arrow((m.schema if m else pa.schema([])).empty_table())
+    ds = rd.read_parquet(table.live_files(m))
+    target = m.schema
+
+    def _align(batch: pa.Table) -> pa.Table:
+        b = align_to_schema(rename_columns(batch, m.rename_history), target)
+        if live_only:
+            b = b.filter(pc.equal(b[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
+        return b
+
+    return ds.map_batches(_align, batch_format="pyarrow")
+
+
+def read_final_state_arrow(table: LakeTable, live_only: bool = True) -> pa.Table:
+    """Driver-side final state (tests / small tables)."""
+    m = table.latest_manifest()
+    if m is None:
+        return pa.schema([]).empty_table()
+    parts = []
+    for f in table.live_files(m):
+        t = pq.read_table(f)
+        parts.append(align_to_schema(rename_columns(t, m.rename_history), m.schema))
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else m.schema.empty_table()
+    )
+    if live_only and DELETED_COLUMN in t.column_names:
+        t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
+    df = t.to_pandas().sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def run_replay(
+    events_path: str,
+    table_dir: str,
+    *,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    epochs: int = 1,
+    rename_map: Mapping[str, str] | None = None,
+    max_seq: int | None = None,
+    batch_size: int = 32768,
+    audit: bool = True,
+) -> Manifest:
+    """Replay an event-log Parquet path into a lake table in ``epochs``
+    micro-batches split by ``seq`` range (range filters push down to the
+    Parquet scan).  Resume = call again: committed epochs' events are skipped
+    by per-partition hwm and the merge is idempotent regardless."""
+    import ray.data as rd
+
+    table = LakeTable(table_dir)
+    full = rd.read_parquet(events_path)
+    if max_seq is None:
+        max_seq = int(
+            pq.read_table(events_path, columns=["seq"])["seq"].to_pandas().max()
+        ) if os.path.isfile(events_path) else int(full.max("seq"))
+    min_seq = 0
+    bounds = np.linspace(min_seq - 1, max_seq, epochs + 1, dtype=np.int64)
+    manifest = None
+    for i in range(epochs):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        ds = rd.read_parquet(
+            events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
+        )
+        run = PipelineRun.new("cdc_replay", events_path)
+        manifest = apply_epoch(
+            table,
+            ds,
+            num_partitions=num_partitions,
+            rename_map=rename_map,
+            run=run,
+            batch_size=batch_size,
+            audit=audit,
+        )
+    return manifest

@@ -1,0 +1,330 @@
+"""Two-phase-commit Parquet lake with an atomic manifest log.
+
+Replaces the reference's Delta Lake transactional layer
+(``utils/spark_delta.py:135-224``, ``_delta_log``) with the minimal
+equivalent that gives the CDC engine exactly-once semantics:
+
+* **data files** are immutable per-partition Parquet deltas written to
+  ``data/part-{pid}-epoch-{e}.parquet`` by the merge tasks (phase 1);
+* a **manifest** JSON lists, per partition, the single live state file, its
+  row count and high-water-mark ``seq`` — plus the table schema and
+  lineage/metrics for the epoch (phase 2);
+* commit = write ``manifest-{e}.json`` then atomically rename a ``LATEST``
+  pointer; readers resolve ``LATEST`` and see only committed state.  A crash
+  between phase 1 and 2 leaves orphan staging files that the next commit
+  ignores and ``vacuum`` removes (Delta VACUUM analogue,
+  ``refseq_pipeline/core/spark_delta.py:153-157``).
+
+Layout (one directory per table; partition-count fixed at creation):
+
+    <lake>/<table>/
+        _manifest/LATEST            -> "42"   (atomic pointer)
+        _manifest/manifest-00000042.json
+        data/part-00007-epoch-00000042.parquet
+        _audit/{run,checkpoint,metrics,rejects}/*.parquet
+
+On a multi-node cluster ``<lake>`` must be shared storage (S3 / NFS via
+``pyarrow.fs``); tasks write data files from workers, only the tiny manifest
+commit happens on the driver.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "data"
+AUDIT_DIR = "_audit"
+LATEST = "LATEST"
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    """Write-then-rename so readers never observe a partial file."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+@dataclass
+class PartitionEntry:
+    """Manifest entry for one partition: the single live state file and its
+    per-partition high-water mark (generalizes the reference checkpoint's
+    ``last_entry_id``, ``audit/checkpoint.py:25-61``)."""
+
+    pid: int
+    file: str  # relative to the table dir
+    rows: int
+    hwm_seq: int  # max seq applied to this partition (-1 = none)
+    live_keys: int  # rows with is_deleted == False
+    bytes: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "pid": self.pid,
+            "file": self.file,
+            "rows": self.rows,
+            "hwm_seq": self.hwm_seq,
+            "live_keys": self.live_keys,
+            "bytes": self.bytes,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "PartitionEntry":
+        return PartitionEntry(
+            pid=d["pid"],
+            file=d["file"],
+            rows=d["rows"],
+            hwm_seq=d["hwm_seq"],
+            live_keys=d["live_keys"],
+            bytes=d.get("bytes", 0),
+        )
+
+
+@dataclass
+class Manifest:
+    epoch: int
+    num_partitions: int
+    schema: pa.Schema
+    partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+    parent_epoch: int | None = None
+    run_id: str | None = None
+    metrics: dict[str, Any] = field(default_factory=dict)
+    rename_history: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def hwm(self) -> dict[int, int]:
+        return {p.pid: p.hwm_seq for p in self.partitions.values()}
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "epoch": self.epoch,
+                "num_partitions": self.num_partitions,
+                "schema_b64": _schema_to_b64(self.schema),
+                "partitions": [p.to_json() for p in sorted(self.partitions.values(), key=lambda p: p.pid)],
+                "parent_epoch": self.parent_epoch,
+                "run_id": self.run_id,
+                "metrics": self.metrics,
+                "rename_history": self.rename_history,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(payload: str) -> "Manifest":
+        d = json.loads(payload)
+        return Manifest(
+            epoch=d["epoch"],
+            num_partitions=d["num_partitions"],
+            schema=_schema_from_b64(d["schema_b64"]),
+            partitions={p["pid"]: PartitionEntry.from_json(p) for p in d["partitions"]},
+            parent_epoch=d.get("parent_epoch"),
+            run_id=d.get("run_id"),
+            metrics=d.get("metrics", {}),
+            rename_history=d.get("rename_history", {}),
+        )
+
+
+class LakeTable:
+    """One logical table in the lake (Delta-table analogue)."""
+
+    def __init__(self, table_dir: str):
+        self.dir = table_dir
+        self.manifest_dir = os.path.join(table_dir, MANIFEST_DIR)
+        self.data_dir = os.path.join(table_dir, DATA_DIR)
+        self.audit_dir = os.path.join(table_dir, AUDIT_DIR)
+        for d in (self.manifest_dir, self.data_dir, self.audit_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- manifest log -------------------------------------------------------
+    def latest_epoch(self) -> int | None:
+        p = os.path.join(self.manifest_dir, LATEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def latest_manifest(self) -> Manifest | None:
+        e = self.latest_epoch()
+        return None if e is None else self.read_manifest(e)
+
+    def read_manifest(self, epoch: int) -> Manifest:
+        with open(os.path.join(self.manifest_dir, f"manifest-{epoch:08d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def commit(self, manifest: Manifest) -> None:
+        """Phase-2 commit: manifest file first, then the LATEST pointer —
+        both atomic renames.  Re-committing the same epoch is idempotent."""
+        cur = self.latest_epoch()
+        if cur is not None and manifest.epoch <= cur:
+            existing = self.read_manifest(manifest.epoch) if manifest.epoch <= cur else None
+            if existing is not None and existing.run_id == manifest.run_id:
+                return  # replayed commit of an already-applied epoch: no-op
+            raise ValueError(
+                f"commit epoch {manifest.epoch} <= committed epoch {cur} by a different run"
+            )
+        _atomic_write(
+            os.path.join(self.manifest_dir, f"manifest-{manifest.epoch:08d}.json"),
+            manifest.to_json(),
+        )
+        _atomic_write(os.path.join(self.manifest_dir, LATEST), str(manifest.epoch))
+
+    # -- data files ---------------------------------------------------------
+    def partition_file(self, pid: int, epoch: int) -> str:
+        return os.path.join(DATA_DIR, f"part-{pid:05d}-epoch-{epoch:08d}.parquet")
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.dir, rel)
+
+    def write_partition(self, table: pa.Table, pid: int, epoch: int) -> PartitionEntry:
+        """Phase-1 write of one partition's full state (immutable file).
+        Overwrite-safe: a retried task rewrites the same deterministic path
+        with identical content before any manifest references it."""
+        rel = self.partition_file(pid, epoch)
+        path = self.abspath(rel)
+        pq.write_table(table, path, compression="zstd")
+        live = len(table)
+        if "is_deleted" in table.column_names:
+            import pyarrow.compute as pc
+
+            live = len(table.filter(pc.equal(table["is_deleted"], False)))
+        hwm = -1
+        if len(table) and "seq" in table.column_names:
+            import pyarrow.compute as pc
+
+            hwm = pc.max(table["seq"]).as_py() or -1
+        return PartitionEntry(
+            pid=pid,
+            file=rel,
+            rows=len(table),
+            hwm_seq=hwm,
+            live_keys=live,
+            bytes=os.path.getsize(path),
+        )
+
+    def live_files(self, manifest: Manifest | None = None) -> list[str]:
+        m = manifest or self.latest_manifest()
+        if m is None:
+            return []
+        return [self.abspath(p.file) for p in sorted(m.partitions.values(), key=lambda p: p.pid)]
+
+    def read_state(self, manifest: Manifest | None = None, live_only: bool = True):
+        """Committed state as a ``ray.data.Dataset`` (streaming read of the
+        manifest-listed files; never materializes)."""
+        import ray.data as rd
+
+        files = self.live_files(manifest)
+        if not files:
+            import ray.data as rd
+
+            m = manifest or self.latest_manifest()
+            schema = m.schema if m else pa.schema([])
+            return rd.from_arrow(schema.empty_table())
+        ds = rd.read_parquet(files)
+        if live_only:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"]),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    def read_state_arrow(self, manifest: Manifest | None = None, live_only: bool = True) -> pa.Table:
+        """Driver-side full read — tests and small tables only."""
+        files = self.live_files(manifest)
+        m = manifest or self.latest_manifest()
+        if not files:
+            return (m.schema if m else pa.schema([])).empty_table()
+        t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        if live_only and "is_deleted" in t.column_names:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
+        return t
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_epochs: int = 2) -> list[str]:
+        """Delete data files not referenced by the last ``keep_epochs``
+        manifests (Delta ``VACUUM`` analogue)."""
+        latest = self.latest_epoch()
+        if latest is None:
+            return []
+        keep: set[str] = set()
+        epochs = sorted(
+            int(f[len("manifest-") : -len(".json")])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("manifest-")
+        )
+        for e in epochs[-keep_epochs:]:
+            for p in self.read_manifest(e).partitions.values():
+                keep.add(self.abspath(p.file))
+        removed = []
+        for f in os.listdir(self.data_dir):
+            path = os.path.join(self.data_dir, f)
+            if path not in keep:
+                os.unlink(path)
+                removed.append(path)
+        return removed
+
+    def preview(self, n: int = 10) -> pa.Table:
+        """SELECT * LIMIT n over committed state (reference
+        ``preview_or_skip``, ``utils/spark_delta.py:227-237``)."""
+        out: list[pa.Table] = []
+        got = 0
+        for f in self.live_files():
+            t = pq.read_table(f)
+            out.append(t.slice(0, n - got))
+            got += min(len(t), n - got)
+            if got >= n:
+                break
+        if not out:
+            m = self.latest_manifest()
+            return (m.schema if m else pa.schema([])).empty_table()
+        return pa.concat_tables(out)
+
+
+class Catalog:
+    """Namespace -> table registry (Hive-metastore analogue, reference
+    ``register_table`` ``refseq_pipeline/core/spark_delta.py:160-175``):
+    just a directory tree ``<root>/<namespace>/<table>``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, namespace: str, name: str) -> LakeTable:
+        return LakeTable(os.path.join(self.root, namespace, name))
+
+    def tables(self, namespace: str) -> list[str]:
+        d = os.path.join(self.root, namespace)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            t for t in os.listdir(d) if os.path.isdir(os.path.join(d, t, MANIFEST_DIR))
+        )
