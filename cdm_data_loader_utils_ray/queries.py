@@ -1,0 +1,481 @@
+"""Driver-facing query catalog: one entry per implemented operator/pipeline
+(SURVEY.md §2), each with a DuckDB-oracle SQL twin (same column names, floats
+rounded identically on both sides so value-hashes match).
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+Ray is initialised by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# 1. CDC last-writer-wins upsert (U1/O3): final state per user_id by event_id
+#    authority; a final 'error' event acts as a tombstone.
+# ---------------------------------------------------------------------------
+def cdc_lww_upsert(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import lww_latest
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    latest = lww_latest(ds, ["user_id"], "event_id", num_buckets=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] != "error"]
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "last_event_id": df["event_id"],
+                "last_event_type": df["event_type"],
+                "last_value": df["value"].round(6),
+            }
+        )
+
+    return latest.map_batches(finish, batch_format="pandas")
+
+
+CDC_LWW_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id  AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Snapshot diff (J1): classify per-key change between the first-half-of-log
+#    state and the full-log state.
+# ---------------------------------------------------------------------------
+def snapshot_diff(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import lww_latest, outer_diff
+
+    path = os.path.join(sf_dir, "events.parquet")
+    import ray.data as rd
+
+    max_id = int(pq.read_table(path, columns=["event_id"])["event_id"].to_pandas().max())
+    half = max_id // 2
+    cols = ["event_id", "user_id", "event_type", "value"]
+    old = lww_latest(
+        rd.read_parquet(path, columns=cols, filter=pc.field("event_id") <= half),
+        ["user_id", "event_type"],
+        "event_id",
+        num_buckets=32,
+    )
+    new = lww_latest(
+        rd.read_parquet(path, columns=cols), ["user_id", "event_type"], "event_id", num_buckets=32
+    )
+    diff = outer_diff(old, new, ["user_id", "event_type"], "event_id", num_buckets=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"old_event_id": "old_seq", "new_event_id": "new_seq"})
+        return out[["user_id", "event_type", "old_seq", "new_seq", "change_type"]]
+
+    return diff.map_batches(finish, batch_format="pandas")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH half AS (SELECT max(event_id) // 2 AS h FROM events),
+old AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+    FROM events WHERE event_id <= (SELECT h FROM half)) WHERE rn = 1
+),
+new AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+    FROM events) WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       coalesce(o.event_type, n.event_type) AS event_type,
+       o.event_id AS old_seq,
+       n.event_id AS new_seq,
+       CASE WHEN o.event_id IS NULL THEN 'new'
+            WHEN n.event_id IS NULL THEN 'deleted'
+            WHEN o.event_id = n.event_id THEN 'unchanged'
+            ELSE 'updated' END AS change_type
+FROM old o FULL OUTER JOIN new n
+  ON o.user_id = n.user_id AND o.event_type = n.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Exact dedup by key with preference order (D2/D3): first lineitem line
+#    per order.
+# ---------------------------------------------------------------------------
+def dedup_exact(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import lww_latest
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    def neg(batch: pa.Table) -> pa.Table:
+        # (l_orderkey, l_linenumber) is not unique in the data: encode the
+        # full deterministic preference (min linenumber, then partkey, then
+        # quantity) into one int64 "seq" for the LWW reduce
+        import numpy as np
+
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qt = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        seq = -((ln << 42) | (pk << 21) | qt)
+        return batch.append_column("_pref", pa.array(seq, type=pa.int64()))
+
+    first = lww_latest(ds.map_batches(neg, batch_format="pyarrow"),
+                       ["l_orderkey"], "_pref", num_buckets=32)
+    return first.drop_columns(["_pref"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_quantity) rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Grouped aggregation with partial/final combiner (A1): TPC-H Q1 shape.
+# ---------------------------------------------------------------------------
+def q1_pricing(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = grouped_partial_sums(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "l_extendedprice * (1 - l_discount)",
+        },
+        count_alias="count_order",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(2)
+        return df[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_qty", "count_order"]
+        ]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Schema-evolution union (D1/M17): name-aligned union with add-as-null.
+# ---------------------------------------------------------------------------
+def union_align(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def proj_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": batch["c_custkey"],
+                "name": batch["c_name"],
+                "nationkey": batch["c_nationkey"].cast(pa.int32()),
+                "acctbal": batch["c_acctbal"],
+                "mktsegment": batch["c_mktsegment"],
+                "kind": pa.array(["customer"] * len(batch)),
+            }
+        )
+
+    def proj_s(batch: pa.Table) -> pa.Table:
+        # supplier lacks mktsegment: schema-evolution adds it as null
+        from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
+
+        t = pa.table(
+            {
+                "entity_id": batch["s_suppkey"],
+                "name": batch["s_name"],
+                "nationkey": batch["s_nationkey"].cast(pa.int32()),
+                "acctbal": batch["s_acctbal"],
+                "kind": pa.array(["supplier"] * len(batch)),
+            }
+        )
+        target = pa.schema(
+            [
+                pa.field("entity_id", pa.int64()),
+                pa.field("name", pa.string()),
+                pa.field("nationkey", pa.int32()),
+                pa.field("acctbal", pa.float64()),
+                pa.field("mktsegment", pa.string()),
+                pa.field("kind", pa.string()),
+            ]
+        )
+        return align_to_schema(t, target)
+
+    return cust.map_batches(proj_c, batch_format="pyarrow").union(
+        supp.map_batches(proj_s, batch_format="pyarrow")
+    )
+
+
+UNION_ALIGN_SQL = """
+SELECT c_custkey AS entity_id, c_name AS name, c_nationkey AS nationkey,
+       c_acctbal AS acctbal, c_mktsegment AS mktsegment, 'customer' AS kind
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal, NULL, 'supplier' FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Order-independent set-hash fingerprint per group (M7/A5).
+# ---------------------------------------------------------------------------
+def set_fingerprint(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.hashing import set_hash, sha256_array
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def doc_hash(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"], "h": sha256_array(batch["text"])})
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "fingerprint": [set_hash(list(df["h"]))],
+                "n_docs": [len(df)],
+            }
+        )
+
+    return (
+        ds.map_batches(doc_hash, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fp, batch_format="pandas")
+    )
+
+
+SET_FINGERPRINT_SQL = """
+SELECT lang,
+       sha256(string_agg(sha256(text), '' ORDER BY sha256(text))) AS fingerprint,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Vectorized string-normalization pipeline (M9/M19): the GAF withColumn
+#    chain shape, all pyarrow.compute kernels.
+# ---------------------------------------------------------------------------
+def normalize_text(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        curie = pc.binary_join_element_wise(
+            pc.utf8_upper(batch["source"]), pc.cast(batch["doc_id"], pa.string()), ":"
+        )
+        n_tokens = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        first_word = pc.list_element(pc.split_pattern(batch["text"], " "), 0)
+        no_article = pc.replace_substring_regex(batch["text"], r"^the ", "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "doc_curie": curie,
+                "lang_upper": pc.utf8_upper(batch["lang"]),
+                "n_tokens": n_tokens.cast(pa.int64()),
+                "first_word": first_word,
+                "text_clean": no_article,
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       upper(source) || ':' || CAST(doc_id AS VARCHAR) AS doc_curie,
+       upper(lang) AS lang_upper,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_word,
+       regexp_replace(text, '^the ', '') AS text_clean
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Validation metrics in one streaming pass (M15/A1): pluggable predicate
+#    validator + partial/final counts.
+# ---------------------------------------------------------------------------
+def validate_metrics(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import global_counts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = global_counts(
+        ds,
+        {
+            "records_valid": "(value <= 300) & (event_type != 'error')",
+            "records_invalid": "(value > 300) | (event_type == 'error')",
+        },
+    )
+    return out[["records_read", "records_valid", "records_invalid"]]
+
+
+VALIDATE_METRICS_SQL = """
+SELECT count(*) AS records_read,
+       count(*) FILTER (value <= 300 AND event_type <> 'error') AS records_valid,
+       count(*) FILTER (value > 300 OR event_type = 'error') AS records_invalid
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Broadcast small-side join (J4/J5/T5): enrich customers with nation name —
+#    nation is read once on the driver and shipped via ray.put, looked up
+#    per batch; no shuffle.
+# ---------------------------------------------------------------------------
+def broadcast_join(sf_dir: str):
+    import ray
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+
+    class Enrich:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_pylist()
+            names = pa.array([self.lookup.get(k) for k in keys], type=pa.string())
+            return batch.append_column("n_name", names)
+
+    return ds.map_batches(Enrich, batch_format="pyarrow", concurrency=2)
+
+
+BROADCAST_JOIN_SQL = """
+SELECT c_custkey, c_name, c_nationkey, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Top-k by aggregate (O1): top 10 customers by total order value.
+# ---------------------------------------------------------------------------
+def top_customers(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = grouped_partial_sums(ds, ["o_custkey"], {"total_spent": "o_totalprice"}, count_alias="n_orders")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_spent"] = df["total_spent"].round(2)
+        return df
+
+    top = (
+        agg.map_batches(finish, batch_format="pandas")
+        .sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Brute-force cosine top-k ANN baseline over embeddings.
+# ---------------------------------------------------------------------------
+def knn_cosine(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)])
+    query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, query, k=10)
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+KNN_COSINE_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Distinct values (A2/A3): distinct event types, sorted.
+# ---------------------------------------------------------------------------
+def distinct_values(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"].unique()})
+
+    # partial distinct per batch, tiny final distinct + sort
+    parts = ds.map_batches(per_batch, batch_format="pyarrow")
+    return parts.unique("event_type")
+
+
+def distinct_values_sorted(sf_dir: str):
+    vals = distinct_values(sf_dir)
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+def registry() -> dict:
+    """name -> (callable, oracle_sql | None)."""
+    return {
+        "cdc_lww_upsert": (cdc_lww_upsert, CDC_LWW_SQL),
+        "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
+        "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+        "q1_pricing": (q1_pricing, Q1_SQL),
+        "union_align": (union_align, UNION_ALIGN_SQL),
+        "set_fingerprint": (set_fingerprint, SET_FINGERPRINT_SQL),
+        "normalize_text": (normalize_text, NORMALIZE_TEXT_SQL),
+        "validate_metrics": (validate_metrics, VALIDATE_METRICS_SQL),
+        "broadcast_join": (broadcast_join, BROADCAST_JOIN_SQL),
+        "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
+        "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
+        "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
+    }

@@ -1,0 +1,157 @@
+"""Generic keyed operators: distributed last-writer-wins reduce and
+full-outer snapshot diff.
+
+Both use the same scalable shape: a *within-batch* vectorized combiner in
+``map_batches`` (collapses the stream before the exchange), then ONE
+``groupby(bucket)`` shuffle where each bucket handles thousands of keys with
+a single vectorized pandas kernel — never one Python call per key.
+
+Reference parity:
+* LWW reduce = dedup-ranking window ``row_number().over(partitionBy(key)
+  .orderBy(...)) == 1`` (``refseq_pipeline/core/spark_delta.py:130-139``) and
+  latest-report-per-taxon (``taxon_processing.py:103-105``);
+* outer diff = the snapshot change-event derivation: full outer join on the
+  key + null-classification into new/updated/deleted/unchanged
+  (``snapshot_utils.py:37-61``, ``hashes_diff.py:75-78``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
+
+_BUCKET = "__bucket__"
+
+
+def _add_bucket(batch: pa.Table, key_columns: Sequence[str], num_buckets: int) -> pa.Table:
+    b = (stable_key_hash(batch, key_columns) % np.uint64(num_buckets)).astype(np.int32)
+    if _BUCKET in batch.column_names:
+        batch = batch.drop_columns([_BUCKET])
+    return batch.append_column(_BUCKET, pa.array(b, type=pa.int32()))
+
+
+def _lww_pandas(df: pd.DataFrame, key_columns: list[str], seq_column: str) -> pd.DataFrame:
+    df = df.sort_values(seq_column, kind="stable")
+    return df.drop_duplicates(subset=key_columns, keep="last")
+
+
+def lww_latest(
+    ds,
+    key_columns: Sequence[str],
+    seq_column: str = "seq",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Distributed argmax-by-``seq_column`` per key: returns one row per key,
+    the one with the greatest sequence value.  Ties broken by input order
+    (stable), matching ``keep='last'`` on a stably sorted frame."""
+    keys = list(key_columns)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        df = _lww_pandas(batch.to_pandas(), keys, seq_column)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return _add_bucket(out, keys, num_buckets)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _lww_pandas(df, keys, seq_column).drop(columns=[_BUCKET])
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+CHANGE_TYPES = ("new", "updated", "deleted", "unchanged")
+
+
+def outer_diff(
+    old_ds,
+    new_ds,
+    key_columns: Sequence[str],
+    compare_column: str,
+    num_buckets: int = 64,
+    keep_unchanged: bool = True,
+    carry_columns: Sequence[str] = (),
+):
+    """Full-outer snapshot diff: classify each key as new / updated /
+    deleted / unchanged by comparing ``compare_column`` across the two
+    snapshots (the reference's change-event derivation J1).
+
+    Returns a Dataset with columns: keys..., ``change_type``,
+    ``old_<compare>``, ``new_<compare>`` and optional carried columns
+    (prefixed old_/new_).
+    """
+    keys = list(key_columns)
+    carry = list(carry_columns)
+    old_col, new_col = f"old_{compare_column}", f"new_{compare_column}"
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            cols = keys + [compare_column] + carry
+            batch = batch.select([c for c in cols if c in batch.column_names])
+            batch = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(batch, keys, num_buckets)
+
+        return _t
+
+    tagged = old_ds.map_batches(tag("old"), batch_format="pyarrow").union(
+        new_ds.map_batches(tag("new"), batch_format="pyarrow")
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["__side__"] == "old"].drop(columns=["__side__", _BUCKET])
+        n = df[df["__side__"] == "new"].drop(columns=["__side__", _BUCKET])
+        ren_o = {compare_column: old_col, **{c: f"old_{c}" for c in carry}}
+        ren_n = {compare_column: new_col, **{c: f"new_{c}" for c in carry}}
+        m = o.rename(columns=ren_o).merge(
+            n.rename(columns=ren_n), on=keys, how="outer", sort=False
+        )
+        old_null = m[old_col].isna()
+        new_null = m[new_col].isna()
+        m["change_type"] = np.select(
+            [old_null & ~new_null, ~old_null & new_null, m[old_col] == m[new_col]],
+            ["new", "deleted", "unchanged"],
+            default="updated",
+        )
+        if not keep_unchanged:
+            m = m[m["change_type"] != "unchanged"]
+        return m
+
+    return tagged.groupby(_BUCKET).map_groups(classify, batch_format="pandas")
+
+
+def anti_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: int = 64):
+    """Left-anti by key (reference ``snapshot_utils.py:16-31`` new-only /
+    removed-only): rows of ``left_ds`` whose key does not appear in
+    ``right_ds``.  Same single-shuffle bucket shape."""
+    keys = list(key_columns)
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            if side == "right":
+                batch = batch.select(keys)
+            batch = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(batch, keys, num_buckets)
+
+        return _t
+
+    tagged = left_ds.map_batches(tag("left"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("right"), batch_format="pyarrow")
+    )
+
+    def keep_left_only(df: pd.DataFrame) -> pd.DataFrame:
+        right_keys = df.loc[df["__side__"] == "right", keys].drop_duplicates()
+        left = df[df["__side__"] == "left"].drop(columns=[_BUCKET])
+        m = left.merge(right_keys.assign(__hit__=1), on=keys, how="left")
+        out = m[m["__hit__"].isna()].drop(columns=["__hit__", "__side__"])
+        return out
+
+    return tagged.groupby(_BUCKET).map_groups(keep_left_only, batch_format="pandas")
