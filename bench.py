@@ -45,11 +45,13 @@ def _sf_name() -> str:
 def _event_log_path() -> str:
     keys, events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"events-{keys}-{events}.parquet")
+    path = os.path.join(CACHE, f"events-{keys}-{events}")
     if not os.path.exists(path):
         from cdm_data_loader_utils_ray.synth import make_events, write_events
 
-        write_events(path, make_events(num_keys=keys, num_events=events, seed=42))
+        write_events(
+            path, make_events(num_keys=keys, num_events=events, seed=42), shards=64
+        )
     return path
 
 
@@ -72,9 +74,15 @@ def run_bench() -> dict:
 
     ev_path = _event_log_path()
     # warm the page cache so we measure compute + shuffle, not first disk read
-    with open(ev_path, "rb") as f:
-        while f.read(1 << 22):
-            pass
+    files = (
+        [ev_path]
+        if os.path.isfile(ev_path)
+        else [os.path.join(ev_path, f) for f in os.listdir(ev_path)]
+    )
+    for p in files:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
     keys, n_events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
     lake_dir = os.path.join(CACHE, f"lake-{NUM_CPUS}-{time.time_ns()}")

@@ -46,7 +46,11 @@ from cdm_data_loader_utils_ray.stages.schema_align import (
     evolve_schema,
     rename_columns,
 )
-from cdm_data_loader_utils_ray.stages.validate import EventValidator, error_mask
+from cdm_data_loader_utils_ray.stages.validate import (
+    EventValidator,
+    error_mask,
+    has_any_errors,
+)
 from cdm_data_loader_utils_ray.state.upsert import (
     events_to_state,
     merge_states,
@@ -83,6 +87,58 @@ def event_schema_of(state_sch: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+class PrepAndRoute:
+    """Fused map-side stage of the explicit two-stage shuffle: prep the
+    batch (validate/sha/partition/pre-reduce via :class:`EventPrep`), then
+    WRITE each partition's slice straight to the epoch staging directory
+    (``_staging/epoch-E/pid=P/``) instead of feeding an all-to-all sort.
+
+    This is a file-based hash shuffle (Spark-shuffle-file shaped): on a
+    cluster the staging dir lives on shared storage and each reduce task
+    reads only its partition's slices.  Deterministic slice file names
+    (seq range + row count) make task retries overwrite, not duplicate.
+    Returns one tiny count row per (batch, pid) for lineage.
+    """
+
+    def __init__(self, prep: "EventPrep", staging_dir: str):
+        self.prep = prep
+        self.staging_dir = staging_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.prep(batch)
+        n = len(b)
+        out_pids: list[int] = []
+        out_rows: list[int] = []
+        if n:
+            idx = pc.sort_indices(b[PARTITION_COLUMN])
+            b = b.take(idx)
+            pids = b[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.diff(pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [n]])
+            seqs = b["seq"].to_numpy(zero_copy_only=False)
+            for s, e in zip(starts, ends):
+                pid = int(pids[s])
+                part = b.slice(s, e - s)
+                d = os.path.join(self.staging_dir, f"pid={pid:05d}")
+                os.makedirs(d, exist_ok=True)
+                lo, hi = int(seqs[s:e].min()), int(seqs[s:e].max())
+                fname = f"slice-{lo:012d}-{hi:012d}-{e - s}.parquet"
+                pq.write_table(
+                    part.drop_columns([PARTITION_COLUMN]),
+                    os.path.join(d, fname),
+                    compression="lz4",
+                )
+                out_pids.append(pid)
+                out_rows.append(e - s)
+        return pa.table(
+            {
+                "pid": pa.array(out_pids, type=pa.int32()),
+                "rows": pa.array(out_rows, type=pa.int64()),
+            }
+        )
+
+
 class EventPrep:
     """Stateless fused prep stage (one ``map_batches`` pass, Arrow in/out):
     rename+align -> validate -> sha256 -> partition -> hwm skip ->
@@ -110,12 +166,82 @@ class EventPrep:
             hwm_of = pid.map(self.hwm).fillna(-1).to_numpy(dtype=np.int64)
             seq = b["seq"].to_numpy(zero_copy_only=False)
             b = b.filter(pa.array(seq > hwm_of))
+        if not has_any_errors(b):
+            return prereduce_batch(b)
         mask = error_mask(b)
         rejects = b.filter(mask)
         valid = prereduce_batch(b.filter(pc.invert(mask)))
         if len(rejects) == 0:
             return valid
         return pa.concat_tables([valid, rejects])
+
+
+def _merge_partition_core(
+    lake: LakeTable,
+    pid: int,
+    group: pa.Table,
+    prior_files: dict[int, str],
+    state_sch: pa.Schema,
+    epoch: int,
+    run: PipelineRun,
+    commit_ts_us: int,
+) -> dict:
+    """Merge one partition's prepped events (errors column still attached)
+    with its prior state file; write the new state file and the partition's
+    rejects (deterministic paths ⇒ safe under task retries)."""
+    if has_any_errors(group):
+        mask = error_mask(group)
+        rejects = group.filter(mask)
+        events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN])
+    else:
+        rejects = group.slice(0, 0)
+        events = group.drop_columns([ERRORS_COLUMN])
+    # capture rejects (reference audit/rejects.py) — deterministic path
+    distinct_errors: list[str] = []
+    if len(rejects):
+        distinct_errors = sorted(
+            {e for lst in rejects[ERRORS_COLUMN].to_pylist() for e in (lst or [])}
+        )
+        rej_dir = os.path.join(lake.audit_dir, "rejects")
+        os.makedirs(rej_dir, exist_ok=True)
+        errs = rejects[ERRORS_COLUMN]
+        plain = rejects.drop_columns([ERRORS_COLUMN])
+        raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
+        ts = pa.array([commit_ts_us] * len(rejects), type=pa.timestamp("us"))
+        rej_table = pa.table(
+            {
+                "run_id": pa.array([run.run_id] * len(rejects)),
+                "pipeline": pa.array([run.pipeline] * len(rejects)),
+                "source_path": pa.array([run.source_path] * len(rejects)),
+                "raw_record": pa.array(raw),
+                "parsed_record": pa.array(raw),
+                ERRORS_COLUMN: errs,
+                "timestamp": ts,
+            }
+        )
+        pq.write_table(
+            rej_table,
+            os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet"),
+        )
+    # LWW merge with prior state
+    delta = events_to_state(events, state_sch)
+    prior_t = None
+    rel = prior_files.get(pid)
+    if rel is not None:
+        prior_t = pq.read_table(lake.abspath(rel))
+    merged = merge_states(prior_t, delta, state_sch)
+    entry = lake.write_partition(merged, pid, epoch)
+    return {
+        "pid": entry.pid,
+        "file": entry.file,
+        "rows": entry.rows,
+        "hwm_seq": entry.hwm_seq,
+        "live_keys": entry.live_keys,
+        "bytes": entry.bytes,
+        "n_events": len(events),
+        "n_rejects": len(rejects),
+        "distinct_errors": json.dumps(distinct_errors),
+    }
 
 
 def _make_merge_fn(
@@ -126,71 +252,57 @@ def _make_merge_fn(
     run: PipelineRun,
     commit_ts_us: int,
 ):
-    """Per-group merge task.  Deterministic outputs + deterministic file
-    paths ⇒ safe under Ray task retries (a retried task rewrites the same
-    bytes before the manifest references them)."""
-
-    schema_b = state_sch
+    """groupby-shuffle reduce fn: one call per ``_pid`` group."""
 
     def merge_group(group: pa.Table) -> pa.Table:
         lake = LakeTable(table_dir)
         pid = int(group[PARTITION_COLUMN][0].as_py())
-        mask = error_mask(group)
-        rejects = group.filter(mask)
-        events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN, PARTITION_COLUMN])
-        # capture rejects (reference audit/rejects.py) — deterministic path
-        distinct_errors: list[str] = []
-        if len(rejects):
-            distinct_errors = sorted(
-                {e for lst in rejects[ERRORS_COLUMN].to_pylist() for e in (lst or [])}
-            )
-            rej_dir = os.path.join(lake.audit_dir, "rejects")
-            os.makedirs(rej_dir, exist_ok=True)
-            errs = rejects[ERRORS_COLUMN]
-            plain = rejects.drop_columns([ERRORS_COLUMN, PARTITION_COLUMN])
-            raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
-            ts = pa.array([commit_ts_us] * len(rejects), type=pa.timestamp("us"))
-            rej_table = pa.table(
-                {
-                    "run_id": pa.array([run.run_id] * len(rejects)),
-                    "pipeline": pa.array([run.pipeline] * len(rejects)),
-                    "source_path": pa.array([run.source_path] * len(rejects)),
-                    "raw_record": pa.array(raw),
-                    "parsed_record": pa.array(raw),
-                    ERRORS_COLUMN: errs,
-                    "timestamp": ts,
-                }
-            )
-            pq.write_table(
-                rej_table,
-                os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet"),
-            )
-        # LWW merge with prior state
-        delta = events_to_state(events, schema_b)
-        prior_t = None
-        rel = prior_files.get(pid)
-        if rel is not None:
-            prior_t = pq.read_table(lake.abspath(rel))
-        merged = merge_states(prior_t, delta, schema_b)
-        entry = lake.write_partition(merged, pid, epoch)
-        return pa.Table.from_pylist(
-            [
-                {
-                    "pid": entry.pid,
-                    "file": entry.file,
-                    "rows": entry.rows,
-                    "hwm_seq": entry.hwm_seq,
-                    "live_keys": entry.live_keys,
-                    "bytes": entry.bytes,
-                    "n_events": len(events),
-                    "n_rejects": len(rejects),
-                    "distinct_errors": json.dumps(distinct_errors),
-                }
-            ],
-            schema=_MERGE_RESULT_SCHEMA,
+        row = _merge_partition_core(
+            lake,
+            pid,
+            group.drop_columns([PARTITION_COLUMN]),
+            prior_files,
+            state_sch,
+            epoch,
+            run,
+            commit_ts_us,
         )
+        return pa.Table.from_pylist([row], schema=_MERGE_RESULT_SCHEMA)
 
     return merge_group
+
+
+def _make_staging_merge_fn(
+    table_dir: str,
+    staging_dir: str,
+    prior_files: dict[int, str],
+    state_sch: pa.Schema,
+    epoch: int,
+    run: PipelineRun,
+    commit_ts_us: int,
+):
+    """file-shuffle reduce fn over ``from_items(pids)``: each call reads one
+    partition's staged slices and merges them with its prior state."""
+
+    def merge_pid(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            d = os.path.join(staging_dir, f"pid={pid:05d}")
+            files = sorted(os.listdir(d))
+            group = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in files],
+                promote_options="permissive",
+            )
+            rows.append(
+                _merge_partition_core(
+                    lake, pid, group, prior_files, state_sch, epoch, run, commit_ts_us
+                )
+            )
+        return pa.Table.from_pylist(rows, schema=_MERGE_RESULT_SCHEMA)
+
+    return merge_pid
 
 
 def apply_epoch(
@@ -202,9 +314,15 @@ def apply_epoch(
     run: PipelineRun | None = None,
     batch_size: int = 32768,
     audit: bool = True,
+    records_read: int | None = None,
+    shuffle_mode: str = "staging",
 ) -> Manifest:
     """Apply one epoch (micro-batch) of change events to the lake table and
-    commit a new manifest.  Returns the committed manifest."""
+    commit a new manifest.  Returns the committed manifest.
+
+    ``records_read`` is an optional exact input-row count (e.g. from Parquet
+    metadata); when omitted it is computed with an extra counting pass only
+    if auditing is on — the data plane itself never re-scans the input."""
     prior = table.latest_manifest()
     if prior is not None:
         P = prior.num_partitions
@@ -232,21 +350,53 @@ def apply_epoch(
     prior_files = {p.pid: p.file for p in prior.partitions.values()} if prior else {}
 
     prep = EventPrep(event_sch, P, hwm, rename_map)
-    merge_fn = _make_merge_fn(table.dir, prior_files, state_sch, epoch, run, commit_ts_us)
 
     if audit:
         log = AuditLog(table.audit_dir)
         log.start_run(run)
 
-    records_read = events_ds.count()
+    if records_read is None and audit:
+        records_read = events_ds.count()
 
-    prepped = events_ds.map_batches(
-        prep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-    )
-    results = prepped.groupby(PARTITION_COLUMN).map_groups(
-        merge_fn, batch_format="pyarrow"
-    )
-    rows = results.take_all()  # ≤ P tiny manifest rows
+    staging = None
+    if shuffle_mode == "staging":
+        # explicit two-stage file shuffle: map tasks write per-partition
+        # slices; one reduce task per touched partition.  No all-to-all
+        # sort; staging lives beside the table (shared storage on a cluster)
+        import shutil
+
+        import ray.data as rd
+
+        staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        router = PrepAndRoute(prep, staging)
+        events_ds.map_batches(
+            router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        ).take_all()  # tiny (pid, rows) lineage rows; drives execution
+        pids = sorted(
+            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pid=")
+        )
+        if pids:
+            merge_fn = _make_staging_merge_fn(
+                table.dir, staging, prior_files, state_sch, epoch, run, commit_ts_us
+            )
+            rows = (
+                rd.from_items(pids, override_num_blocks=len(pids))
+                .map_batches(merge_fn, batch_size=1)
+                .take_all()
+            )
+        else:
+            rows = []
+    else:
+        merge_fn = _make_merge_fn(table.dir, prior_files, state_sch, epoch, run, commit_ts_us)
+        prepped = events_ds.map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+        results = prepped.groupby(PARTITION_COLUMN).map_groups(
+            merge_fn, batch_format="pyarrow"
+        )
+        rows = results.take_all()  # ≤ P tiny manifest rows
 
     partitions: dict[int, PartitionEntry] = {}
     if prior:
@@ -285,6 +435,10 @@ def apply_epoch(
         rename_history={**(prior.rename_history if prior else {}), **(rename_map or {})},
     )
     table.commit(manifest)
+    if staging is not None:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
 
     if audit:
         log.upsert_checkpoints(run, manifest.hwm, touched_records)
@@ -357,19 +511,36 @@ def run_replay(
     import ray.data as rd
 
     table = LakeTable(table_dir)
-    full = rd.read_parquet(events_path)
+    full_range = max_seq is None
     if max_seq is None:
-        max_seq = int(
-            pq.read_table(events_path, columns=["seq"])["seq"].to_pandas().max()
-        ) if os.path.isfile(events_path) else int(full.max("seq"))
+        if epochs == 1:
+            max_seq = 0  # unused: single full-range epoch reads everything
+        elif os.path.isfile(events_path):
+            max_seq = int(pq.read_table(events_path, columns=["seq"])["seq"].to_pandas().max())
+        else:
+            max_seq = int(rd.read_parquet(events_path).max("seq"))
     min_seq = 0
     bounds = np.linspace(min_seq - 1, max_seq, epochs + 1, dtype=np.int64)
     manifest = None
     for i in range(epochs):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        ds = rd.read_parquet(
-            events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
-        )
+        records_read = None
+        if epochs == 1 and full_range:
+            # full-range single epoch: exact count from Parquet metadata,
+            # and no row filter (avoids forcing a filtered scan)
+            if os.path.isfile(events_path):
+                records_read = pq.read_metadata(events_path).num_rows
+            elif os.path.isdir(events_path):
+                records_read = sum(
+                    pq.read_metadata(os.path.join(events_path, f)).num_rows
+                    for f in os.listdir(events_path)
+                    if f.endswith(".parquet")
+                )
+            ds = rd.read_parquet(events_path)
+        else:
+            ds = rd.read_parquet(
+                events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
+            )
         run = PipelineRun.new("cdc_replay", events_path)
         manifest = apply_epoch(
             table,
@@ -379,5 +550,6 @@ def run_replay(
             run=run,
             batch_size=batch_size,
             audit=audit,
+            records_read=records_read,
         )
     return manifest

@@ -31,15 +31,31 @@ def normalize_multiline_text(text: str) -> str:
 
 
 def sha256_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """sha256 hex of every element of a string array; null -> null."""
+    """sha256 hex of every element of a string array; null -> null.
+
+    Operates directly on the Arrow utf8 data buffer via memoryview slices —
+    no Python ``str`` objects are materialized (the digest runs in C over
+    the raw bytes, which are already utf-8)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     _sha = hashlib.sha256
-    out = np.empty(len(arr), dtype=object)
-    # Per-row loop is unavoidable (crypto hash); arr.to_pylist() materializes
-    # Python strings once, the digest itself runs in C.
-    for i, s in enumerate(arr.to_pylist()):
-        out[i] = _sha(s.encode("utf-8")).hexdigest() if s is not None else None
+    n = len(arr)
+    out = np.empty(n, dtype=object)
+    if n == 0:
+        return pa.array(out, type=pa.string())
+    off0 = arr.offset
+    buffers = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=odt, count=n + 1 + off0)[off0:]
+    data = memoryview(buffers[2])
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        for i in range(n):
+            if valid[i]:
+                out[i] = _sha(data[offsets[i] : offsets[i + 1]]).hexdigest()
+    else:
+        for i in range(n):
+            out[i] = _sha(data[offsets[i] : offsets[i + 1]]).hexdigest()
     return pa.array(out, type=pa.string())
 
 

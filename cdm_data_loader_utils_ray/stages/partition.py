@@ -20,13 +20,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from pandas.util import hash_pandas_object
 
 from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS, PARTITION_COLUMN
 
 
 def stable_key_hash(batch: pa.Table, key_columns: Sequence[str]) -> np.ndarray:
-    """uint64 deterministic hash of the composite key, vectorized."""
+    """uint64 deterministic hash of the composite key.
+
+    CRC32-chained over the raw Arrow utf8 buffers (no Python string
+    objects), mixed into 64 bits.  Must stay STABLE across releases: the
+    lake's partition layout depends on it (a change would orphan committed
+    partition files on resume)."""
+    from zlib import crc32
+
     key = batch.column(key_columns[0])
     if len(key_columns) > 1:
         parts = [batch.column(c).cast(pa.string()) for c in key_columns]
@@ -35,8 +41,29 @@ def stable_key_hash(batch: pa.Table, key_columns: Sequence[str]) -> np.ndarray:
         key = pc.binary_join_element_wise(*sep)
     else:
         key = key.cast(pa.string())
-    series = key.to_pandas()
-    return hash_pandas_object(series, index=False).to_numpy()
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    n = len(key)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    off0 = key.offset
+    buffers = key.buffers()
+    odt = np.int64 if pa.types.is_large_string(key.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=odt, count=n + 1 + off0)[off0:]
+    data = memoryview(buffers[2])
+    if key.null_count:
+        valid = ~np.asarray(key.is_null())
+        for i in range(n):
+            out[i] = crc32(data[offsets[i] : offsets[i + 1]]) if valid[i] else 0
+    else:
+        for i in range(n):
+            out[i] = crc32(data[offsets[i] : offsets[i + 1]])
+    # spread the 32-bit crc across 64 bits (splitmix-style) so modulo by any
+    # partition count stays well distributed
+    out ^= out << np.uint64(21)
+    out *= np.uint64(0x9E3779B97F4A7C15)
+    return out
 
 
 def add_partition_column(

@@ -10,8 +10,10 @@ Error taxonomy (exactly the reference's):
 Rows are annotated with an ``errors_in_record`` list column; a split stage
 routes rows with errors to the rejects table and clean rows onward — errors
 never raise inside the pipeline (reference ``uniprot_kb.py:386-390``).
-All kernels are vectorized pyarrow.compute; usable in
-``map_batches(batch_format="pyarrow")``.
+
+Validators are SPARSE: each returns ``(bool_mask, message)`` pairs, so a
+clean batch (the overwhelmingly common case at scale) allocates no per-row
+Python lists — the errors column is built from a zero-length ListArray.
 """
 
 from __future__ import annotations
@@ -28,12 +30,17 @@ from cdm_data_loader_utils_ray.core.schemas import (
     VALID_OPS,
 )
 
-# A validator is a callable batch -> list-of-error-lists (len == len(batch)).
-Validator = Callable[[pa.Table], list[list[str]]]
+# A validator returns a list of (mask, message): mask[i] == True means row i
+# gets `message` appended to its error list.
+Validator = Callable[[pa.Table], list[tuple[np.ndarray, str]]]
+
+
+def _mask(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False)
 
 
 def check_non_nullable(schema: pa.Schema) -> Validator:
-    """Errors ``missing_required: <col>`` for nulls in non-nullable columns.
+    """``missing_required: <col>`` for nulls in non-nullable columns.
 
     Spark silently relaxes nullable=False on read and the reference re-checks
     it manually (``df_nullable_fields.py:20-23``); Arrow behaves the same way,
@@ -41,20 +48,17 @@ def check_non_nullable(schema: pa.Schema) -> Validator:
     """
     required = [f.name for f in schema if not f.nullable]
 
-    def _check(batch: pa.Table) -> list[list[str]]:
-        errs: list[list[str]] = [[] for _ in range(len(batch))]
+    def _check(batch: pa.Table) -> list[tuple[np.ndarray, str]]:
+        out = []
+        n = len(batch)
         for col in required:
+            msg = f"missing_required: {col}"
             if col not in batch.column_names:
-                msg = f"missing_required: {col}"
-                for e in errs:
-                    e.append(msg)
+                out.append((np.ones(n, dtype=bool), msg))
                 continue
-            mask = pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
-            if mask.any():
-                msg = f"missing_required: {col}"
-                for i in np.flatnonzero(mask):
-                    errs[i].append(msg)
-        return errs
+            if batch[col].null_count:
+                out.append((_mask(pc.is_null(batch[col])), msg))
+        return out
 
     return _check
 
@@ -63,13 +67,12 @@ def check_parse_errors(invalid_column: str = INVALID_DATA_COLUMN) -> Validator:
     """``parse_error`` for rows whose corrupt-record column is non-null
     (reference ``df_nullable_fields.py:46-58``)."""
 
-    def _check(batch: pa.Table) -> list[list[str]]:
-        errs: list[list[str]] = [[] for _ in range(len(batch))]
-        if invalid_column in batch.column_names:
-            mask = pc.is_valid(batch[invalid_column]).to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(mask):
-                errs[i].append("parse_error")
-        return errs
+    def _check(batch: pa.Table) -> list[tuple[np.ndarray, str]]:
+        if invalid_column in batch.column_names and (
+            len(batch) - batch[invalid_column].null_count
+        ):
+            return [(_mask(pc.is_valid(batch[invalid_column])), "parse_error")]
+        return []
 
     return _check
 
@@ -78,17 +81,18 @@ def check_op_domain(column: str = "op", allowed: Sequence[str] = VALID_OPS) -> V
     """``parse_error`` for op values outside the enum (FIXTURES.md §4
     type_mismatch case; reference predicate-whitelist pattern
     ``gene_association_file.py:135-139`` routed to rejects instead of raise)."""
+    value_set = pa.array(list(allowed))
 
-    def _check(batch: pa.Table) -> list[list[str]]:
-        errs: list[list[str]] = [[] for _ in range(len(batch))]
-        if column in batch.column_names:
-            bad = pc.and_(
-                pc.is_valid(batch[column]),
-                pc.invert(pc.is_in(batch[column], value_set=pa.array(list(allowed)))),
-            ).to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(bad):
-                errs[i].append("parse_error")
-        return errs
+    def _check(batch: pa.Table) -> list[tuple[np.ndarray, str]]:
+        if column not in batch.column_names:
+            return []
+        bad = pc.and_(
+            pc.is_valid(batch[column]),
+            pc.invert(pc.is_in(batch[column], value_set=value_set)),
+        )
+        if not pc.any(bad).as_py():
+            return []
+        return [(_mask(bad), "parse_error")]
 
     return _check
 
@@ -97,31 +101,57 @@ def check_delete_content(op_column: str = "op", content_column: str = "content")
     """``parse_error`` when content is null on a non-delete op (EVENT_SCHEMA
     invariant: content null iff op == delete)."""
 
-    def _check(batch: pa.Table) -> list[list[str]]:
-        errs: list[list[str]] = [[] for _ in range(len(batch))]
-        if op_column in batch.column_names and content_column in batch.column_names:
-            bad = pc.and_(
+    def _check(batch: pa.Table) -> list[tuple[np.ndarray, str]]:
+        if op_column not in batch.column_names or content_column not in batch.column_names:
+            return []
+        if batch[content_column].null_count == 0:
+            return []
+        bad = pc.fill_null(
+            pc.and_(
                 pc.not_equal(batch[op_column], pa.scalar("delete")),
                 pc.is_null(batch[content_column]),
-            )
-            bad = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(bad):
-                errs[i].append("parse_error")
-        return errs
+            ),
+            False,
+        )
+        if not pc.any(bad).as_py():
+            return []
+        return [(_mask(bad), "parse_error")]
 
     return _check
 
 
+def _empty_errors_column(n: int) -> pa.Array:
+    offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array([], type=pa.string()))
+
+
 def annotate_errors(batch: pa.Table, validators: Sequence[Validator]) -> pa.Table:
     """Run validators, append the ``errors_in_record`` list<string> column
-    (reference ``DataFrameValidator.validate_dataframe`` annotation step)."""
-    errs: list[list[str]] = [[] for _ in range(len(batch))]
+    (reference ``DataFrameValidator.validate_dataframe`` annotation step).
+    Fast path: a clean batch allocates a single zero-copy empty-list column."""
+    n = len(batch)
+    hits: list[tuple[np.ndarray, str]] = []
     for v in validators:
-        for row_errs, new in zip(errs, v(batch)):
-            row_errs.extend(new)
-    if ERRORS_COLUMN in batch.column_names:
+        hits.extend(v(batch))
+    if batch.schema.get_field_index(ERRORS_COLUMN) != -1:
         batch = batch.drop_columns([ERRORS_COLUMN])
-    return batch.append_column(ERRORS_COLUMN, pa.array(errs, type=pa.list_(pa.string())))
+    if not hits:
+        return batch.append_column(
+            pa.field(ERRORS_COLUMN, pa.list_(pa.string())), _empty_errors_column(n)
+        )
+    # sparse build: per-row Python lists only for flagged rows
+    flagged = np.zeros(n, dtype=bool)
+    for mask, _ in hits:
+        flagged |= mask
+    errs: dict[int, list[str]] = {}
+    for mask, msg in hits:
+        for i in np.flatnonzero(mask):
+            errs.setdefault(int(i), []).append(msg)
+    lists = [errs.get(i, []) if flagged[i] else [] for i in range(n)]
+    return batch.append_column(
+        pa.field(ERRORS_COLUMN, pa.list_(pa.string())),
+        pa.array(lists, type=pa.list_(pa.string())),
+    )
 
 
 def error_mask(batch: pa.Table) -> pa.Array:
@@ -130,8 +160,20 @@ def error_mask(batch: pa.Table) -> pa.Array:
     return pc.greater(pc.list_value_length(batch[ERRORS_COLUMN]), 0)
 
 
+def has_any_errors(batch: pa.Table) -> bool:
+    """Cheap batch-level check so downstream stages can skip the reject
+    split entirely on clean batches."""
+    col = batch[ERRORS_COLUMN]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values if hasattr(col, "values") else col.combine_chunks().values
+    return len(values) > 0
+
+
 def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(valid_rows_without_errors_col, reject_rows_with_errors_col)."""
+    if not has_any_errors(batch):
+        return batch.drop_columns([ERRORS_COLUMN]), batch.slice(0, 0)
     mask = error_mask(batch)
     valid = batch.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN])
     rejects = batch.filter(mask)

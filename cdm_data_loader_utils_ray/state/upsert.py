@@ -43,6 +43,30 @@ from cdm_data_loader_utils_ray.core.schemas import (
 _KEYS = list(KEY_COLUMNS)
 
 
+def _lww_take_indices(
+    table: pa.Table, key_columns: Sequence[str], seq_column: str
+) -> pa.Array:
+    """Indices of the winning (max-``seq``, ties -> later input order) row
+    per key, ascending by key.  Pure Arrow: one multi-key ``sort_indices``
+    + vectorized adjacent-row boundary detection; no Python objects, no
+    pandas round-trip of the payload strings."""
+    sort_keys = [(c, "ascending") for c in key_columns] + [(seq_column, "ascending")]
+    idx = pc.sort_indices(table, sort_keys=sort_keys)  # stable sort
+    n = len(idx)
+    if n == 0:
+        return idx
+    taken = table.select(list(key_columns)).take(idx)
+    # row i is the LAST of its key-group iff any key column differs at i+1
+    last = np.ones(n, dtype=bool)
+    boundary = np.zeros(n - 1, dtype=bool)
+    for c in key_columns:
+        col = taken.column(c).combine_chunks()
+        neq = pc.not_equal(col.slice(0, n - 1), col.slice(1, n))
+        boundary |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+    last[: n - 1] = boundary
+    return idx.filter(pa.array(last))
+
+
 def prereduce_batch(batch: pa.Table, key_columns: Sequence[str] = KEY_COLUMNS) -> pa.Table:
     """Within-batch LWW combiner: keep only the max-``seq`` row per key.
 
@@ -51,10 +75,8 @@ def prereduce_batch(batch: pa.Table, key_columns: Sequence[str] = KEY_COLUMNS) -
     """
     if len(batch) == 0:
         return batch
-    df = batch.to_pandas()
-    df = df.sort_values("seq", kind="stable")
-    df = df.drop_duplicates(subset=list(key_columns), keep="last")
-    return pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+    winners = _lww_take_indices(batch, list(key_columns), "seq")
+    return batch.take(winners)
 
 
 def events_to_state(events: pa.Table, state_schema: pa.Schema) -> pa.Table:
@@ -100,12 +122,9 @@ def merge_states(
     if not parts:
         return state_schema.empty_table()
     merged = pa.concat_tables(parts)
-    df = merged.to_pandas()
-    df = df.sort_values("seq", kind="stable").drop_duplicates(
-        subset=list(key_columns), keep="last"
-    )
-    df = df.sort_values(list(key_columns), kind="stable")
-    return pa.Table.from_pandas(df, schema=state_schema, preserve_index=False)
+    winners = _lww_take_indices(merged, list(key_columns), "seq")
+    # winners are already ascending by key (sort_indices order)
+    return merged.take(winners)
 
 
 def oracle_materialize(

@@ -89,20 +89,14 @@ def make_events(
     if len(missing):
         key_ids[rng.choice(n_base, size=len(missing), replace=False)] = missing
 
-    seen: set[int] = set()
-    versions = np.zeros(num_keys, dtype=np.int64)
-    ops = np.empty(n_base, dtype=object)
+    # vectorized op assignment: first occurrence of a key = insert, later
+    # occurrences = update/delete by draw
+    ks = pd.Series(key_ids)
+    first = ~ks.duplicated().to_numpy()
     op_draw = rng.random(n_base)
-    for i, k in enumerate(key_ids):
-        if k not in seen:
-            seen.add(k)
-            ops[i] = "insert"
-        elif op_draw[i] < delete_fraction:
-            ops[i] = "delete"
-        else:
-            ops[i] = "update"
+    ops = np.where(first, "insert", np.where(op_draw < delete_fraction, "delete", "update"))
+    is_delete = ops == "delete"
 
-    word_pool = rng.choice(_WORDS, size=n_base + 800)
     rows = {
         "seq": np.arange(1, n_base + 1, dtype=np.int64),
         "op": ops,
@@ -110,18 +104,31 @@ def make_events(
         "path": keys["path"].to_numpy()[key_ids],
         "lang": keys["lang"].to_numpy()[key_ids],
     }
-    sizes = rng.integers(8, 700, size=n_base)
-    commits = np.empty(n_base, dtype=object)
-    contents = np.empty(n_base, dtype=object)
-    for i, k in enumerate(key_ids):
-        if ops[i] == "delete":
-            versions[k] += 1
-            commits[i] = _commit_hex(seed, rows["repo"][i], rows["path"][i], int(versions[k]))
-            contents[i] = None
-        else:
-            versions[k] += 1
-            commits[i] = _commit_hex(seed, rows["repo"][i], rows["path"][i], int(versions[k]))
-            contents[i] = _content(word_pool[i : i + 800], int(sizes[i]))
+    # per-key version counter (vectorized cumcount), deterministic commit ids:
+    # cheap numeric hashing instead of per-row hashlib for large logs
+    versions = ks.groupby(ks).cumcount().to_numpy() + 1
+    h = (
+        pd.util.hash_pandas_object(
+            pd.Series(rows["repo"]) + "\x1f" + pd.Series(rows["path"]), index=False
+        ).to_numpy()
+        ^ (versions.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ np.uint64(seed)
+    )
+    h2 = (h * np.uint64(0xBF58476D1CE4E5B9)) ^ np.uint64(seed * 2654435761 % (1 << 64))
+    c1 = np.char.zfill(np.char.mod("%x", h), 16)
+    c2 = np.char.zfill(np.char.mod("%x", h2), 16)
+    c3 = np.char.zfill(np.char.mod("%x", (h ^ h2) & np.uint64(0xFFFFFFFF)), 8)
+    commits = np.char.add(np.char.add(c1, c2), c3)  # 40 hex chars
+    # deterministic pseudo-code content: slices of one long seeded text pool
+    pool = " ".join(rng.choice(_WORDS, size=20000))
+    pool_len = len(pool)
+    sizes = rng.integers(50, 2000, size=n_base)
+    offsets = rng.integers(0, pool_len - 2100, size=n_base)
+    salt = np.char.mod("v%d ", versions)
+    contents = np.array(
+        [f"{s}{pool[o : o + z]}" for s, o, z in zip(salt, offsets, sizes)], dtype=object
+    )
+    contents[is_delete] = None
     rows["commit"] = commits
     rows["content"] = contents
     df = pd.DataFrame(rows)
@@ -175,8 +182,26 @@ def corrupt_events(events: pa.Table, seed: int = 7, fraction: float = 0.02) -> p
     return pa.Table.from_pandas(df, schema=relaxed, preserve_index=False)
 
 
-def write_events(path: str, table: pa.Table, row_group_size: int = 65536) -> str:
-    pq.write_table(table, path, row_group_size=row_group_size)
+def write_events(
+    path: str, table: pa.Table, row_group_size: int = 65536, shards: int = 1
+) -> str:
+    """Write the event log; with ``shards`` > 1 write a DIRECTORY of part
+    files so ``read_parquet`` fans out one read task per file (a single
+    monolithic file serializes the scan)."""
+    if shards <= 1:
+        pq.write_table(table, path, row_group_size=row_group_size)
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = len(table)
+    step = -(-n // shards)
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if len(part):
+            pq.write_table(
+                part, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
+            )
     return path
 
 
