@@ -15,3 +15,17 @@ the caller (driver, bench.py, test fixture).
 """
 
 __version__ = "0.1.0"
+
+# Keep Arrow's jemalloc from returning freed pages to the OS.  On
+# lazily-backed VMs (overcommitted / snapshot-restored hosts) re-faulting
+# returned pages is dramatically slower than reusing resident ones; with
+# decay enabled, every data-heavy task pays first-touch page faults for the
+# bytes the previous task just freed (measured 3-12x CPU inflation in Ray
+# workers).  This runs in every process that imports the package — driver
+# AND Ray workers (they import it when deserializing tasks).
+try:  # pragma: no cover
+    import pyarrow as _pa
+
+    _pa.jemalloc_set_decay_ms(-1)
+except Exception:
+    pass

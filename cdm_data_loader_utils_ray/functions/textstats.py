@@ -1,0 +1,150 @@
+"""Text analysis for training-data pipelines: language ID (n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+
+All are actor-pool ``map_batches`` stages: models/regexes/profiles built
+once per actor in ``__init__`` (SURVEY §2.4), vectorized where the kernel
+allows (Arrow string compute for lengths/ratios, Python per row only inside
+the tokenizer loops).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdm_data_loader_utils_ray.stages.hashing import rolling_fingerprint
+
+# Tiny per-language stopword / character profiles (public common words).
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que", "des"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para", "que", "de", "en"},
+}
+_CJK = re.compile(r"[一-鿿]")
+_WORD = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer (GPT-2-style pattern, public)
+_BPE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+")
+
+
+class LangId:
+    """n-gram/stopword language-ID heuristic (no model downloads)."""
+
+    def __init__(self, text_column: str = "text", out_column: str = "lang_pred"):
+        self.text_column, self.out_column = text_column, out_column
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        if _CJK.search(text):
+            return "zh"
+        toks = [t.lower() for t in _WORD.findall(text)[:200]]
+        if not toks:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, stops in self.profiles.items():
+            score = sum(t in stops for t in toks) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [self.classify(t) for t in batch[self.text_column].to_pylist()],
+            type=pa.string(),
+        )
+        return batch.append_column(self.out_column, preds)
+
+
+class QualityScore:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0, 1] (heuristic quality filter for pretraining corpora)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.stops = frozenset().union(*_LANG_PROFILES.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column]
+        n_chars = pc.utf8_length(texts).cast(pa.float64())
+        # vectorized punct/digit/space counts via Arrow kernels
+        n_space = pc.count_substring(texts, " ").cast(pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        stop_ratio = []
+        mean_tok = []
+        for t in texts.to_pylist():
+            toks = _WORD.findall((t or "").lower())
+            if toks:
+                stop_ratio.append(sum(tt in self.stops for tt in toks) / len(toks))
+                mean_tok.append(sum(map(len, toks)) / len(toks))
+            else:
+                stop_ratio.append(0.0)
+                mean_tok.append(0.0)
+        stop_arr = np.array(stop_ratio)
+        mt = np.array(mean_tok)
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
+        len_score = np.clip(nc / 500.0, 0, 1)
+        tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
+        score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
+        out = batch.append_column("n_chars_f", pa.array(nc))
+        out = out.append_column("space_ratio", pa.array(np.round(space_ratio, 6)))
+        out = out.append_column("stopword_ratio", pa.array(np.round(stop_arr, 6)))
+        out = out.append_column("mean_token_len", pa.array(np.round(mt, 6)))
+        return out.append_column("quality_score", pa.array(np.round(score, 6)))
+
+
+class TokenCount:
+    """Whitespace and BPE-ish token counts per document."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column]
+        ws = pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64())
+        bpe = pa.array(
+            [len(_BPE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64()
+        )
+        out = batch.append_column("n_tokens_ws", ws)
+        return out.append_column("n_tokens_bpe", bpe)
+
+
+class Fingerprint:
+    """Rolling-hash document fingerprint (Rabin-Karp min-window; stable
+    under small edits elsewhere in the document)."""
+
+    def __init__(self, text_column: str = "text", window: int = 64):
+        self.text_column, self.window = text_column, window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = pa.array(
+            [
+                rolling_fingerprint(t or "", self.window)
+                for t in batch[self.text_column].to_pylist()
+            ],
+            type=pa.uint64(),
+        )
+        return batch.append_column("fingerprint", fps)
+
+
+def analyze_documents(ds, text_column: str = "text", concurrency: int = 4,
+                      batch_size: int = 4096):
+    """Full text-analysis pipeline: langid + quality + tokens + fingerprint,
+    chained actor-pool stages over Arrow batches."""
+    return (
+        ds.map_batches(LangId(text_column), batch_format="pyarrow",
+                       batch_size=batch_size, concurrency=concurrency)
+        .map_batches(QualityScore(text_column), batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=concurrency)
+        .map_batches(TokenCount(text_column), batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=concurrency)
+        .map_batches(Fingerprint(text_column), batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=concurrency)
+    )

@@ -100,12 +100,15 @@ class PrepAndRoute:
     Returns one tiny count row per (batch, pid) for lineage.
     """
 
-    def __init__(self, prep: "EventPrep", staging_dir: str):
+    def __init__(self, prep: "EventPrep", staging_dir: str, drop: tuple[str, ...] = ()):
         self.prep = prep
         self.staging_dir = staging_dir
+        self.drop = drop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.prep(batch)
+        if self.drop:
+            b = b.drop_columns([c for c in self.drop if c in b.column_names])
         n = len(b)
         out_pids: list[int] = []
         out_rows: list[int] = []
@@ -305,6 +308,278 @@ def _make_staging_merge_fn(
     return merge_pid
 
 
+# ---------------------------------------------------------------------------
+# Late materialization ("late" shuffle mode): the shuffle carries METADATA
+# only (key, seq, op, commit, sha — ~50 B/row); winners are decided per
+# partition on metadata, then a second column-pruned scan fetches ``content``
+# for WINNING rows only.  On an update-heavy stream this cuts exchanged
+# bytes ~10x — at 100 TB the difference between shuffling the corpus and
+# shuffling a manifest of it.  Requires globally-unique ``seq`` (the event
+# log's contract) and a re-readable source (a Parquet path, not an
+# arbitrary Dataset).
+# ---------------------------------------------------------------------------
+
+_SRC_COLUMN = "_src"  # 1 = this epoch's events, 0 = carried from prior state
+
+_WINNER_RESULT_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int32()),
+        pa.field("n_events", pa.int64()),
+        pa.field("n_rejects", pa.int64()),
+        pa.field("distinct_errors", pa.string()),
+        pa.field("fetch_seqs", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _meta_schema(state_sch: pa.Schema) -> pa.Schema:
+    fields = [f for f in state_sch if f.name != "content"]
+    return pa.schema(fields + [pa.field(_SRC_COLUMN, pa.int8())])
+
+
+def _write_rejects_file(
+    lake: LakeTable, pid: int, rejects: pa.Table, epoch: int, run: PipelineRun,
+    commit_ts_us: int,
+) -> list[str]:
+    distinct_errors = sorted(
+        {e for lst in rejects[ERRORS_COLUMN].to_pylist() for e in (lst or [])}
+    )
+    rej_dir = os.path.join(lake.audit_dir, "rejects")
+    os.makedirs(rej_dir, exist_ok=True)
+    errs = rejects[ERRORS_COLUMN]
+    plain = rejects.drop_columns([ERRORS_COLUMN])
+    raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
+    ts = pa.array([commit_ts_us] * len(rejects), type=pa.timestamp("us"))
+    rej_table = pa.table(
+        {
+            "run_id": pa.array([run.run_id] * len(rejects)),
+            "pipeline": pa.array([run.pipeline] * len(rejects)),
+            "source_path": pa.array([run.source_path] * len(rejects)),
+            "raw_record": pa.array(raw),
+            "parsed_record": pa.array(raw),
+            ERRORS_COLUMN: errs,
+            "timestamp": ts,
+        }
+    )
+    pq.write_table(
+        rej_table, os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet")
+    )
+    return distinct_errors
+
+
+def _make_winner_fn(
+    table_dir: str,
+    staging_dir: str,
+    prior_files: dict[int, str],
+    state_sch: pa.Schema,
+    epoch: int,
+    run: PipelineRun,
+    commit_ts_us: int,
+):
+    """Phase-A reduce: LWW over metadata, emit winners file + content-fetch
+    seq list per partition."""
+    meta_sch = _meta_schema(state_sch)
+    meta_cols = [f.name for f in meta_sch if f.name != _SRC_COLUMN]
+
+    def winners_pid(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            d = os.path.join(staging_dir, f"pid={pid:05d}")
+            group = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
+                promote_options="permissive",
+            )
+            if has_any_errors(group):
+                mask = error_mask(group)
+                rejects = group.filter(mask)
+                events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN])
+                distinct_errors = _write_rejects_file(
+                    lake, pid, rejects, epoch, run, commit_ts_us
+                )
+            else:
+                rejects = group.slice(0, 0)
+                events = group.drop_columns([ERRORS_COLUMN])
+                distinct_errors = []
+            delta = events_to_state(events, meta_sch)
+            delta = delta.set_column(
+                delta.schema.get_field_index(_SRC_COLUMN),
+                _SRC_COLUMN,
+                pa.array(np.ones(len(delta), dtype=np.int8)),
+            )
+            prior_t = None
+            rel = prior_files.get(pid)
+            if rel is not None:
+                pf = pq.ParquetFile(lake.abspath(rel))
+                avail = [c for c in meta_cols if c in pf.schema_arrow.names]
+                prior_t = pq.read_table(lake.abspath(rel), columns=avail)
+                prior_t = prior_t.append_column(
+                    _SRC_COLUMN, pa.array(np.zeros(len(prior_t), dtype=np.int8))
+                )
+            merged = merge_states(prior_t, delta, meta_sch)
+            need = pc.and_(
+                pc.equal(merged[_SRC_COLUMN], pa.scalar(1, pa.int8())),
+                pc.equal(merged[DELETED_COLUMN], False),
+            )
+            fetch = merged.filter(need)["seq"].to_pylist()
+            wdir = os.path.join(staging_dir, "winners")
+            os.makedirs(wdir, exist_ok=True)
+            pq.write_table(merged, os.path.join(wdir, f"pid={pid:05d}.parquet"))
+            rows.append(
+                {
+                    "pid": pid,
+                    "n_events": len(events),
+                    "n_rejects": len(rejects),
+                    "distinct_errors": json.dumps(distinct_errors),
+                    "fetch_seqs": fetch,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_WINNER_RESULT_SCHEMA)
+
+    return winners_pid
+
+
+def _make_content_route_fn(
+    staging_dir: str, seqs_ref, pids_ref, seq_col: str, content_col: str
+):
+    """Phase-B map: column-pruned scan routes (seq, content) of WINNING rows
+    to their partition's content staging dir.  The winner seq->pid map is
+    broadcast once via ray.put (sorted array + parallel pid array)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        import ray
+
+        seqs = ray.get(seqs_ref)
+        pids = ray.get(pids_ref)
+        s = batch[seq_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(seqs, s)
+        pos_c = np.clip(pos, 0, max(0, len(seqs) - 1))
+        hit = (len(seqs) > 0) & (seqs[pos_c] == s)
+        if not np.any(hit):
+            return pa.table({"pid": pa.array([], type=pa.int32()),
+                             "rows": pa.array([], type=pa.int64())})
+        sub = batch.filter(pa.array(hit)).select([seq_col, content_col])
+        sub_pids = pids[pos_c[hit]].astype(np.int32)
+        order = np.argsort(sub_pids, kind="stable")
+        sub = sub.take(pa.array(order))
+        sub_pids = sub_pids[order]
+        bounds = np.flatnonzero(np.diff(sub_pids)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(sub_pids)]])
+        ss = sub[seq_col].to_numpy(zero_copy_only=False)
+        out_pids, out_rows = [], []
+        for a, b in zip(starts, ends):
+            pid = int(sub_pids[a])
+            d = os.path.join(staging_dir, "content", f"pid={pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            lo, hi = int(ss[a:b].min()), int(ss[a:b].max())
+            part = sub.slice(a, b - a).rename_columns(["seq", "content"])
+            pq.write_table(
+                part,
+                os.path.join(d, f"slice-{lo:012d}-{hi:012d}-{b - a}.parquet"),
+                compression="lz4",
+            )
+            out_pids.append(pid)
+            out_rows.append(b - a)
+        return pa.table(
+            {"pid": pa.array(out_pids, type=pa.int32()),
+             "rows": pa.array(out_rows, type=pa.int64())}
+        )
+
+    return route
+
+
+def _lookup_by_seq(seqs_sorted: np.ndarray, values: list, query: np.ndarray) -> list:
+    """values aligned to seqs_sorted; returns values for query seqs (None
+    where absent)."""
+    out = [None] * len(query)
+    if len(seqs_sorted) == 0:
+        return out
+    pos = np.searchsorted(seqs_sorted, query)
+    pos_c = np.clip(pos, 0, len(seqs_sorted) - 1)
+    hit = seqs_sorted[pos_c] == query
+    for i in np.flatnonzero(hit):
+        out[i] = values[pos_c[i]]
+    return out
+
+
+def _make_assemble_fn(
+    table_dir: str,
+    staging_dir: str,
+    prior_files: dict[int, str],
+    state_sch: pa.Schema,
+    epoch: int,
+):
+    """Phase-B reduce: join winners metadata with fetched + carried content,
+    write the partition state file."""
+
+    def assemble(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            winners = pq.read_table(
+                os.path.join(staging_dir, "winners", f"pid={pid:05d}.parquet")
+            )
+            wseq = winners["seq"].to_numpy(zero_copy_only=False)
+            src = winners[_SRC_COLUMN].to_numpy(zero_copy_only=False)
+            deleted = winners[DELETED_COLUMN].to_numpy(zero_copy_only=False)
+            content = [None] * len(winners)
+            # fetched event content
+            cdir = os.path.join(staging_dir, "content", f"pid={pid:05d}")
+            if os.path.isdir(cdir):
+                fetched = pa.concat_tables(
+                    [pq.read_table(os.path.join(cdir, f)) for f in sorted(os.listdir(cdir))]
+                )
+                fs = fetched["seq"].to_numpy(zero_copy_only=False)
+                order = np.argsort(fs, kind="stable")
+                fs = fs[order]
+                fvals = fetched["content"].take(pa.array(order)).to_pylist()
+                # dedup re-delivered seqs (identical payloads)
+                uniq = np.concatenate([[True], np.diff(fs) != 0]) if len(fs) else np.array([], bool)
+                fs, fvals = fs[uniq], [v for v, u in zip(fvals, uniq) if u]
+                need = (src == 1) & ~deleted
+                got = _lookup_by_seq(fs, fvals, wseq[need])
+                for i, v in zip(np.flatnonzero(need), got):
+                    content[i] = v
+            # carried prior content
+            rel = prior_files.get(pid)
+            carried = (src == 0) & ~deleted
+            if rel is not None and carried.any():
+                prior = pq.read_table(lake.abspath(rel), columns=["seq", "content"])
+                ps = prior["seq"].to_numpy(zero_copy_only=False)
+                order = np.argsort(ps, kind="stable")
+                ps = ps[order]
+                pvals = prior["content"].take(pa.array(order)).to_pylist()
+                got = _lookup_by_seq(ps, pvals, wseq[carried])
+                for i, v in zip(np.flatnonzero(carried), got):
+                    content[i] = v
+            final = winners.drop_columns([_SRC_COLUMN]).append_column(
+                "content", pa.array(content, type=pa.string())
+            )
+            from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
+
+            final = align_to_schema(final, state_sch)
+            entry = lake.write_partition(final, pid, epoch)
+            rows.append(
+                {
+                    "pid": entry.pid,
+                    "file": entry.file,
+                    "rows": entry.rows,
+                    "hwm_seq": entry.hwm_seq,
+                    "live_keys": entry.live_keys,
+                    "bytes": entry.bytes,
+                    "n_events": 0,
+                    "n_rejects": 0,
+                    "distinct_errors": "[]",
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_MERGE_RESULT_SCHEMA)
+
+    return assemble
+
+
 def apply_epoch(
     table: LakeTable,
     events_ds,
@@ -316,6 +591,7 @@ def apply_epoch(
     audit: bool = True,
     records_read: int | None = None,
     shuffle_mode: str = "staging",
+    phase_b_reader=None,
 ) -> Manifest:
     """Apply one epoch (micro-batch) of change events to the lake table and
     commit a new manifest.  Returns the committed manifest.
@@ -359,7 +635,79 @@ def apply_epoch(
         records_read = events_ds.count()
 
     staging = None
-    if shuffle_mode == "staging":
+    if shuffle_mode == "late":
+        # metadata-only shuffle + winner-content fetch (see section comment
+        # above).  Needs a re-readable source for the phase-B column-pruned
+        # scan; ``phase_b_reader(columns) -> Dataset`` is supplied by
+        # run_replay.
+        import shutil
+
+        import ray
+        import ray.data as rd
+
+        if phase_b_reader is None:
+            raise ValueError("shuffle_mode='late' requires phase_b_reader")
+        staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        router = PrepAndRoute(prep, staging, drop=("content",))
+        events_ds.map_batches(
+            router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        ).take_all()
+        pids = sorted(
+            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pid=")
+        )
+        rows = []
+        if pids:
+            winner_fn = _make_winner_fn(
+                table.dir, staging, prior_files, state_sch, epoch, run, commit_ts_us
+            )
+            wrows = (
+                rd.from_items(pids, override_num_blocks=len(pids))
+                .map_batches(winner_fn, batch_size=1)
+                .take_all()
+            )
+            # broadcast winner seq -> pid map (sorted) for the content scan
+            fetch_seqs = np.concatenate(
+                [np.asarray(w["fetch_seqs"], dtype=np.int64) for w in wrows]
+            ) if wrows else np.array([], dtype=np.int64)
+            fetch_pids = np.concatenate(
+                [np.full(len(w["fetch_seqs"]), w["pid"], dtype=np.int32) for w in wrows]
+            ) if wrows else np.array([], dtype=np.int32)
+            order = np.argsort(fetch_seqs, kind="stable")
+            seqs_ref = ray.put(fetch_seqs[order])
+            pids_ref = ray.put(fetch_pids[order])
+            # raw column names in the source (reverse of the rename map)
+            rev = {v: k for k, v in (rename_map or {}).items()}
+            seq_col, content_col = rev.get("seq", "seq"), rev.get("content", "content")
+            if len(fetch_seqs):
+                route = _make_content_route_fn(
+                    staging, seqs_ref, pids_ref, seq_col, content_col
+                )
+                phase_b_reader([seq_col, content_col]).map_batches(
+                    route, batch_format="pyarrow", batch_size=batch_size,
+                    zero_copy_batch=True,
+                ).take_all()
+            assemble = _make_assemble_fn(
+                table.dir, staging, prior_files, state_sch, epoch
+            )
+            arows = (
+                rd.from_items(pids, override_num_blocks=len(pids))
+                .map_batches(assemble, batch_size=1)
+                .take_all()
+            )
+            stats = {w["pid"]: w for w in wrows}
+            for r in arows:
+                w = stats.get(r["pid"], {})
+                rows.append(
+                    {
+                        **r,
+                        "n_events": w.get("n_events", 0),
+                        "n_rejects": w.get("n_rejects", 0),
+                        "distinct_errors": w.get("distinct_errors", "[]"),
+                    }
+                )
+    elif shuffle_mode == "staging":
         # explicit two-stage file shuffle: map tasks write per-partition
         # slices; one reduce task per touched partition.  No all-to-all
         # sort; staging lives beside the table (shared storage on a cluster)
@@ -503,6 +851,7 @@ def run_replay(
     max_seq: int | None = None,
     batch_size: int = 32768,
     audit: bool = True,
+    shuffle_mode: str = "staging",
 ) -> Manifest:
     """Replay an event-log Parquet path into a lake table in ``epochs``
     micro-batches split by ``seq`` range (range filters push down to the
@@ -537,10 +886,22 @@ def run_replay(
                     if f.endswith(".parquet")
                 )
             ds = rd.read_parquet(events_path)
+            def phase_b_reader(columns, _p=events_path):
+                return rd.read_parquet(_p, columns=columns)
+
         else:
             ds = rd.read_parquet(
                 events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
             )
+
+            def phase_b_reader(columns, _p=events_path, _lo=lo, _hi=hi):
+                seq_col = columns[0]
+                return rd.read_parquet(
+                    _p,
+                    columns=columns,
+                    filter=(pc.field(seq_col) > _lo) & (pc.field(seq_col) <= _hi),
+                )
+
         run = PipelineRun.new("cdc_replay", events_path)
         manifest = apply_epoch(
             table,
@@ -551,5 +912,7 @@ def run_replay(
             batch_size=batch_size,
             audit=audit,
             records_read=records_read,
+            shuffle_mode=shuffle_mode,
+            phase_b_reader=phase_b_reader,
         )
     return manifest

@@ -66,16 +66,30 @@ def events_path(tmp_path_factory):
     return p
 
 
-def test_replay_converges_single_epoch(events_path, tmp_path):
-    run_replay(events_path, str(tmp_path / "lake"), num_partitions=P)
+@pytest.mark.parametrize("mode", ["staging", "late"])
+def test_replay_converges_single_epoch(events_path, tmp_path, mode):
+    run_replay(events_path, str(tmp_path / "lake"), num_partitions=P, shuffle_mode=mode)
     state = read_final_state_arrow(LakeTable(str(tmp_path / "lake")))
     _check_convergence(state, _oracle_duckdb(events_path))
 
 
-def test_replay_converges_multi_epoch_same_as_single(events_path, tmp_path):
-    run_replay(events_path, str(tmp_path / "multi"), num_partitions=P, epochs=3)
+@pytest.mark.parametrize("mode", ["staging", "late"])
+def test_replay_converges_multi_epoch_same_as_single(events_path, tmp_path, mode):
+    run_replay(events_path, str(tmp_path / "multi"), num_partitions=P, epochs=3, shuffle_mode=mode)
     multi = read_final_state_arrow(LakeTable(str(tmp_path / "multi")))
     _check_convergence(multi, _oracle_duckdb(events_path))
+
+
+@pytest.mark.parametrize("mode", ["late"])
+def test_late_mode_resume_and_drift(events_path, tmp_path, mode):
+    """Late shuffle: partial replay then full replay converges; corrupt
+    events still quarantine (metadata-only reject records)."""
+    lake_dir = str(tmp_path / "lake")
+    run_replay(events_path, lake_dir, num_partitions=P, max_seq=NUM_EVENTS // 2,
+               shuffle_mode=mode)
+    run_replay(events_path, lake_dir, num_partitions=P, shuffle_mode=mode)
+    state = read_final_state_arrow(LakeTable(lake_dir))
+    _check_convergence(state, _oracle_duckdb(events_path))
 
 
 def test_resume_after_partial_run(events_path, tmp_path):

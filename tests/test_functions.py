@@ -1,0 +1,128 @@
+"""Dedup family, text analysis, similarity, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cdm_data_loader_utils_ray.functions.dedup import (
+    connected_components,
+    dedup_exact,
+    embedding_near_dups,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from cdm_data_loader_utils_ray.functions.multimodal import (
+    MediaFeatureExtractor,
+    extract_features,
+    synth_media,
+)
+from cdm_data_loader_utils_ray.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from cdm_data_loader_utils_ray.functions.textstats import analyze_documents
+
+
+def _docs():
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"{base} variant {i}"})
+    # near-dups of doc 0 (one word changed)
+    rows.append({"doc_id": 100, "text": base + " variant 0 extra"})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})  # exact dup
+    # unrelated
+    rows.append({"doc_id": 200, "text": "completely different content about spark engines and arrow tables"})
+    return pa.Table.from_pylist(rows)
+
+
+def test_dedup_exact_keeps_lowest_id():
+    ds = rd.from_arrow(_docs())
+    out = dedup_exact(ds).to_pandas()
+    assert 101 not in set(out["doc_id"])  # exact dup of doc 0 removed
+    assert 0 in set(out["doc_id"])
+    assert len(out) == len(_docs()) - 1
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_minhash_dedup_clusters_near_dups():
+    ds = rd.from_arrow(_docs())
+    clusters = minhash_dedup(ds, threshold=0.5, num_perm=64, bands=16)
+    assert not clusters.empty
+    cl = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    assert cl.get(101) == cl.get(0)  # exact dup clustered with original
+    assert 200 not in cl or cl[200] != cl.get(0, -1)
+
+
+def test_connected_components_transitive():
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    cc = connected_components(pairs)
+    m = dict(zip(cc["doc_id"], cc["cluster"]))
+    assert m[1] == m[2] == m[3]
+    assert m[10] == m[11] != m[1]
+
+
+def test_simhash_finds_exact_dup():
+    ds = rd.from_arrow(_docs())
+    pairs = simhash_near_dups(ds, max_hamming=3)
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 101)).any()
+
+
+def test_embedding_near_dups_and_topk():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup pair
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in base],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    dups = embedding_near_dups(ds, threshold=0.99, n_planes=6)
+    assert ((dups["id_a"] == 3) & (dups["id_b"] == 7)).any()
+    # brute force topk: query = row 3 -> top hits are 3 then 7
+    top = brute_force_topk(ds, base[3], k=3)
+    assert list(top["vec_id"][:2]) == [3, 7]
+    # lsh variant agrees on the top hit set here
+    lsh = lsh_bucketed_topk(ds, base[3], k=3, n_planes=6)
+    assert 3 in set(lsh["vec_id"]) and 7 in set(lsh["vec_id"])
+
+
+def test_text_analysis_pipeline():
+    docs = pa.Table.from_pylist(
+        [
+            {"doc_id": 1, "text": "the quick brown fox is in the garden with the dog"},
+            {"doc_id": 2, "text": "der hund ist nicht auf der straße und das ist gut"},
+            {"doc_id": 3, "text": "x"},
+        ]
+    )
+    out = analyze_documents(rd.from_arrow(docs), concurrency=2).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "und"]
+    assert (out["n_tokens_ws"] > 0).all()
+    assert out["quality_score"].iloc[0] > out["quality_score"].iloc[2]
+    assert out["fingerprint"].notna().all()
+
+
+def test_multimodal_plumbing():
+    media = synth_media(12)
+    ds = rd.from_arrow(media)
+    feats = extract_features(ds, dim=32, concurrency=2).to_pandas()
+    assert len(feats) == 12
+    assert all(len(f) == 32 for f in feats["feature"])
+    # deterministic across runs
+    feats2 = extract_features(rd.from_arrow(media), dim=32, concurrency=2).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["feature"].to_numpy())
+    assert np.allclose(a, b)
+    # strict mode marks the codec boundary
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="strict").decode(b"x", "image")
