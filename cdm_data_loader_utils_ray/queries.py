@@ -398,16 +398,18 @@ def top_customers(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = grouped_partial_sums(ds, ["o_custkey"], {"total_spent": "o_totalprice"}, count_alias="n_orders")
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         df["total_spent"] = df["total_spent"].round(2)
-        return df
+        return df.nlargest(10, "total_spent")
 
-    top = (
-        agg.map_batches(finish, batch_format="pandas")
-        .sort(["total_spent", "o_custkey"], descending=[True, False])
-        .limit(10)
+    # per-block partial top-k, tiny final merge on the driver (a global
+    # ds.sort on an already-aggregated small result would shuffle for nothing)
+    parts = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["total_spent", "o_custkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
-    return top
 
 
 TOP_CUSTOMERS_SQL = """
