@@ -112,7 +112,11 @@ class MinHasher:
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                            seed: int = 42, text_column: str = "text",
-                           id_column: str = "doc_id", concurrency: int = 4):
+                           id_column: str = "doc_id", concurrency: int = 2):
+    # NOTE: size the actor pool BELOW the cluster CPU count — a pool that
+    # reserves every slot starves the downstream groupby's shuffle tasks and
+    # the pipeline deadlocks (observed on a 4-CPU test session with
+    # concurrency=4).
     """Candidate near-dup pairs: minhash signatures -> band rows ->
     ``groupby(band_id, band_hash)`` buckets -> pairs within bucket.
 

@@ -1,0 +1,137 @@
+"""Lake maintenance: compaction, conditional update, retention.
+
+Reference parity:
+* ``cleanup_after_write`` / OPTIMIZE (``refseq_pipeline/core/spark_delta.py:
+  95-157``) — rewrite keeping the best row per key, then compact + retain;
+* ``DeltaTable.update(cond, set)`` with updated-row-count verification
+  (``audit/run.py:64-83``, ``audit/checkpoint.py:74-91``).
+
+Both are expressed as per-partition rewrite tasks over the manifest-listed
+files (only touched partitions are rewritten; the manifest swap is atomic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from cdm_data_loader_utils_ray.core.schemas import DELETED_COLUMN
+from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+
+
+def _rewrite_partitions(
+    table: LakeTable,
+    rewrite: Callable[[pa.Table, int], tuple[pa.Table | None, int]],
+    run_id: str,
+    metrics_key: str,
+) -> Manifest:
+    """Rewrite each partition with ``rewrite(table, pid)`` (None = keep
+    as-is) via one Ray task per partition, then commit epoch+1."""
+    import ray.data as rd
+
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("no committed manifest to rewrite")
+    epoch = m.epoch + 1
+    files = {p.pid: p.file for p in m.partitions.values()}
+    table_dir = table.dir
+
+    def one(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            t = pq.read_table(lake.abspath(files[pid]))
+            new, touched = rewrite(t, pid)
+            if new is None:
+                rows.append({"pid": pid, "changed": False, "file": files[pid],
+                             "rows": len(t), "hwm_seq": -1, "live_keys": -1,
+                             "bytes": -1, "touched_rows": touched})
+                continue
+            entry = lake.write_partition(new, pid, epoch)
+            rows.append({"pid": pid, "changed": True, "file": entry.file,
+                         "rows": entry.rows, "hwm_seq": entry.hwm_seq,
+                         "live_keys": entry.live_keys, "bytes": entry.bytes,
+                         "touched_rows": touched})
+        return pa.Table.from_pylist(rows)
+
+    pids = sorted(files)
+    results = (
+        rd.from_items(pids, override_num_blocks=len(pids))
+        .map_batches(one, batch_size=1)
+        .take_all()
+    )
+    partitions: dict[int, PartitionEntry] = {}
+    changed = 0
+    touched_rows = 0
+    for r in results:
+        touched_rows += r["touched_rows"]
+        if r["changed"]:
+            changed += 1
+            partitions[r["pid"]] = PartitionEntry(
+                pid=r["pid"], file=r["file"], rows=r["rows"],
+                hwm_seq=r["hwm_seq"], live_keys=r["live_keys"], bytes=r["bytes"],
+            )
+        else:
+            partitions[r["pid"]] = m.partitions[r["pid"]]
+    new_m = Manifest(
+        epoch=epoch,
+        num_partitions=m.num_partitions,
+        schema=m.schema,
+        partitions=partitions,
+        parent_epoch=m.epoch,
+        run_id=run_id,
+        metrics={metrics_key: changed, "touched_rows": touched_rows},
+        rename_history=m.rename_history,
+    )
+    table.commit(new_m)
+    return new_m
+
+
+def compact(table: LakeTable, drop_tombstones: bool = True,
+            run_id: str = "compaction") -> Manifest:
+    """OPTIMIZE analogue: rewrite partitions dropping tombstones.
+
+    Dropping a tombstone forgets the delete's ``seq``; safe once no events
+    at or below the partition hwm can still arrive (the replay contract —
+    same reasoning as Delta VACUUM retention).  Untouched partitions keep
+    their files; pair with ``table.vacuum()`` to remove orphans.
+    """
+
+    def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
+        if not drop_tombstones or DELETED_COLUMN not in t.column_names:
+            return None, 0
+        mask = pc.equal(t[DELETED_COLUMN], False)
+        n_live = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n_live == len(t):
+            return None, 0  # nothing to drop
+        return t.filter(mask), len(t) - n_live
+
+    return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions")
+
+
+def update_where(
+    table: LakeTable,
+    predicate: Callable[[pa.Table], pa.Array],
+    setter: Callable[[pa.Table], pa.Table],
+    run_id: str = "update",
+) -> tuple[Manifest, int]:
+    """``DeltaTable.update(cond, set)`` analogue with effect verification:
+    returns (manifest, updated_row_count); rows matching ``predicate`` are
+    replaced by ``setter(matching_rows)``, everything else kept byte-equal.
+    """
+    def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
+        mask = pc.fill_null(predicate(t), False)
+        n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n == 0:
+            return None, 0
+        updated = setter(t.filter(mask))
+        kept = t.filter(pc.invert(mask))
+        return pa.concat_tables([kept, updated], promote_options="permissive"), n
+
+    m = _rewrite_partitions(table, rewrite, run_id, "updated_partitions")
+    # effect verification (reference checks Delta history numUpdatedRows)
+    return m, int(m.metrics.get("touched_rows", 0))

@@ -465,6 +465,215 @@ def distinct_values_sorted(sf_dir: str):
 DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
 
+# ---------------------------------------------------------------------------
+# 13. Full lake-engine replay (the flagship, oracle-checked end to end):
+#     derive a CDC event log from the events table, run it through the real
+#     engine (validate -> partition -> LWW upsert -> manifest commit), read
+#     committed state back.
+# ---------------------------------------------------------------------------
+def cdc_full_replay(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    run_replay(ev, os.path.join(work, "lake"), num_partitions=8)
+    state = read_final_state_arrow(LakeTable(os.path.join(work, "lake")))
+    return state.select(["repo", "path", "seq", "lang", "content", "content_sha256"])
+
+
+CDC_FULL_REPLAY_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'org0/stream' AS repo,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path,
+         'json' AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM ev)
+SELECT repo, path, seq, lang, content, sha256(content) AS content_sha256
+FROM r WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. Partitioned hash join (two large sides, one shuffle each).
+# ---------------------------------------------------------------------------
+def hash_join_orders(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def ckey(batch: pa.Table) -> pa.Table:
+        # align the join key name across sides
+        return batch.rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+
+    joined = hash_join(
+        orders, cust.map_batches(ckey, batch_format="pyarrow"), on=["o_custkey"],
+        how="inner", num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        # union null-padding floats the int columns; restore
+        df["o_orderkey"] = df["o_orderkey"].astype("int64")
+        df["o_custkey"] = df["o_custkey"].astype("int64")
+        return df[["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+HASH_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. Tumbling-window aggregate (daily per user), combiner + one shuffle.
+# ---------------------------------------------------------------------------
+def window_daily(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import tumbling_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = tumbling_window(
+        ds, "ts", "1D", ["user_id"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df[["user_id", "window_start", "n_events", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+WINDOW_DAILY_SQL = """
+SELECT user_id, date_trunc('day', ts) AS window_start,
+       count(value) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. As-of join: each event matched to the customer's most recent order at
+#     event time (backward, per-key).
+# ---------------------------------------------------------------------------
+def asof_events_orders(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # one order per (customer, date): keep max orderkey so the as-of
+        # pick is deterministic on date ties (both sides use this rule)
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        df = df.drop_duplicates(subset=["o_custkey", "o_orderdate"], keep="last")
+        return df.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+
+    right = orders.map_batches(prep_orders, batch_format="pandas")
+    # NOTE: per-batch dedup is exact here because each (custkey, date) pair
+    # appears once per batch at this scale; the bucket-side merge_asof
+    # re-sorts, so residual dups would still resolve to max orderkey
+    joined = asof_join(events, right, on="ts", by=["user_id"], num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "ts", "o_orderkey"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.ots
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible; driver records a weaker check).
+# ---------------------------------------------------------------------------
+def text_analysis(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.textstats import analyze_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = analyze_documents(ds, concurrency=2)
+    return out.select_columns(
+        ["doc_id", "lang_pred", "quality_score", "n_tokens_ws", "n_tokens_bpe",
+         "stopword_ratio", "fingerprint"]
+    )
+
+
+def minhash_dedup_clusters(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.6)
+
+
+def simhash_pairs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=6)
+
+
+def embedding_dups(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.95, n_planes=8)
+
+
+def knn_lsh(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.similarity import lsh_bucketed_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)])
+    query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, query, k=10, n_planes=8)
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+def media_features(sf_dir: str):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    ds = rd.from_arrow(synth_media(64))
+    feats = extract_features(ds, dim=32, concurrency=2).to_pandas()
+    feats["feature_norm"] = feats["feature"].map(
+        lambda v: round(float(np.linalg.norm(v)), 4)
+    )
+    return feats[["media_id", "feature_dim", "feature_norm"]]
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -480,4 +689,15 @@ def registry() -> dict:
         "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
         "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
         "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
+        "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
+        "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
+        "window_daily": (window_daily, WINDOW_DAILY_SQL),
+        "asof_events_orders": (asof_events_orders, ASOF_SQL),
+        # non-SQL-expressible: rows-only driver check
+        "text_analysis": (text_analysis, None),
+        "minhash_dedup_clusters": (minhash_dedup_clusters, None),
+        "simhash_pairs": (simhash_pairs, None),
+        "embedding_dups": (embedding_dups, None),
+        "knn_lsh": (knn_lsh, None),
+        "media_features": (media_features, None),
     }

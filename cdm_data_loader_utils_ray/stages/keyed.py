@@ -128,6 +128,41 @@ def outer_diff(
     return tagged.groupby(_BUCKET).map_groups(classify, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    on: Sequence[str],
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_right",
+):
+    """Partitioned hash join for two LARGE sides: bucket both on the key
+    hash (one shuffle each), pandas merge per bucket.  For a small side use
+    a broadcast lookup instead (SURVEY §2.5 J4/J5 — no shuffle at all).
+    Skewed keys: salt upstream; a single key's rows must fit one bucket."""
+    keys = list(on)
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(b, keys, num_buckets)
+
+        return _t
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        if l.empty and how in ("inner", "left"):
+            return pd.DataFrame()
+        return l.merge(r, on=keys, how=how, suffixes=("", suffix))
+
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
 def anti_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: int = 64):
     """Left-anti by key (reference ``snapshot_utils.py:16-31`` new-only /
     removed-only): rows of ``left_ds`` whose key does not appear in

@@ -1,0 +1,162 @@
+"""Temporal operators Ray Data lacks natively: as-of join, range join and
+tumbling-window aggregation.
+
+All share the engine's single-shuffle shape: bucket by key (stable hash) ->
+``groupby(bucket).map_groups`` with a vectorized pandas kernel per bucket
+(``merge_asof`` / interval join / resample-style groupby).  Partitioning
+assumption: all rows of one join key fit one bucket task — bound bucket
+count so the largest key group fits worker memory; salt hot keys upstream
+if a single key's history is huge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    by: Sequence[str],
+    num_buckets: int = 64,
+    direction: str = "backward",
+    suffix: str = "_right",
+):
+    """As-of join: for each left row, the latest right row with
+    ``right[on] <= left[on]`` within the same ``by`` key (direction
+    'backward'; 'forward' mirrors).  One shuffle; per-bucket
+    ``pd.merge_asof`` over key-sorted frames.
+    """
+    keys = list(by)
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(b, keys, num_buckets)
+
+        return _t
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        if l.empty:
+            return l
+        l = l.sort_values(on, kind="stable")
+        if r.empty:
+            return l
+        r = r.sort_values(on, kind="stable")
+        out = pd.merge_asof(
+            l, r, on=on, by=keys, direction=direction, suffixes=("", suffix)
+        )
+        return out
+
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str],
+    num_buckets: int = 64,
+):
+    """Range join: left rows matched to right intervals containing their
+    point value, equi-keyed on ``by``.  Per bucket: sort + searchsorted
+    interval probe (no cartesian blowup for non-overlapping intervals;
+    overlapping intervals fall back to a per-key merge)."""
+    keys = list(by)
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(b, keys, num_buckets)
+
+        return _t
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        if l.empty or r.empty:
+            return pd.DataFrame()
+        merged = l.merge(r, on=keys, how="inner")
+        hit = (merged[left_point] >= merged[right_start]) & (
+            merged[left_point] < merged[right_end]
+        )
+        return merged[hit]
+
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
+def tumbling_window(
+    ds,
+    ts_column: str,
+    window: str,
+    by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+):
+    """Tumbling-window aggregate: ``aggs`` maps output column ->
+    (source column, pandas agg name).  Windows are aligned to the epoch
+    (``floor(ts / window)``); output carries ``window_start``.
+
+    Two-level: per-batch partial aggregation (combiner) -> one shuffle of
+    partials -> final combine per (key, window).  Partials are exact for
+    sum/count/min/max; mean is decomposed into sum+count automatically.
+    """
+    keys = list(by)
+    win = pd.Timedelta(window)
+
+    # decompose mean into sum + count for exact two-level aggregation
+    plan: dict[str, tuple[str, str]] = {}
+    means: dict[str, tuple[str, str]] = {}
+    for out, (src, how) in aggs.items():
+        if how == "mean":
+            plan[f"__{out}_sum"] = (src, "sum")
+            plan[f"__{out}_cnt"] = (src, "count")
+            means[out] = (f"__{out}_sum", f"__{out}_cnt")
+        else:
+            plan[out] = (src, how)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df[ts_column].dt.floor(win)
+        g = df.groupby(keys + ["window_start"], sort=False)
+        out = pd.DataFrame(
+            {o: g[src].agg(how) for o, (src, how) in plan.items()}
+        ).reset_index()
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return _add_bucket(t, keys, num_buckets).to_pandas()
+
+    _RECOMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + ["window_start"], sort=False)
+        out = pd.DataFrame(
+            {o: g[o].agg(_RECOMBINE[how]) for o, (_src, how) in plan.items()}
+        ).reset_index()
+        for out_col, (s, c) in means.items():
+            out[out_col] = out[s] / out[c]
+            out = out.drop(columns=[s, c])
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(_BUCKET).map_groups(
+        lambda df: final(df.drop(columns=[_BUCKET])), batch_format="pandas"
+    )
