@@ -158,7 +158,8 @@ def run_scaling() -> dict:
     Two trials per level, best kept: the sandbox host is shared and single
     runs show 2x ambient variance; best-of-2 measures the engine, not the
     neighbours."""
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("BENCH_SCALING_HI", "32"))
     results = {}
     for n in (lo_cpus, hi_cpus):
         best = None
