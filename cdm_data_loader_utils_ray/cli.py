@@ -1,0 +1,160 @@
+"""Command-line entry points (reference: click CLIs under ``cli/`` +
+``[project.scripts]``), argparse-based to stay stdlib-only.
+
+    python -m cdm_data_loader_utils_ray.cli replay  --events E --lake L [...]
+    python -m cdm_data_loader_utils_ray.cli diff    --old A --new B --out D
+    python -m cdm_data_loader_utils_ray.cli compact --lake L
+    python -m cdm_data_loader_utils_ray.cli vacuum  --lake L [--keep 2]
+    python -m cdm_data_loader_utils_ray.cli preview --lake L [-n 10]
+    python -m cdm_data_loader_utils_ray.cli stream  --events E --lake L
+
+Owns its Ray session (scripts init/shutdown; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_replay(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+
+    m = run_replay(
+        args.events,
+        args.lake,
+        num_partitions=args.partitions,
+        epochs=args.epochs,
+        shuffle_mode=args.shuffle_mode,
+        rename_map=dict(kv.split("=", 1) for kv in args.rename) if args.rename else None,
+    )
+    print(json.dumps({"epoch": m.epoch, **m.metrics}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_diff(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.snapshot import diff_snapshots, snapshot_hashes
+
+    old = snapshot_hashes(rd.read_parquet(args.old), tag="old")
+    new = snapshot_hashes(rd.read_parquet(args.new), tag="new")
+    diff = diff_snapshots(old, new, keep_unchanged=not args.changes_only)
+    diff.write_csv(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    m = compact(LakeTable(args.lake))
+    print(json.dumps({"epoch": m.epoch, **m.metrics}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    removed = LakeTable(args.lake).vacuum(keep_epochs=args.keep)
+    print(json.dumps({"removed_files": len(removed)}))
+    return 0
+
+
+def cmd_preview(args) -> int:
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    t = LakeTable(args.lake).preview(args.n)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.state.streaming import StreamingUpserter
+
+    s = StreamingUpserter(args.lake, num_partitions=args.partitions)
+    applied = s.feed(rd.read_parquet(args.events))
+    m = s.commit()
+    s.shutdown()
+    print(json.dumps({"epoch": m.epoch, "applied": applied}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cdm-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="replay a CDC event log into a lake table")
+    r.add_argument("--events", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--epochs", type=int, default=1)
+    r.add_argument("--shuffle-mode", default="staging", choices=["staging", "late", "groupby"])
+    r.add_argument("--rename", nargs="*", help="old=new column renames")
+    r.set_defaults(fn=cmd_replay)
+
+    d = sub.add_parser("diff", help="snapshot-diff two table states")
+    d.add_argument("--old", required=True)
+    d.add_argument("--new", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--changes-only", action="store_true")
+    d.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("compact", help="drop tombstones, rewrite partitions")
+    c.add_argument("--lake", required=True)
+    c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum", help="delete unreferenced data files")
+    v.add_argument("--lake", required=True)
+    v.add_argument("--keep", type=int, default=2)
+    v.set_defaults(fn=cmd_vacuum)
+
+    pv = sub.add_parser("preview", help="print first rows of committed state")
+    pv.add_argument("--lake", required=True)
+    pv.add_argument("-n", type=int, default=10)
+    pv.set_defaults(fn=cmd_preview)
+
+    st = sub.add_parser("stream", help="feed events through the shard-actor tailer")
+    st.add_argument("--events", required=True)
+    st.add_argument("--lake", required=True)
+    st.add_argument("--partitions", type=int, default=32)
+    st.set_defaults(fn=cmd_stream)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
