@@ -1,0 +1,159 @@
+"""Cross-cutting robustness: late-mode schema drift, compaction vs replay,
+hot-key skew bounding, and property-based engine-vs-oracle convergence."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdm_data_loader_utils_ray.core.schemas import EVENT_SCHEMA
+from cdm_data_loader_utils_ray.pipelines.cdc import (
+    EventPrep,
+    read_final_state_arrow,
+    run_replay,
+)
+from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+from cdm_data_loader_utils_ray.state.upsert import oracle_materialize
+from cdm_data_loader_utils_ray.synth import add_drift_v2, make_events, rename_drift_v3
+
+
+def _converged(lake_dir: str, events_paths: list[str]) -> None:
+    state = read_final_state_arrow(LakeTable(lake_dir))
+    con = duckdb.connect()
+    files = ", ".join(f"'{p}'" for p in events_paths)
+    oracle = con.sql(
+        f"""
+        WITH r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn
+                   FROM read_parquet([{files}], union_by_name=true))
+        SELECT repo, path, seq, sha256(content) AS content_sha256
+        FROM r WHERE rn=1 AND op<>'delete' ORDER BY repo, path
+        """
+    ).arrow()
+    s = state.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    o = oracle.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(s) == len(o)
+    assert list(s["seq"]) == list(o["seq"])
+    assert list(s["content_sha256"]) == list(o["content_sha256"])
+
+
+def test_late_mode_added_column_drift(tmp_path):
+    ev = make_events(num_keys=60, num_events=500, seed=31)
+    v2 = add_drift_v2(ev, from_seq=251)
+    df = v2.to_pandas()
+    p1, p2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(df[df.seq <= 250].drop(columns=["size_bytes"]), preserve_index=False), p1
+    )
+    pq.write_table(pa.Table.from_pandas(df[df.seq > 250], preserve_index=False), p2)
+    lake = str(tmp_path / "lake")
+    run_replay(p1, lake, num_partitions=4, shuffle_mode="late")
+    run_replay(p2, lake, num_partitions=4, shuffle_mode="late")
+    state = read_final_state_arrow(LakeTable(lake))
+    assert "size_bytes" in state.column_names
+    s = state.to_pandas()
+    assert s.loc[s.seq <= 250, "size_bytes"].isna().all()
+    assert s.loc[s.seq > 250, "size_bytes"].notna().all()
+    _converged(lake, [p1, p2])
+
+
+def test_late_mode_renamed_column_drift(tmp_path):
+    ev = make_events(num_keys=50, num_events=400, seed=33)
+    df = ev.to_pandas()
+    p1, p2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+    pq.write_table(pa.Table.from_pandas(df[df.seq <= 200], preserve_index=False), p1)
+    renamed, rename_map = rename_drift_v3(
+        pa.Table.from_pandas(df[df.seq > 200], preserve_index=False)
+    )
+    pq.write_table(renamed, p2)
+    lake = str(tmp_path / "lake")
+    run_replay(p1, lake, num_partitions=4, shuffle_mode="late")
+    run_replay(p2, lake, num_partitions=4, rename_map=rename_map, shuffle_mode="late")
+    state = read_final_state_arrow(LakeTable(lake))
+    assert "lang" in state.column_names and "language" not in state.column_names
+    # rename map must not affect key/content columns
+    pq.write_table(ev, str(tmp_path / "all.parquet"))
+    _converged(lake, [str(tmp_path / "all.parquet")])
+
+
+def test_compact_then_duplicate_replay_is_noop(tmp_path):
+    """Tombstone compaction must not let already-applied duplicate events
+    resurrect deleted keys: hwm skip + retention contract."""
+    ev_path = str(tmp_path / "ev.parquet")
+    pq.write_table(make_events(num_keys=80, num_events=800, seed=37), ev_path)
+    lake = str(tmp_path / "lake")
+    run_replay(ev_path, lake, num_partitions=4)
+    t = LakeTable(lake)
+    before = read_final_state_arrow(t)
+    compact(t)
+    # replay the SAME log again (pure duplicate delivery)
+    run_replay(ev_path, lake, num_partitions=4)
+    after = read_final_state_arrow(t)
+    assert before.num_rows == after.num_rows
+    b = before.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    a = after.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(b["content_sha256"]) == list(a["content_sha256"])
+
+
+def test_hot_key_volume_bounded_by_prereduce(tmp_path):
+    """A single key owning 50% of all events must reach its partition as at
+    most one row per map batch (the within-batch LWW combiner defuses
+    hot-key shuffle volume without salting)."""
+    base = make_events(num_keys=50, num_events=500, seed=41).to_pandas()
+    hot = base.iloc[:1][["repo", "path", "lang"]]
+    n_hot = 500
+    hot_events = pd.DataFrame(
+        {
+            "seq": np.arange(10_000, 10_000 + n_hot, dtype=np.int64),
+            "op": "update",
+            "repo": hot["repo"].iloc[0],
+            "path": hot["path"].iloc[0],
+            "commit": [f"{i:040x}" for i in range(n_hot)],
+            "lang": hot["lang"].iloc[0],
+            "content": [f"content v{i}" for i in range(n_hot)],
+        }
+    )
+    df = pd.concat([base, hot_events], ignore_index=True)
+    events = pa.Table.from_pandas(df, schema=EVENT_SCHEMA, preserve_index=False)
+    prep = EventPrep(EVENT_SCHEMA, 8, {})
+    out = prep(events)  # ONE batch -> hot key must collapse to 1 row
+    hot_rows = out.to_pandas()
+    hot_count = len(
+        hot_rows[(hot_rows.repo == hot["repo"].iloc[0]) & (hot_rows.path == hot["path"].iloc[0])]
+    )
+    assert hot_count == 1
+    # winning version survives
+    assert hot_rows.loc[
+        (hot_rows.repo == hot["repo"].iloc[0]) & (hot_rows.path == hot["path"].iloc[0]), "seq"
+    ].iloc[0] == 10_000 + n_hot - 1
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 10_000),
+    num_keys=st.integers(5, 60),
+    num_events=st.integers(20, 400),
+    epochs=st.integers(1, 3),
+    mode=st.sampled_from(["staging", "late"]),
+)
+def test_property_engine_matches_oracle(tmp_path_factory, seed, num_keys, num_events, epochs, mode):
+    """Random logs, random epoch splits, both shuffle modes: engine final
+    state always equals the pandas oracle materialization."""
+    work = tmp_path_factory.mktemp("prop")
+    ev = make_events(num_keys=num_keys, num_events=num_events, seed=seed)
+    ev_path = str(work / "ev.parquet")
+    pq.write_table(ev, ev_path)
+    lake = str(work / "lake")
+    run_replay(ev_path, lake, num_partitions=4, epochs=epochs, shuffle_mode=mode, audit=False)
+    state = read_final_state_arrow(LakeTable(lake)).to_pandas()
+    oracle = oracle_materialize(ev)
+    assert len(state) == len(oracle)
+    s = state.sort_values(["repo", "path"]).reset_index(drop=True)
+    o = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(s["seq"]) == list(o["seq"])
+    assert list(s["commit"]) == list(o["commit"])
