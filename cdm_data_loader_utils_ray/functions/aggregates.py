@@ -33,20 +33,31 @@ def grouped_partial_sums(
     keys = list(keys)
     out_cols = list(sum_exprs)
 
+    # Shuffle by a BUCKET of the key hash, not the raw key: ``map_groups``
+    # fires once per group, so high-cardinality keys would mean one Python
+    # call per key.  One bucket handles thousands of keys with a single
+    # vectorized pandas groupby.
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         for out, expr in sum_exprs.items():
             df[out] = df.eval(expr)
         g = df.groupby(keys, sort=False, dropna=False)
         agg = g[out_cols].sum()
         agg[count_alias] = g.size()
-        return agg.reset_index()
+        agg = agg.reset_index()
+        import pyarrow as _pa
+
+        from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+        t = _pa.Table.from_pandas(agg, preserve_index=False)
+        return _add_bucket(t, keys, 64).to_pandas()
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket__"])
         g = df.groupby(keys, sort=False, dropna=False)[out_cols + [count_alias]].sum()
         return g.reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    return partials.groupby("__bucket__").map_groups(final, batch_format="pandas")
 
 
 def global_counts(ds, predicates: Mapping[str, str], batch_size: int = 65536) -> pd.DataFrame:

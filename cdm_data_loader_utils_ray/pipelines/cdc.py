@@ -154,9 +154,10 @@ class EventPrep:
         hwm: Mapping[int, int],
         rename_map: Mapping[str, str] | None = None,
         compute_sha: bool = True,
+        extra_validators=(),
     ):
         self.aligner = SchemaAligner(event_sch, rename_map)
-        self.validator = EventValidator(event_sch)
+        self.validator = EventValidator(event_sch, extra=extra_validators)
         self.num_partitions = num_partitions
         self.hwm = dict(hwm)
         # late mode defers sha256 to the assemble stage: only WINNING rows
@@ -604,6 +605,7 @@ def apply_epoch(
     records_read: int | None = None,
     shuffle_mode: str = "staging",
     phase_b_reader=None,
+    extra_validators=(),
 ) -> Manifest:
     """Apply one epoch (micro-batch) of change events to the lake table and
     commit a new manifest.  Returns the committed manifest.
@@ -637,7 +639,7 @@ def apply_epoch(
     hwm = prior.hwm if prior else {}
     prior_files = {p.pid: p.file for p in prior.partitions.values()} if prior else {}
 
-    prep = EventPrep(event_sch, P, hwm, rename_map)
+    prep = EventPrep(event_sch, P, hwm, rename_map, extra_validators=extra_validators)
 
     if audit:
         log = AuditLog(table.audit_dir)
@@ -665,7 +667,10 @@ def apply_epoch(
         staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
-        prep_late = EventPrep(event_sch, P, hwm, rename_map, compute_sha=False)
+        prep_late = EventPrep(
+            event_sch, P, hwm, rename_map, compute_sha=False,
+            extra_validators=extra_validators,
+        )
         router = PrepAndRoute(prep_late, staging, drop=("content",))
         events_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
@@ -879,6 +884,7 @@ def run_replay(
     batch_size: int = 32768,
     audit: bool = True,
     shuffle_mode: str = "staging",
+    extra_validators=(),
 ) -> Manifest:
     """Replay an event-log Parquet path into a lake table in ``epochs``
     micro-batches split by ``seq`` range (range filters push down to the
@@ -941,5 +947,6 @@ def run_replay(
             records_read=records_read,
             shuffle_mode=shuffle_mode,
             phase_b_reader=phase_b_reader,
+            extra_validators=extra_validators,
         )
     return manifest

@@ -182,15 +182,35 @@ def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
 
 class EventValidator:
     """Standard validator stack for the CDC event schema; a ``map_batches``
-    stage that annotates ``errors_in_record``."""
+    stage that annotates ``errors_in_record``.
 
-    def __init__(self, schema: pa.Schema):
+    ``extra`` is the user-extension surface (reference
+    ``Validator(validation_fn, args)``, ``dataframe_validator.py:21-27``):
+    additional callables ``batch -> [(mask, message), ...]`` appended to the
+    stack — their errors route rows to rejects exactly like built-ins.
+    """
+
+    def __init__(self, schema: pa.Schema, extra: Sequence[Validator] = ()):
         self.validators = [
             check_non_nullable(schema),
             check_parse_errors(),
             check_op_domain(),
             check_delete_content(),
+            *extra,
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return annotate_errors(batch, self.validators)
+
+
+def predicate_validator(expr: Callable[[pa.Table], pa.Array], message: str) -> Validator:
+    """Wrap a vectorized boolean predicate (True = INVALID row) as a
+    validator — the simplest custom-validation plug-in."""
+
+    def _check(batch: pa.Table) -> list[tuple[np.ndarray, str]]:
+        mask = pc.fill_null(expr(batch), False)
+        if not pc.any(mask).as_py():
+            return []
+        return [(_mask(mask), message)]
+
+    return _check

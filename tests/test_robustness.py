@@ -157,3 +157,25 @@ def test_property_engine_matches_oracle(tmp_path_factory, seed, num_keys, num_ev
     o = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
     assert list(s["seq"]) == list(o["seq"])
     assert list(s["commit"]) == list(o["commit"])
+
+
+def test_custom_validator_plugin(tmp_path):
+    """User-supplied predicate validator routes rows to rejects like
+    built-ins (reference Validator callback surface)."""
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.audit.tables import AuditLog
+    from cdm_data_loader_utils_ray.stages.validate import predicate_validator
+
+    ev_path = str(tmp_path / "ev.parquet")
+    pq.write_table(make_events(num_keys=40, num_events=300, seed=51), ev_path)
+    lake = str(tmp_path / "lake")
+    # reject every event for files with lang == 'md'
+    v = predicate_validator(lambda t: pc.equal(t["lang"], "md"), "custom: markdown_blocked")
+    run_replay(ev_path, lake, num_partitions=4, extra_validators=[v])
+    t = LakeTable(lake)
+    state = read_final_state_arrow(t)
+    assert "md" not in set(state["lang"].to_pylist())
+    rejects = AuditLog(t.audit_dir).read("rejects")
+    errs = {e for lst in rejects["errors_in_record"].to_pylist() for e in lst}
+    assert "custom: markdown_blocked" in errs
