@@ -77,8 +77,11 @@ def make_events(
       appended with their ORIGINAL seq/payload (at-least-once delivery).
     """
     rng = np.random.default_rng(seed)
-    keys = make_keys(num_keys, seed)
     n_base = int(num_events / (1 + dup_fraction))
+    # can't give every key an insert with fewer events than keys: shrink
+    # the key universe so each key still appears at least once
+    num_keys = max(1, min(num_keys, n_base))
+    keys = make_keys(num_keys, seed)
     # assign each event to a key; first occurrence of a key is its insert
     extra = rng.integers(0, num_keys, size=max(0, n_base - num_keys))
     key_ids = np.concatenate([np.arange(num_keys), extra])
