@@ -19,6 +19,38 @@ if _REPO not in sys.path:
 # importable in worker processes too (no-op if already set).
 os.environ.setdefault("PYTHONPATH", _REPO)
 
+
+def _register_package_by_value() -> None:
+    """The driver calls ``ray.init`` BEFORE importing this module, so its
+    worker processes were configured without our PYTHONPATH and cannot
+    import the package when deserializing tasks.  Register every package
+    module with cloudpickle's serialize-by-value so task payloads carry the
+    code itself — no worker-side import needed."""
+    try:
+        import importlib
+        import pkgutil
+
+        from ray import cloudpickle as cp
+
+        import cdm_data_loader_utils_ray as pkg
+
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                importlib.import_module(info.name)
+            except ImportError:
+                pass
+        for name, module in list(sys.modules.items()):
+            if name.startswith("cdm_data_loader_utils_ray") and module is not None:
+                try:
+                    cp.register_pickle_by_value(module)
+                except Exception:
+                    pass
+    except Exception:
+        pass  # outside Ray (plain imports) nothing to do
+
+
+_register_package_by_value()
+
 SF0001 = "/root/testdata/sf0.001"
 
 

@@ -14,6 +14,8 @@ from collections.abc import Mapping, Sequence
 import pandas as pd
 import pyarrow as pa
 
+from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
 
 def grouped_partial_sums(
     ds,
@@ -44,11 +46,7 @@ def grouped_partial_sums(
         agg = g[out_cols].sum()
         agg[count_alias] = g.size()
         agg = agg.reset_index()
-        import pyarrow as _pa
-
-        from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
-
-        t = _pa.Table.from_pandas(agg, preserve_index=False)
+        t = pa.Table.from_pandas(agg, preserve_index=False)
         return _add_bucket(t, keys, 64).to_pandas()
 
     def final(df: pd.DataFrame) -> pd.DataFrame:

@@ -38,7 +38,7 @@ from cdm_data_loader_utils_ray.core.schemas import (
     state_schema as make_state_schema,
 )
 from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
-from cdm_data_loader_utils_ray.stages.hashing import add_content_sha256
+from cdm_data_loader_utils_ray.stages.hashing import add_content_sha256, sha256_array
 from cdm_data_loader_utils_ray.stages.partition import add_partition_column
 from cdm_data_loader_utils_ray.stages.schema_align import (
     SchemaAligner,
@@ -567,9 +567,6 @@ def _make_assemble_fn(
                 "content", pa.array(content, type=pa.string())
             )
             # sha256 deferred from the map phase: hash winners only
-            from cdm_data_loader_utils_ray.stages.hashing import sha256_array
-            from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
-
             if SHA_COLUMN in final.column_names:
                 final = final.drop_columns([SHA_COLUMN])
             final = final.append_column(SHA_COLUMN, sha256_array(final["content"]))

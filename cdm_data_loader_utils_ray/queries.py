@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -220,8 +222,6 @@ def union_align(sf_dir: str):
 
     def proj_s(batch: pa.Table) -> pa.Table:
         # supplier lacks mktsegment: schema-evolution adds it as null
-        from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
-
         t = pa.table(
             {
                 "entity_id": batch["s_suppkey"],

@@ -32,6 +32,7 @@ from cdm_data_loader_utils_ray.core.schemas import (
     state_schema as make_state_schema,
 )
 from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.stages.validate import split_valid
 from cdm_data_loader_utils_ray.state.upsert import events_to_state, merge_states
 
 
@@ -114,8 +115,6 @@ class StreamingUpserter:
         state_sch = self.state_schema
 
         def route(batch: pa.Table) -> pa.Table:
-            from cdm_data_loader_utils_ray.stages.validate import split_valid
-
             prepped = prep(batch)
             if len(prepped) == 0:
                 return pa.table({"applied": pa.array([0], type=pa.int64())})

@@ -39,6 +39,7 @@ from cdm_data_loader_utils_ray.core.schemas import (
     KEY_COLUMNS,
     SHA_COLUMN,
 )
+from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
 
 _KEYS = list(KEY_COLUMNS)
 
@@ -112,8 +113,6 @@ def merge_states(
     Commutative/idempotent: ties on ``seq`` are exact re-deliveries (same
     deterministic row), so either copy is correct.
     """
-    from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
-
     parts = []
     if prior is not None and len(prior):
         parts.append(align_to_schema(prior, state_schema))
