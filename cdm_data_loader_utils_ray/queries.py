@@ -612,6 +612,60 @@ FROM events e ASOF LEFT JOIN o
 
 
 # ---------------------------------------------------------------------------
+# 17. Broadcast join with DEFAULT fallback + coalesce (J4: the reference's
+#     two-level ECO evidence merge, gene_association_file.py:162-194).
+# ---------------------------------------------------------------------------
+_RETURNFLAG_LABELS = {"A": "accepted", "N": "none"}
+_RETURNFLAG_DEFAULT = "unknown"
+
+
+def fallback_enrich(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+    labels = dict(_RETURNFLAG_LABELS)
+    default = _RETURNFLAG_DEFAULT
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pylist()
+        lab = pa.array([labels.get(f, default) for f in flags], type=pa.string())
+        return batch.append_column("flag_label", lab)
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
+
+
+FALLBACK_ENRICH_SQL = """
+WITH labels(flag, label) AS (VALUES ('A', 'accepted'), ('N', 'none'))
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       coalesce(label, 'unknown') AS flag_label
+FROM lineitem LEFT JOIN labels ON l_returnflag = flag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. Explode an array column to rows (M11: explode(publications) +
+#     non-empty filter), vectorized via Arrow list_flatten.
+# ---------------------------------------------------------------------------
+def explode_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.list_slice(pc.split_pattern(batch["text"], " "), 0, 5)
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lengths)
+        out = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "token": flat})
+        return out.filter(pc.greater(pc.utf8_length(out["token"]), 0))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+EXPLODE_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')[1:5]) AS token
+FROM documents
+WHERE len(string_split(text, ' ')) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only entries (non-SQL-expressible; driver records a weaker check).
 # ---------------------------------------------------------------------------
 def text_analysis(sf_dir: str):
@@ -693,6 +747,8 @@ def registry() -> dict:
         "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
         "window_daily": (window_daily, WINDOW_DAILY_SQL),
         "asof_events_orders": (asof_events_orders, ASOF_SQL),
+        "fallback_enrich": (fallback_enrich, FALLBACK_ENRICH_SQL),
+        "explode_tokens": (explode_tokens, EXPLODE_SQL),
         # non-SQL-expressible: rows-only driver check
         "text_analysis": (text_analysis, None),
         "minhash_dedup_clusters": (minhash_dedup_clusters, None),

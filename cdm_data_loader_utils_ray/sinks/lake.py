@@ -47,7 +47,9 @@ LATEST = "LATEST"
 
 
 def _atomic_write(path: str, payload: str) -> None:
-    """Write-then-rename so readers never observe a partial file."""
+    """Write-then-rename so readers never observe a partial file; the
+    directory is fsynced too so the rename itself survives a crash
+    (rename durability requires the parent dir's metadata on disk)."""
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
     try:
@@ -56,6 +58,11 @@ def _atomic_write(path: str, payload: str) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
