@@ -110,13 +110,26 @@ class MinHasher:
         )
 
 
+def _pool_size(requested: int | None) -> int:
+    """Actor-pool size with headroom: BELOW the cluster CPU count — a pool
+    that reserves every slot starves the downstream groupby's shuffle tasks
+    and the pipeline deadlocks (observed on a 4-CPU session with a 4-actor
+    pool)."""
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(8, cpus // 2 - 1 if cpus <= 8 else cpus // 4))
+
+
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                            seed: int = 42, text_column: str = "text",
-                           id_column: str = "doc_id", concurrency: int = 2):
-    # NOTE: size the actor pool BELOW the cluster CPU count — a pool that
-    # reserves every slot starves the downstream groupby's shuffle tasks and
-    # the pipeline deadlocks (observed on a 4-CPU test session with
-    # concurrency=4).
+                           id_column: str = "doc_id", concurrency: int | None = None):
+    concurrency = _pool_size(concurrency)
     """Candidate near-dup pairs: minhash signatures -> band rows ->
     ``groupby(band_id, band_hash)`` buckets -> pairs within bucket.
 
@@ -144,11 +157,16 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                 bh ^= mix[:, :, r] * np.uint64(0x9E3779B97F4A7C15)
                 bh = (bh << np.uint64(7)) | (bh >> np.uint64(57))
             band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+            flat = bh.reshape(-1)
+            # coarse shuffle bucket: map_groups fires once per GROUP, so
+            # grouping by raw band_hash would mean one Python call per
+            # bucket — group by hash%256 and pair-find vectorized inside
             return pa.table(
                 {
                     id_column: pa.array(np.repeat(ids, bands)),
                     "band_id": pa.array(band_id),
-                    "band_hash": pa.array(bh.reshape(-1)),
+                    "band_hash": pa.array(flat),
+                    "shuffle_bucket": pa.array((flat % np.uint64(256)).astype(np.int32)),
                 }
             )
 
@@ -156,17 +174,21 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        # skip singleton buckets vectorized before the per-bucket loop
+        df = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         for (_b, _h), grp in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(grp[id_column].to_numpy())
-            if len(ids) > 1:
-                for i in range(len(ids) - 1):
-                    for j in range(i + 1, len(ids)):
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
 
-    # groupby band_hash co-locates buckets; band_id disambiguates inside
-    pairs = banded.groupby("band_hash").map_groups(bucket_pairs, batch_format="pandas")
+    # ONE shuffle over coarse buckets; real buckets resolved vectorized inside
+    pairs = banded.groupby("shuffle_bucket").map_groups(
+        lambda df: bucket_pairs(df.drop(columns=["shuffle_bucket"])),
+        batch_format="pandas",
+    )
     return pairs
 
 
@@ -181,10 +203,20 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 def verify_candidates(candidates_df: pd.DataFrame, texts: dict, threshold: float = 0.8,
                       k: int = 3) -> pd.DataFrame:
     """Verify candidate pairs with exact Jaccard.  ``texts`` is a broadcast
-    id->text lookup (``ray.put`` on the driver for big corpora)."""
+    id->text lookup (``ray.put`` on the driver for big corpora).  Shingle
+    sets are computed once per document, not once per pair."""
+    shingles: dict = {}
+
+    def sh(i):
+        if i not in shingles:
+            shingles[i] = set(shingle_hashes(texts.get(i, ""), k).tolist())
+        return shingles[i]
+
     keep_a, keep_b, sims = [], [], []
     for a, b in zip(candidates_df["id_a"], candidates_df["id_b"]):
-        j = ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k)
+        sa, sb = sh(a), sh(b)
+        union = len(sa | sb)
+        j = 1.0 if not union else len(sa & sb) / union
         if j >= threshold:
             keep_a.append(a)
             keep_b.append(b)
