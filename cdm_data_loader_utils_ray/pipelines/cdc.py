@@ -870,6 +870,13 @@ def read_final_state_arrow(table: LakeTable, live_only: bool = True) -> pa.Table
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def export_state(table: LakeTable, out_dir: str, live_only: bool = True) -> str:
+    """Materialize committed final state to a plain Parquet directory via a
+    streaming write (consumers that don't speak the manifest format)."""
+    read_final_state(table, live_only=live_only).write_parquet(out_dir)
+    return out_dir
+
+
 def run_replay(
     events_path: str,
     table_dir: str,
