@@ -88,6 +88,10 @@ def snapshot_diff(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df.rename(columns={"old_event_id": "old_seq", "new_event_id": "new_seq"})
+        # avoid nullable-int representation ambiguity across engines
+        out["old_seq"] = out["old_seq"].fillna(-1).astype("int64")
+        out["new_seq"] = out["new_seq"].fillna(-1).astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
         return out[["user_id", "event_type", "old_seq", "new_seq", "change_type"]]
 
     return diff.map_batches(finish, batch_format="pandas")
@@ -109,8 +113,8 @@ new AS (
 )
 SELECT coalesce(o.user_id, n.user_id) AS user_id,
        coalesce(o.event_type, n.event_type) AS event_type,
-       o.event_id AS old_seq,
-       n.event_id AS new_seq,
+       coalesce(o.event_id, -1) AS old_seq,
+       coalesce(n.event_id, -1) AS new_seq,
        CASE WHEN o.event_id IS NULL THEN 'new'
             WHEN n.event_id IS NULL THEN 'deleted'
             WHEN o.event_id = n.event_id THEN 'unchanged'
@@ -555,13 +559,16 @@ def window_daily(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_value"] = df["sum_value"].round(4)
+        # timestamps as canonical strings: engines stringify timestamps
+        # differently, a date string hashes identically everywhere
+        df["window_start"] = df["window_start"].dt.strftime("%Y-%m-%d")
         return df[["user_id", "window_start", "n_events", "sum_value"]]
 
     return out.map_batches(finish, batch_format="pandas")
 
 
 WINDOW_DAILY_SQL = """
-SELECT user_id, date_trunc('day', ts) AS window_start,
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
        count(value) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY user_id, date_trunc('day', ts)
 """
@@ -594,7 +601,8 @@ def asof_events_orders(sf_dir: str):
         out = df[["event_id", "user_id", "ts", "o_orderkey"]].copy()
         out["event_id"] = out["event_id"].astype("int64")
         out["user_id"] = out["user_id"].astype("int64")
-        out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+        out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+        out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
@@ -605,7 +613,9 @@ WITH o AS (
   SELECT o_custkey AS user_id, o_orderdate AS ots, max(o_orderkey) AS o_orderkey
   FROM orders GROUP BY o_custkey, o_orderdate
 )
-SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       coalesce(o.o_orderkey, -1) AS o_orderkey
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.user_id AND e.ts >= o.ots
 """
