@@ -708,7 +708,10 @@ def apply_epoch(
                 route = _make_content_route_fn(
                     staging, seqs_ref, pids_ref, seq_col, content_col
                 )
-                phase_b_reader([seq_col, content_col]).map_batches(
+                # winners skew to high seqs (LWW): a row-group range filter
+                # on min(winner seq) prunes early row groups at the scan
+                min_fetch = int(fetch_seqs.min())
+                phase_b_reader([seq_col, content_col], min_seq=min_fetch).map_batches(
                     route, batch_format="pyarrow", batch_size=batch_size,
                     zero_copy_batch=True,
                 ).take_all()
@@ -923,7 +926,12 @@ def run_replay(
                     if f.endswith(".parquet")
                 )
             ds = rd.read_parquet(events_path)
-            def phase_b_reader(columns, _p=events_path):
+            def phase_b_reader(columns, min_seq=None, _p=events_path):
+                seq_col = columns[0]
+                if min_seq is not None:
+                    return rd.read_parquet(
+                        _p, columns=columns, filter=pc.field(seq_col) >= min_seq
+                    )
                 return rd.read_parquet(_p, columns=columns)
 
         else:
@@ -931,12 +939,13 @@ def run_replay(
                 events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
             )
 
-            def phase_b_reader(columns, _p=events_path, _lo=lo, _hi=hi):
+            def phase_b_reader(columns, min_seq=None, _p=events_path, _lo=lo, _hi=hi):
                 seq_col = columns[0]
+                lo_eff = max(_lo, (min_seq - 1) if min_seq is not None else _lo)
                 return rd.read_parquet(
                     _p,
                     columns=columns,
-                    filter=(pc.field(seq_col) > _lo) & (pc.field(seq_col) <= _hi),
+                    filter=(pc.field(seq_col) > lo_eff) & (pc.field(seq_col) <= _hi),
                 )
 
         run = PipelineRun.new("cdc_replay", events_path)

@@ -224,7 +224,8 @@ class LakeTable:
         if len(table) and "seq" in table.column_names:
             import pyarrow.compute as pc
 
-            hwm = pc.max(table["seq"]).as_py() or -1
+            m = pc.max(table["seq"]).as_py()
+            hwm = -1 if m is None else int(m)
         return PartitionEntry(
             pid=pid,
             file=rel,

@@ -138,7 +138,8 @@ class DsvParser:
             if set(raw.column_names) >= set(names):
                 raw = raw.select(names)
             else:
-                raw = raw.rename_columns(names[: raw.num_columns])
+                take = min(raw.num_columns, len(names))
+                raw = raw.select(raw.column_names[:take]).rename_columns(names[:take])
         n = len(raw)
         invalid = np.zeros(n, dtype=bool)
         arrays = []

@@ -141,6 +141,8 @@ def hash_join(
     a broadcast lookup instead (SURVEY §2.5 J4/J5 — no shuffle at all).
     Skewed keys: salt upstream; a single key's rows must fit one bucket."""
     keys = list(on)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
 
     def tag(side: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -154,8 +156,10 @@ def hash_join(
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
-        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        # reindex: a group made of one side's blocks lacks the other
+        # side's columns entirely; reindex creates them as nulls
+        l = df[df["__side__"] == "l"].reindex(columns=left_cols)
+        r = df[df["__side__"] == "r"].reindex(columns=right_cols)
         if l.empty and how in ("inner", "left"):
             return pd.DataFrame()
         return l.merge(r, on=keys, how=how, suffixes=("", suffix))

@@ -35,6 +35,9 @@ def asof_join(
     ``pd.merge_asof`` over key-sorted frames.
     """
     keys = list(by)
+    # explicit side columns: an all-null-within-bucket column must survive
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
 
     def tag(side: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -48,8 +51,10 @@ def asof_join(
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
-        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        # reindex: a group made of one side's blocks lacks the other
+        # side's columns entirely; reindex creates them as nulls
+        l = df[df["__side__"] == "l"].reindex(columns=left_cols)
+        r = df[df["__side__"] == "r"].reindex(columns=right_cols)
         if l.empty:
             return l
         l = l.sort_values(on, kind="stable")
@@ -78,6 +83,8 @@ def range_join(
     interval probe (no cartesian blowup for non-overlapping intervals;
     overlapping intervals fall back to a per-key merge)."""
     keys = list(by)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
 
     def tag(side: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -91,8 +98,10 @@ def range_join(
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side__"] == "l"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
-        r = df[df["__side__"] == "r"].drop(columns=["__side__", _BUCKET]).dropna(axis=1, how="all")
+        # reindex: a group made of one side's blocks lacks the other
+        # side's columns entirely; reindex creates them as nulls
+        l = df[df["__side__"] == "l"].reindex(columns=left_cols)
+        r = df[df["__side__"] == "r"].reindex(columns=right_cols)
         if l.empty or r.empty:
             return pd.DataFrame()
         merged = l.merge(r, on=keys, how="inner")
