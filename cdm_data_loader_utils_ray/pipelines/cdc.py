@@ -563,9 +563,18 @@ def _make_assemble_fn(
                 got = _lookup_by_seq(ps, pvals, wseq[carried])
                 for i, v in zip(np.flatnonzero(carried), got):
                     content[i] = v
+            # late content-null validation: a non-delete winner with no
+            # content (invalid event: content must be null iff delete) is
+            # excluded from state here — losers with invalid content are
+            # dropped unrecorded in late mode (documented divergence)
+            have = np.array([c is not None for c in content], dtype=bool)
+            bad = ~deleted & ~have
+            n_late_rejects = int(bad.sum())
             final = winners.drop_columns([_SRC_COLUMN]).append_column(
                 "content", pa.array(content, type=pa.string())
             )
+            if n_late_rejects:
+                final = final.filter(pa.array(~bad))
             # sha256 deferred from the map phase: hash winners only
             if SHA_COLUMN in final.column_names:
                 final = final.drop_columns([SHA_COLUMN])
@@ -581,7 +590,7 @@ def _make_assemble_fn(
                     "live_keys": entry.live_keys,
                     "bytes": entry.bytes,
                     "n_events": 0,
-                    "n_rejects": 0,
+                    "n_rejects": n_late_rejects,
                     "distinct_errors": "[]",
                 }
             )
@@ -664,12 +673,30 @@ def apply_epoch(
         staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
+        # Phase A never needs the content bytes: sha is deferred to
+        # assemble, and the content-null-iff-delete check runs on winners
+        # at assemble (losers with invalid content are dropped unrecorded —
+        # documented divergence of late mode).  With a column-pruned reader
+        # phase A decodes ~10% of the input bytes.
+        meta_event_sch = pa.schema([f for f in event_sch if f.name != "content"])
         prep_late = EventPrep(
-            event_sch, P, hwm, rename_map, compute_sha=False,
+            meta_event_sch, P, hwm, rename_map, compute_sha=False,
             extra_validators=extra_validators,
         )
         router = PrepAndRoute(prep_late, staging, drop=("content",))
-        events_ds.map_batches(
+        rev_a = {v: k for k, v in (rename_map or {}).items()}
+        # only columns that actually exist in THIS epoch's files (the
+        # evolved schema may carry columns older/newer epochs don't have;
+        # the aligner null-fills the rest)
+        present = set(events_ds.schema().names)
+        a_cols = [
+            c for c in (rev_a.get(f.name, f.name) for f in meta_event_sch) if c in present
+        ]
+        try:
+            a_ds = phase_b_reader(a_cols)
+        except TypeError:
+            a_ds = events_ds
+        a_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
         ).take_all()
         if timing:
@@ -735,7 +762,7 @@ def apply_epoch(
                     {
                         **r,
                         "n_events": w.get("n_events", 0),
-                        "n_rejects": w.get("n_rejects", 0),
+                        "n_rejects": w.get("n_rejects", 0) + r["n_rejects"],
                         "distinct_errors": w.get("distinct_errors", "[]"),
                     }
                 )
