@@ -103,6 +103,66 @@ class BruteForceTopK:
         )
 
 
+def train_ivf_centroids(ds, n_cells: int = 16, sample_frac: float = 0.25,
+                        iters: int = 8, seed: int = 42,
+                        column: str = "embedding") -> np.ndarray:
+    """Driver-side k-means over a SAMPLE of the corpus (the IVF coarse
+    quantizer).  Sampling keeps the training read tiny at 100 TB; the
+    centroid matrix is small and broadcasts."""
+    sample = ds.random_sample(sample_frac, seed=seed)
+    parts = [
+        _batch_matrix(b, column)
+        for b in sample.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if len(b)
+    ]
+    x = np.concatenate(parts) if parts else np.empty((0, 2), np.float32)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)  # cosine on normalized vecs
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                mu = members.mean(axis=0)
+                cent[c] = mu / max(np.linalg.norm(mu), 1e-12)
+    return cent
+
+
+def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10,
+             n_probe: int = 2, column: str = "embedding",
+             id_column: str = "vec_id") -> pd.DataFrame:
+    """IVF search: scan only rows whose nearest centroid is among the
+    query's ``n_probe`` closest cells; exact cosine on the candidates.
+    The scale path alternative to :func:`lsh_bucketed_topk` — centroids are
+    data-adaptive, so cells balance better than random hyperplanes on
+    clustered corpora."""
+    q = query.astype(np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    score = cosine_scores_stage(query, column, id_column)
+
+    def filter_and_score(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cells = (mn @ centroids.T).argmax(axis=1)
+        mask = np.isin(cells, list(probe))
+        cand = batch.filter(pa.array(mask))
+        if len(cand) == 0:
+            return pa.table({id_column: pa.array([], type=batch[id_column].type),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        t = score(cand)
+        df = t.to_pandas().nlargest(k, "cos_sim")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(filter_and_score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float32)

@@ -12,6 +12,7 @@ files (only touched partitions are rewritten; the manifest swap is atomic).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -111,6 +112,108 @@ def compact(table: LakeTable, drop_tombstones: bool = True,
         return t.filter(mask), len(t) - n_live
 
     return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions")
+
+
+def migrate_partitions(
+    table: LakeTable, new_num_partitions: int, run_id: str = "migrate"
+) -> Manifest:
+    """Re-hash the whole table to a new partition count (grow/shrink when
+    live state outgrows partitions — the `num_partitions` migration the
+    README scale notes describe).  One full rewrite shaped like an epoch:
+    read committed state, re-bucket by the stable key hash mod new P, write
+    one file per new partition, commit.  hwm values carry over per new
+    partition (max of member rows' seq)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS, PARTITION_COLUMN
+    from cdm_data_loader_utils_ray.stages.partition import add_partition_column
+
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("no committed manifest to migrate")
+    epoch = m.epoch + 1
+    table_dir = table.dir
+    files = table.live_files(m)
+    state_schema = m.schema
+
+    # stage by NEW pid (reuse the epoch staging layout), then one write per
+    # new partition
+    staging = os.path.join(table_dir, "_staging", f"migrate-{epoch:08d}")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+
+    def route(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = add_partition_column(batch, new_num_partitions, KEY_COLUMNS)
+        pids = b[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
+        order = np.argsort(pids, kind="stable")
+        b = b.take(pa.array(order))
+        pids = pids[order]
+        bounds = np.flatnonzero(np.diff(pids)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pids)]])
+        seqs = b["seq"].to_numpy(zero_copy_only=False)
+        out = []
+        for s, e in zip(starts, ends):
+            pid = int(pids[s])
+            d = os.path.join(staging, f"pid={pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            lo, hi = int(seqs[s:e].min()), int(seqs[s:e].max())
+            pq.write_table(
+                b.slice(s, e - s).drop_columns([PARTITION_COLUMN]),
+                os.path.join(d, f"slice-{lo:012d}-{hi:012d}-{e - s}.parquet"),
+                compression="lz4",
+            )
+            out.append(pid)
+        return pa.table({"pid": pa.array(out, type=pa.int32())})
+
+    rd.read_parquet(files).map_batches(route, batch_format="pyarrow").take_all()
+    pids = sorted(int(d.split("=")[1]) for d in os.listdir(staging))
+
+    def write_one(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            d = os.path.join(staging, f"pid={pid:05d}")
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
+                promote_options="permissive",
+            )
+            entry = lake.write_partition(t, pid, epoch)
+            rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
+                         "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
+                         "bytes": entry.bytes})
+        return pa.Table.from_pylist(rows)
+
+    results = (
+        rd.from_items(pids, override_num_blocks=max(1, len(pids)))
+        .map_batches(write_one, batch_size=1)
+        .take_all()
+    )
+    partitions = {
+        r["pid"]: PartitionEntry(
+            pid=r["pid"], file=r["file"], rows=r["rows"], hwm_seq=r["hwm_seq"],
+            live_keys=r["live_keys"], bytes=r["bytes"],
+        )
+        for r in results
+    }
+    new_m = Manifest(
+        epoch=epoch,
+        num_partitions=new_num_partitions,
+        schema=state_schema,
+        partitions=partitions,
+        parent_epoch=m.epoch,
+        run_id=run_id,
+        metrics={"migrated_from": m.num_partitions, "migrated_to": new_num_partitions},
+        rename_history=m.rename_history,
+    )
+    table.commit(new_m)
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_m
 
 
 def update_where(

@@ -92,3 +92,34 @@ def test_cdm_ids_deterministic():
     assert out["cdm_id"][0].as_py() != out["cdm_id"][1].as_py()
     out2 = add_cdm_id_column(t, "file", ["repo", "path"])
     assert out["cdm_id"].to_pylist() == out2["cdm_id"].to_pylist()
+
+
+def test_migrate_partitions_then_continue(tmp_path):
+    """Grow the partition count mid-stream: state preserved, later epochs
+    apply against the new layout, final state converges."""
+    import duckdb
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import migrate_partitions
+
+    ev = make_events(num_keys=120, num_events=1200, seed=83)
+    ev_path = str(tmp_path / "ev.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(ev, ev_path)
+    lake_dir = str(tmp_path / "lake")
+    run_replay(ev_path, lake_dir, num_partitions=4, max_seq=600)
+    t = LakeTable(lake_dir)
+    before = read_final_state_arrow(t)
+    m = migrate_partitions(t, 8)
+    assert m.num_partitions == 8
+    mid = read_final_state_arrow(t)
+    assert before.equals(mid)  # migration is state-neutral
+    run_replay(ev_path, lake_dir, num_partitions=8)  # rest of the log
+    state = read_final_state_arrow(t)
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""WITH r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn
+            FROM read_parquet('{ev_path}'))
+            SELECT count(*) n FROM r WHERE rn=1 AND op<>'delete'"""
+    ).fetchone()[0]
+    assert len(state) == oracle

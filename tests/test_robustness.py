@@ -179,3 +179,20 @@ def test_custom_validator_plugin(tmp_path):
     rejects = AuditLog(t.audit_dir).read("rejects")
     errs = {e for lst in rejects["errors_in_record"].to_pylist() for e in lst}
     assert "custom: markdown_blocked" in errs
+
+
+def test_out_of_order_delivery_converges(tmp_path):
+    """Arrival order is irrelevant: a fully shuffled event log must produce
+    the same final state as the ordered one (LWW by seq, not arrival)."""
+    ev = make_events(num_keys=60, num_events=600, seed=77)
+    df = ev.to_pandas().sample(frac=1.0, random_state=5).reset_index(drop=True)
+    shuffled = pa.Table.from_pandas(df, schema=ev.schema, preserve_index=False)
+    p_ord, p_shuf = str(tmp_path / "ord.parquet"), str(tmp_path / "shuf.parquet")
+    pq.write_table(ev, p_ord)
+    pq.write_table(shuffled, p_shuf)
+    for mode in ("staging", "late"):
+        run_replay(p_ord, str(tmp_path / f"l1-{mode}"), num_partitions=4, shuffle_mode=mode)
+        run_replay(p_shuf, str(tmp_path / f"l2-{mode}"), num_partitions=4, shuffle_mode=mode)
+        a = read_final_state_arrow(LakeTable(str(tmp_path / f"l1-{mode}")))
+        b = read_final_state_arrow(LakeTable(str(tmp_path / f"l2-{mode}")))
+        assert a.equals(b), mode
