@@ -196,9 +196,11 @@ def _merge_partition_core(
     run: PipelineRun,
     commit_ts_us: int,
 ) -> dict:
-    """Merge one partition's prepped events (errors column still attached)
-    with its prior state file; write the new state file and the partition's
-    rejects (deterministic paths ⇒ safe under task retries)."""
+    """Reduce one partition's prepped events (errors column still attached)
+    to this epoch's per-key winners and write them as the partition's DELTA
+    file; rejects quarantined alongside (deterministic paths ⇒ safe under
+    task retries).  No prior-state read: recency is resolved at read /
+    compaction time by the LWW chain merge — epoch cost ∝ churn."""
     if has_any_errors(group):
         mask = error_mask(group)
         rejects = group.filter(mask)
@@ -233,14 +235,9 @@ def _merge_partition_core(
             rej_table,
             os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet"),
         )
-    # LWW merge with prior state
-    delta = events_to_state(events, state_sch)
-    prior_t = None
-    rel = prior_files.get(pid)
-    if rel is not None:
-        prior_t = pq.read_table(lake.abspath(rel))
-    merged = merge_states(prior_t, delta, state_sch)
-    entry = lake.write_partition(merged, pid, epoch)
+    # this epoch's winners only (cross-batch LWW reduce of the group)
+    delta = merge_states(None, events_to_state(events, state_sch), state_sch)
+    entry = lake.write_partition(delta, pid, epoch)
     return {
         "pid": entry.pid,
         "file": entry.file,
@@ -341,8 +338,7 @@ _WINNER_RESULT_SCHEMA = pa.schema(
 
 def _meta_schema(state_sch: pa.Schema) -> pa.Schema:
     # no content (late-fetched) and no sha (computed on winners at assemble)
-    fields = [f for f in state_sch if f.name not in ("content", SHA_COLUMN)]
-    return pa.schema(fields + [pa.field(_SRC_COLUMN, pa.int8())])
+    return pa.schema([f for f in state_sch if f.name not in ("content", SHA_COLUMN)])
 
 
 def _write_rejects_file(
@@ -384,10 +380,11 @@ def _make_winner_fn(
     run: PipelineRun,
     commit_ts_us: int,
 ):
-    """Phase-A reduce: LWW over metadata, emit winners file + content-fetch
-    seq list per partition."""
+    """Phase-A reduce: LWW over THIS EPOCH'S metadata, emit winners file +
+    content-fetch seq list per partition.  Prior state never read: the
+    epoch's winners become a delta file; recency across epochs resolves at
+    read/compaction time."""
     meta_sch = _meta_schema(state_sch)
-    meta_cols = [f.name for f in meta_sch if f.name != _SRC_COLUMN]
 
     def winners_pid(batch: dict) -> pa.Table:
         rows = []
@@ -410,26 +407,8 @@ def _make_winner_fn(
                 rejects = group.slice(0, 0)
                 events = group.drop_columns([ERRORS_COLUMN])
                 distinct_errors = []
-            delta = events_to_state(events, meta_sch)
-            delta = delta.set_column(
-                delta.schema.get_field_index(_SRC_COLUMN),
-                _SRC_COLUMN,
-                pa.array(np.ones(len(delta), dtype=np.int8)),
-            )
-            prior_t = None
-            rel = prior_files.get(pid)
-            if rel is not None:
-                pf = pq.ParquetFile(lake.abspath(rel))
-                avail = [c for c in meta_cols if c in pf.schema_arrow.names]
-                prior_t = pq.read_table(lake.abspath(rel), columns=avail)
-                prior_t = prior_t.append_column(
-                    _SRC_COLUMN, pa.array(np.zeros(len(prior_t), dtype=np.int8))
-                )
-            merged = merge_states(prior_t, delta, meta_sch)
-            need = pc.and_(
-                pc.equal(merged[_SRC_COLUMN], pa.scalar(1, pa.int8())),
-                pc.equal(merged[DELETED_COLUMN], False),
-            )
+            merged = merge_states(None, events_to_state(events, meta_sch), meta_sch)
+            need = pc.equal(merged[DELETED_COLUMN], False)
             fetch = merged.filter(need)["seq"].to_pylist()
             wdir = os.path.join(staging_dir, "winners")
             os.makedirs(wdir, exist_ok=True)
@@ -519,8 +498,8 @@ def _make_assemble_fn(
     state_sch: pa.Schema,
     epoch: int,
 ):
-    """Phase-B reduce: join winners metadata with fetched + carried content,
-    write the partition state file."""
+    """Phase-B reduce: join this epoch's winner metadata with the fetched
+    content and write the partition's DELTA file (no prior state involved)."""
 
     def assemble(batch: dict) -> pa.Table:
         rows = []
@@ -531,7 +510,6 @@ def _make_assemble_fn(
                 os.path.join(staging_dir, "winners", f"pid={pid:05d}.parquet")
             )
             wseq = winners["seq"].to_numpy(zero_copy_only=False)
-            src = winners[_SRC_COLUMN].to_numpy(zero_copy_only=False)
             deleted = winners[DELETED_COLUMN].to_numpy(zero_copy_only=False)
             content = [None] * len(winners)
             # fetched event content
@@ -547,21 +525,9 @@ def _make_assemble_fn(
                 # dedup re-delivered seqs (identical payloads)
                 uniq = np.concatenate([[True], np.diff(fs) != 0]) if len(fs) else np.array([], bool)
                 fs, fvals = fs[uniq], [v for v, u in zip(fvals, uniq) if u]
-                need = (src == 1) & ~deleted
+                need = ~deleted
                 got = _lookup_by_seq(fs, fvals, wseq[need])
                 for i, v in zip(np.flatnonzero(need), got):
-                    content[i] = v
-            # carried prior content
-            rel = prior_files.get(pid)
-            carried = (src == 0) & ~deleted
-            if rel is not None and carried.any():
-                prior = pq.read_table(lake.abspath(rel), columns=["seq", "content"])
-                ps = prior["seq"].to_numpy(zero_copy_only=False)
-                order = np.argsort(ps, kind="stable")
-                ps = ps[order]
-                pvals = prior["content"].take(pa.array(order)).to_pylist()
-                got = _lookup_by_seq(ps, pvals, wseq[carried])
-                for i, v in zip(np.flatnonzero(carried), got):
                     content[i] = v
             # late content-null validation: a non-delete winner with no
             # content (invalid event: content must be null iff delete) is
@@ -570,7 +536,7 @@ def _make_assemble_fn(
             have = np.array([c is not None for c in content], dtype=bool)
             bad = ~deleted & ~have
             n_late_rejects = int(bad.sum())
-            final = winners.drop_columns([_SRC_COLUMN]).append_column(
+            final = winners.append_column(
                 "content", pa.array(content, type=pa.string())
             )
             if n_late_rejects:
@@ -643,7 +609,10 @@ def apply_epoch(
     state_sch = make_state_schema(event_sch)
 
     hwm = prior.hwm if prior else {}
-    prior_files = {p.pid: p.file for p in prior.partitions.values()} if prior else {}
+    # delta-chain model: nothing reads prior state during apply (kept as a
+    # param for the merge fns' signature; always empty)
+    prior_files: dict[int, str] = {}
+    prior_entries = dict(prior.partitions) if prior else {}
 
     prep = EventPrep(event_sch, P, hwm, rename_map, extra_validators=extra_validators)
 
@@ -812,13 +781,16 @@ def apply_epoch(
     all_errors: set[str] = set()
     touched_records: dict[int, int] = {}
     for r in rows:
+        # chain the new delta file after the partition's existing chain
+        prev = prior_entries.get(r["pid"])
+        chain = (list(prev.files) if prev else []) + [r["file"]]
         partitions[r["pid"]] = PartitionEntry(
             pid=r["pid"],
-            file=r["file"],
-            rows=r["rows"],
-            hwm_seq=r["hwm_seq"],
-            live_keys=r["live_keys"],
-            bytes=r["bytes"],
+            files=chain,
+            rows=r["rows"] + (prev.rows if prev else 0),
+            hwm_seq=max(r["hwm_seq"], prev.hwm_seq if prev else -1),
+            live_keys=r["live_keys"] if len(chain) == 1 else -1,
+            bytes=r["bytes"] + (prev.bytes if prev else 0),
         )
         n_events += r["n_events"]
         n_rejects += r["n_rejects"]
@@ -860,24 +832,46 @@ def apply_epoch(
     return manifest
 
 
+def _merge_chain_table(
+    lake: LakeTable, entry: PartitionEntry, m: Manifest, live_only: bool
+) -> pa.Table:
+    """LWW-merge one partition's delta chain, schema-aligned across epochs
+    (older files may predate a schema evolution / rename)."""
+    parts = [
+        align_to_schema(
+            rename_columns(pq.read_table(lake.abspath(f)), m.rename_history), m.schema
+        )
+        for f in entry.files
+    ]
+    t = merge_states(None, pa.concat_tables(parts), m.schema)
+    if live_only and DELETED_COLUMN in t.column_names:
+        t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
+    return t
+
+
 def read_final_state(table: LakeTable, live_only: bool = True):
-    """Committed final state as a streaming Dataset, schema-aligned across
-    epochs (older partition files may predate a schema evolution)."""
+    """Committed final state as a streaming Dataset: one task per
+    partition LWW-merges its delta chain."""
     import ray.data as rd
 
     m = table.latest_manifest()
     if m is None or not m.partitions:
         return rd.from_arrow((m.schema if m else pa.schema([])).empty_table())
-    ds = rd.read_parquet(table.live_files(m))
-    target = m.schema
+    table_dir = table.dir
+    entries = dict(m.partitions)
+    pids = sorted(entries)
 
-    def _align(batch: pa.Table) -> pa.Table:
-        b = align_to_schema(rename_columns(batch, m.rename_history), target)
-        if live_only:
-            b = b.filter(pc.equal(b[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
-        return b
+    def merge_one(batch: dict) -> pa.Table:
+        lake = LakeTable(table_dir)
+        out = [
+            _merge_chain_table(lake, entries[int(pid)], m, live_only)
+            for pid in batch["item"]
+        ]
+        return pa.concat_tables(out)
 
-    return ds.map_batches(_align, batch_format="pyarrow")
+    return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
+        merge_one, batch_size=1
+    )
 
 
 def read_final_state_arrow(table: LakeTable, live_only: bool = True) -> pa.Table:
@@ -885,15 +879,11 @@ def read_final_state_arrow(table: LakeTable, live_only: bool = True) -> pa.Table
     m = table.latest_manifest()
     if m is None:
         return pa.schema([]).empty_table()
-    parts = []
-    for f in table.live_files(m):
-        t = pq.read_table(f)
-        parts.append(align_to_schema(rename_columns(t, m.rename_history), m.schema))
-    t = (
-        pa.concat_tables(parts)
-        if parts
-        else m.schema.empty_table()
-    )
+    parts = [
+        _merge_chain_table(table, e, m, live_only)
+        for e in sorted(m.partitions.values(), key=lambda p: p.pid)
+    ]
+    t = pa.concat_tables(parts) if parts else m.schema.empty_table()
     if live_only and DELETED_COLUMN in t.column_names:
         t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
     df = t.to_pandas().sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)

@@ -33,11 +33,13 @@ def _rewrite_partitions(
     as-is) via one Ray task per partition, then commit epoch+1."""
     import ray.data as rd
 
+    from cdm_data_loader_utils_ray.state.upsert import merge_states
+
     m = table.latest_manifest()
     if m is None:
         raise ValueError("no committed manifest to rewrite")
     epoch = m.epoch + 1
-    files = {p.pid: p.file for p in m.partitions.values()}
+    chains = {p.pid: list(p.files) for p in m.partitions.values()}
     table_dir = table.dir
 
     def one(batch: dict) -> pa.Table:
@@ -45,10 +47,20 @@ def _rewrite_partitions(
         for pid in batch["item"]:
             pid = int(pid)
             lake = LakeTable(table_dir)
-            t = pq.read_table(lake.abspath(files[pid]))
+            chain = chains[pid]
+            t = merge_states(
+                None,
+                pa.concat_tables(
+                    [pq.read_table(lake.abspath(f)) for f in chain],
+                    promote_options="permissive",
+                ),
+                m.schema,
+            )
             new, touched = rewrite(t, pid)
+            if new is None and len(chain) > 1:
+                new = t  # fold the chain even when the rewrite is a no-op
             if new is None:
-                rows.append({"pid": pid, "changed": False, "file": files[pid],
+                rows.append({"pid": pid, "changed": False, "file": chain[-1],
                              "rows": len(t), "hwm_seq": -1, "live_keys": -1,
                              "bytes": -1, "touched_rows": touched})
                 continue
@@ -59,7 +71,7 @@ def _rewrite_partitions(
                          "touched_rows": touched})
         return pa.Table.from_pylist(rows)
 
-    pids = sorted(files)
+    pids = sorted(chains)
     results = (
         rd.from_items(pids, override_num_blocks=len(pids))
         .map_batches(one, batch_size=1)
@@ -73,7 +85,7 @@ def _rewrite_partitions(
         if r["changed"]:
             changed += 1
             partitions[r["pid"]] = PartitionEntry(
-                pid=r["pid"], file=r["file"], rows=r["rows"],
+                pid=r["pid"], files=[r["file"]], rows=r["rows"],
                 hwm_seq=r["hwm_seq"], live_keys=r["live_keys"], bytes=r["bytes"],
             )
         else:
@@ -179,9 +191,15 @@ def migrate_partitions(
             pid = int(pid)
             lake = LakeTable(table_dir)
             d = os.path.join(staging, f"pid={pid:05d}")
-            t = pa.concat_tables(
-                [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
-                promote_options="permissive",
+            from cdm_data_loader_utils_ray.state.upsert import merge_states as _ms
+
+            t = _ms(
+                None,
+                pa.concat_tables(
+                    [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
+                    promote_options="permissive",
+                ),
+                state_schema,
             )
             entry = lake.write_partition(t, pid, epoch)
             rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
@@ -196,7 +214,7 @@ def migrate_partitions(
     )
     partitions = {
         r["pid"]: PartitionEntry(
-            pid=r["pid"], file=r["file"], rows=r["rows"], hwm_seq=r["hwm_seq"],
+            pid=r["pid"], files=[r["file"]], rows=r["rows"], hwm_seq=r["hwm_seq"],
             live_keys=r["live_keys"], bytes=r["bytes"],
         )
         for r in results

@@ -79,21 +79,33 @@ def _schema_from_b64(s: str) -> pa.Schema:
 
 @dataclass
 class PartitionEntry:
-    """Manifest entry for one partition: the single live state file and its
-    per-partition high-water mark (generalizes the reference checkpoint's
-    ``last_entry_id``, ``audit/checkpoint.py:25-61``)."""
+    """Manifest entry for one partition: its DELTA-FILE CHAIN (base +
+    per-epoch delta files, oldest first) and the per-partition high-water
+    mark (generalizes the reference checkpoint's ``last_entry_id``,
+    ``audit/checkpoint.py:25-61``).
+
+    An epoch appends only its winner rows as one delta file — epoch cost is
+    proportional to churn, not table size (LSM-style; Delta Lake's model).
+    Readers LWW-merge the chain per key; compaction folds a chain into one
+    file.  ``live_keys`` is exact only for a folded (single-file) chain,
+    -1 otherwise (unknown without a merge)."""
 
     pid: int
-    file: str  # relative to the table dir
-    rows: int
+    files: list[str]  # chain, oldest -> newest, relative to the table dir
+    rows: int  # total rows across the chain
     hwm_seq: int  # max seq applied to this partition (-1 = none)
-    live_keys: int  # rows with is_deleted == False
+    live_keys: int  # exact for single-file chains, else -1
     bytes: int = 0
+
+    @property
+    def file(self) -> str:
+        """Newest file of the chain (compat accessor)."""
+        return self.files[-1]
 
     def to_json(self) -> dict[str, Any]:
         return {
             "pid": self.pid,
-            "file": self.file,
+            "files": self.files,
             "rows": self.rows,
             "hwm_seq": self.hwm_seq,
             "live_keys": self.live_keys,
@@ -102,9 +114,10 @@ class PartitionEntry:
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "PartitionEntry":
+        files = d["files"] if "files" in d else [d["file"]]
         return PartitionEntry(
             pid=d["pid"],
-            file=d["file"],
+            files=list(files),
             rows=d["rows"],
             hwm_seq=d["hwm_seq"],
             live_keys=d["live_keys"],
@@ -228,7 +241,7 @@ class LakeTable:
             hwm = -1 if m is None else int(m)
         return PartitionEntry(
             pid=pid,
-            file=rel,
+            files=[rel],
             rows=len(table),
             hwm_seq=hwm,
             live_keys=live,
@@ -236,40 +249,70 @@ class LakeTable:
         )
 
     def live_files(self, manifest: Manifest | None = None) -> list[str]:
+        """All chain files across partitions (oldest first within each)."""
         m = manifest or self.latest_manifest()
         if m is None:
             return []
-        return [self.abspath(p.file) for p in sorted(m.partitions.values(), key=lambda p: p.pid)]
+        out: list[str] = []
+        for p in sorted(m.partitions.values(), key=lambda p: p.pid):
+            out.extend(self.abspath(f) for f in p.files)
+        return out
 
     def read_state(self, manifest: Manifest | None = None, live_only: bool = True):
-        """Committed state as a ``ray.data.Dataset`` (streaming read of the
-        manifest-listed files; never materializes)."""
+        """Committed state as a ``ray.data.Dataset``: one task per
+        partition LWW-merges its delta chain (streaming across
+        partitions)."""
         import ray.data as rd
 
-        files = self.live_files(manifest)
-        if not files:
-            import ray.data as rd
-
-            m = manifest or self.latest_manifest()
+        m = manifest or self.latest_manifest()
+        if m is None or not m.partitions:
             schema = m.schema if m else pa.schema([])
             return rd.from_arrow(schema.empty_table())
-        ds = rd.read_parquet(files)
-        if live_only:
+        table_dir = self.dir
+        chains = {p.pid: list(p.files) for p in m.partitions.values()}
+        pids = sorted(chains)
+
+        def merge_chain(batch: dict) -> pa.Table:
             import pyarrow.compute as pc
 
-            ds = ds.map_batches(
-                lambda t: t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"]),
-                batch_format="pyarrow",
-            )
-        return ds
+            from cdm_data_loader_utils_ray.state.upsert import merge_states
+
+            out = []
+            for pid in batch["item"]:
+                lake = LakeTable(table_dir)
+                t = merge_states(
+                    None,
+                    pa.concat_tables(
+                        [pq.read_table(lake.abspath(f)) for f in chains[int(pid)]],
+                        promote_options="permissive",
+                    ),
+                    m.schema,
+                )
+                if live_only and "is_deleted" in t.column_names:
+                    t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
+                out.append(t)
+            return pa.concat_tables(out) if out else m.schema.empty_table()
+
+        return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
+            merge_chain, batch_size=1
+        )
 
     def read_state_arrow(self, manifest: Manifest | None = None, live_only: bool = True) -> pa.Table:
-        """Driver-side full read — tests and small tables only."""
-        files = self.live_files(manifest)
+        """Driver-side full read — tests and small tables only.  LWW-merges
+        each partition's delta chain."""
+        from cdm_data_loader_utils_ray.state.upsert import merge_states
+
         m = manifest or self.latest_manifest()
-        if not files:
+        if m is None or not m.partitions:
             return (m.schema if m else pa.schema([])).empty_table()
-        t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        parts = []
+        for p in sorted(m.partitions.values(), key=lambda p: p.pid):
+            chain = pa.concat_tables(
+                [pq.read_table(self.abspath(f)) for f in p.files],
+                promote_options="permissive",
+            )
+            parts.append(merge_states(None, chain, m.schema))
+        t = pa.concat_tables(parts) if parts else m.schema.empty_table()
         if live_only and "is_deleted" in t.column_names:
             import pyarrow.compute as pc
 
@@ -291,7 +334,8 @@ class LakeTable:
         )
         for e in epochs[-keep_epochs:]:
             for p in self.read_manifest(e).partitions.values():
-                keep.add(self.abspath(p.file))
+                for f in p.files:
+                    keep.add(self.abspath(f))
         removed = []
         for f in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, f)
@@ -302,18 +346,25 @@ class LakeTable:
 
     def preview(self, n: int = 10) -> pa.Table:
         """SELECT * LIMIT n over committed state (reference
-        ``preview_or_skip``, ``utils/spark_delta.py:227-237``)."""
+        ``preview_or_skip``, ``utils/spark_delta.py:227-237``): merges one
+        partition chain at a time until n rows are collected."""
+        from cdm_data_loader_utils_ray.state.upsert import merge_states
+
+        m = self.latest_manifest()
+        if m is None or not m.partitions:
+            return (m.schema if m else pa.schema([])).empty_table()
         out: list[pa.Table] = []
         got = 0
-        for f in self.live_files():
-            t = pq.read_table(f)
+        for p in sorted(m.partitions.values(), key=lambda p: p.pid):
+            chain = pa.concat_tables(
+                [pq.read_table(self.abspath(f)) for f in p.files],
+                promote_options="permissive",
+            )
+            t = merge_states(None, chain, m.schema)
             out.append(t.slice(0, n - got))
             got += min(len(t), n - got)
             if got >= n:
                 break
-        if not out:
-            m = self.latest_manifest()
-            return (m.schema if m else pa.schema([])).empty_table()
         return pa.concat_tables(out)
 
 

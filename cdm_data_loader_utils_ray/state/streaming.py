@@ -40,14 +40,18 @@ from cdm_data_loader_utils_ray.state.upsert import events_to_state, merge_states
 class UpsertShard:
     """One partition's in-memory LWW state (reference T7, SURVEY §2.4)."""
 
-    def __init__(self, table_dir: str, pid: int, prior_file: str | None,
+    def __init__(self, table_dir: str, pid: int, prior_chain: list[str] | None,
                  state_schema_bytes: bytes):
         self.lake = LakeTable(table_dir)
         self.pid = pid
         self.schema = pa.ipc.read_schema(pa.BufferReader(state_schema_bytes))
         self.state: pa.Table | None = None
-        if prior_file:
-            self.state = pq.read_table(self.lake.abspath(prior_file))
+        if prior_chain:
+            chain = pa.concat_tables(
+                [pq.read_table(self.lake.abspath(f)) for f in prior_chain],
+                promote_options="permissive",
+            )
+            self.state = merge_states(None, chain, self.schema)
         self.dirty = False
         self.applied = 0
 
@@ -89,7 +93,7 @@ class StreamingUpserter:
             self.P = prior.num_partitions
             self.state_schema = prior.schema
             self.epoch = prior.epoch
-            prior_files = {p.pid: p.file for p in prior.partitions.values()}
+            prior_files = {p.pid: list(p.files) for p in prior.partitions.values()}
             self.rename_history = prior.rename_history
         else:
             self.P = num_partitions or 32
@@ -153,7 +157,7 @@ class StreamingUpserter:
         entries = ray.get([s.snapshot.remote(epoch) for s in self.shards])
         partitions = {
             e["pid"]: PartitionEntry(
-                pid=e["pid"], file=e["file"], rows=e["rows"],
+                pid=e["pid"], files=[e["file"]], rows=e["rows"],
                 hwm_seq=e["hwm_seq"], live_keys=e["live_keys"], bytes=e["bytes"],
             )
             for e in entries
