@@ -578,6 +578,7 @@ def apply_epoch(
     shuffle_mode: str = "staging",
     phase_b_reader=None,
     extra_validators=(),
+    max_chain_len: int = 16,
 ) -> Manifest:
     """Apply one epoch (micro-batch) of change events to the lake table and
     commit a new manifest.  Returns the committed manifest.
@@ -818,6 +819,13 @@ def apply_epoch(
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+
+    if max_chain_len and any(len(p.files) > max_chain_len for p in partitions.values()):
+        from cdm_data_loader_utils_ray.pipelines.maintenance import fold_long_chains
+
+        folded = fold_long_chains(table, max_len=max_chain_len, run_id=run.run_id)
+        if folded is not None:
+            manifest = folded
 
     if audit:
         log.upsert_checkpoints(run, manifest.hwm, touched_records)

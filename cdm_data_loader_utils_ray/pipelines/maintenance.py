@@ -126,6 +126,69 @@ def compact(table: LakeTable, drop_tombstones: bool = True,
     return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions")
 
 
+def fold_long_chains(
+    table: LakeTable, max_len: int = 16, run_id: str = "chain-fold"
+) -> Manifest | None:
+    """Bound read amplification: fold (only) the partitions whose delta
+    chain exceeds ``max_len`` into single files; short chains carry forward
+    untouched.  Returns the new manifest, or None if nothing needed.
+    Called automatically by ``apply_epoch`` (``max_chain_len``)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.state.upsert import merge_states
+
+    m = table.latest_manifest()
+    if m is None:
+        return None
+    long_pids = sorted(p.pid for p in m.partitions.values() if len(p.files) > max_len)
+    if not long_pids:
+        return None
+    epoch = m.epoch + 1
+    chains = {p.pid: list(p.files) for p in m.partitions.values()}
+    table_dir = table.dir
+
+    def fold(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            t = merge_states(
+                None,
+                pa.concat_tables(
+                    [pq.read_table(lake.abspath(f)) for f in chains[pid]],
+                    promote_options="permissive",
+                ),
+                m.schema,
+            )
+            entry = lake.write_partition(t, pid, epoch)
+            rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
+                         "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
+                         "bytes": entry.bytes})
+        return pa.Table.from_pylist(rows)
+
+    results = (
+        rd.from_items(long_pids, override_num_blocks=len(long_pids))
+        .map_batches(fold, batch_size=1)
+        .take_all()
+    )
+    partitions = dict(m.partitions)
+    for r in results:
+        prev_hwm = m.partitions[r["pid"]].hwm_seq
+        partitions[r["pid"]] = PartitionEntry(
+            pid=r["pid"], files=[r["file"]], rows=r["rows"],
+            hwm_seq=max(r["hwm_seq"], prev_hwm), live_keys=r["live_keys"],
+            bytes=r["bytes"],
+        )
+    new_m = Manifest(
+        epoch=epoch, num_partitions=m.num_partitions, schema=m.schema,
+        partitions=partitions, parent_epoch=m.epoch, run_id=run_id,
+        metrics={"folded_partitions": len(long_pids)},
+        rename_history=m.rename_history,
+    )
+    table.commit(new_m)
+    return new_m
+
+
 def migrate_partitions(
     table: LakeTable, new_num_partitions: int, run_id: str = "migrate"
 ) -> Manifest:

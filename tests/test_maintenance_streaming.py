@@ -123,3 +123,38 @@ def test_migrate_partitions_then_continue(tmp_path):
             SELECT count(*) n FROM r WHERE rn=1 AND op<>'delete'"""
     ).fetchone()[0]
     assert len(state) == oracle
+
+
+def test_chain_length_bounded_by_auto_fold(tmp_path):
+    """Many small epochs must not grow unbounded read chains: apply_epoch
+    auto-folds chains past max_chain_len."""
+    import pyarrow.parquet as pq
+
+    ev = make_events(num_keys=60, num_events=900, seed=91)
+    ev_path = str(tmp_path / "ev.parquet")
+    pq.write_table(ev, ev_path)
+    lake_dir = str(tmp_path / "lake")
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay as rr
+
+    rr(ev_path, lake_dir, num_partitions=2, epochs=9)
+    t = LakeTable(lake_dir)
+    m = t.latest_manifest()
+    assert max(len(p.files) for p in m.partitions.values()) <= 16
+    # state still converges across the folds
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"""WITH r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn
+        FROM read_parquet('{ev_path}')) SELECT count(*) FROM r WHERE rn=1 AND op<>'delete'"""
+    ).fetchone()[0]
+    assert read_final_state_arrow(t).num_rows == n
+    # force a tiny bound to see folding happen
+    rr(ev_path, str(tmp_path / "lake2"), num_partitions=2, epochs=9)
+    from cdm_data_loader_utils_ray.pipelines.maintenance import fold_long_chains
+
+    t2 = LakeTable(str(tmp_path / "lake2"))
+    folded = fold_long_chains(t2, max_len=2)
+    if folded is not None:
+        assert max(len(p.files) for p in folded.partitions.values()) <= 2
+    assert read_final_state_arrow(t2).num_rows == n
