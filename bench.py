@@ -50,17 +50,25 @@ def _sf_name() -> str:
 _SOAK = (1_000_000, 20_000_000)
 
 
-def _event_log_path() -> str:
-    keys, events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
-    if os.environ.get("BENCH_PREFER_SOAK_LOG"):
-        # scaling runs use the biggest ALREADY-CACHED log (lower fixed-cost
-        # fraction at both levels) but never pay its generation cost
-        soak = os.path.join(CACHE, f"events-{_SOAK[0]}-{_SOAK[1]}")
-        if os.path.isdir(soak) and os.listdir(soak):
-            return soak
+def _gen_log(keys: int, events: int) -> str:
+    """Generate (if missing) a cached deterministic event log; large logs
+    are produced in parallel with Ray tasks (requires the Ray session the
+    caller owns)."""
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, f"events-{keys}-{events}")
-    if not os.path.exists(path):
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    if events >= 1_000_000:
+        from cdm_data_loader_utils_ray.synth import make_events_distributed
+
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        make_events_distributed(
+            tmp, num_keys=keys, num_events=events, seed=42,
+            shards=min(128, max(8, events // 62_500)), row_group_size=16384,
+        )
+        os.replace(tmp, path)
+    else:
         from cdm_data_loader_utils_ray.synth import make_events, write_events
 
         write_events(
@@ -70,6 +78,15 @@ def _event_log_path() -> str:
             row_group_size=16384,
         )
     return path
+
+
+def _event_log_path() -> str:
+    keys, events = _SF_EVENTS.get(_sf_name(), _DEFAULT)
+    if os.environ.get("BENCH_PREFER_SOAK_LOG"):
+        # scaling runs use the big log (lower fixed-cost fraction at both
+        # levels); generated in parallel when not cached
+        return _gen_log(*_SOAK)
+    return _gen_log(keys, events)
 
 
 def run_bench() -> dict:
@@ -177,6 +194,14 @@ def run_scaling() -> dict:
     # evidence).  Override with BENCH_SCALING_LO/HI (e.g. 8 and 32).
     lo_cpus = int(os.environ.get("BENCH_SCALING_LO", "2"))
     hi_cpus = int(os.environ.get("BENCH_SCALING_HI", "8"))
+    # pre-generate the input at full parallelism (the first measured level
+    # may be 2 CPUs; generation must not run there)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--gen-only"],
+        env=dict(os.environ, RAY_GRAFT_CPUS="32", BENCH_PREFER_SOAK_LOG="1"),
+        capture_output=True,
+        check=True,
+    )
     results = {}
     for n in (lo_cpus, hi_cpus):
         best = None
@@ -211,8 +236,20 @@ def run_scaling() -> dict:
     }
 
 
+def run_gen_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    path = _event_log_path()
+    ray.shutdown()
+    return {"metric": "gen_only", "path": path}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--gen-only" in sys.argv:
+        print(json.dumps(run_gen_only()))
     else:
         print(json.dumps(run_bench()))
