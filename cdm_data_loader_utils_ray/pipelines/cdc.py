@@ -427,27 +427,66 @@ def _make_winner_fn(
     return winners_pid
 
 
+def _shard_winner_map(
+    fetch_seqs: np.ndarray, fetch_pids: np.ndarray, chunk_rows: int = 1 << 22
+):
+    """Shard the winner seq->pid map into seq-RANGE chunks, each its own
+    ``ray.put`` object, plus a tiny bounds array.  A map task fetches only
+    the chunks whose seq range overlaps its batch — at 10^9 winners the r1
+    design broadcast one ~12 GB array to every task; sharded, a task
+    touches ~1-2 × 48 MB chunks (event logs are roughly seq-ordered, so a
+    Parquet batch spans a narrow seq range), and chunks land in each node's
+    plasma store once.  Returns (list[(seqs_ref, pids_ref)], bounds) where
+    chunk i covers seqs in [bounds[i], bounds[i+1])."""
+    import ray
+
+    order = np.argsort(fetch_seqs, kind="stable")
+    seqs, pids = fetch_seqs[order], fetch_pids[order]
+    n = len(seqs)
+    n_chunks = max(1, -(-n // chunk_rows))
+    refs, bounds = [], []
+    for i in range(n_chunks):
+        a, b = i * chunk_rows, min(n, (i + 1) * chunk_rows)
+        refs.append((ray.put(seqs[a:b]), ray.put(pids[a:b])))
+        bounds.append(int(seqs[a]))
+    bounds.append(int(seqs[-1]) + 1)
+    return refs, np.asarray(bounds, dtype=np.int64)
+
+
 def _make_content_route_fn(
-    staging_dir: str, seqs_ref, pids_ref, seq_col: str, content_col: str
+    staging_dir: str, chunk_refs, chunk_bounds: np.ndarray, seq_col: str, content_col: str
 ):
     """Phase-B map: column-pruned scan routes (seq, content) of WINNING rows
     to their partition's content staging dir.  The winner seq->pid map is
-    broadcast once via ray.put (sorted array + parallel pid array)."""
+    seq-range-sharded (``_shard_winner_map``); a task fetches only the
+    chunks overlapping its batch's seq range."""
 
     def route(batch: pa.Table) -> pa.Table:
         import ray
 
-        seqs = ray.get(seqs_ref)
-        pids = ray.get(pids_ref)
         s = batch[seq_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(seqs, s)
-        pos_c = np.clip(pos, 0, max(0, len(seqs) - 1))
-        hit = (len(seqs) > 0) & (seqs[pos_c] == s)
+        hit = np.zeros(len(s), dtype=bool)
+        sub_pids_all = np.empty(len(s), dtype=np.int32)
+        if len(s):
+            c0 = max(0, int(np.searchsorted(chunk_bounds, s.min(), "right")) - 1)
+            c1 = min(len(chunk_refs) - 1,
+                     max(0, int(np.searchsorted(chunk_bounds, s.max(), "right")) - 1))
+            for ci in range(c0, c1 + 1):
+                seqs = ray.get(chunk_refs[ci][0])
+                if len(seqs) == 0:
+                    continue
+                pos = np.searchsorted(seqs, s)
+                pos_c = np.clip(pos, 0, len(seqs) - 1)
+                h = seqs[pos_c] == s
+                if np.any(h):
+                    pids = ray.get(chunk_refs[ci][1])
+                    sub_pids_all[h] = pids[pos_c[h]]
+                    hit |= h
         if not np.any(hit):
             return pa.table({"pid": pa.array([], type=pa.int32()),
                              "rows": pa.array([], type=pa.int64())})
         sub = batch.filter(pa.array(hit)).select([seq_col, content_col])
-        sub_pids = pids[pos_c[hit]].astype(np.int32)
+        sub_pids = sub_pids_all[hit]
         order = np.argsort(sub_pids, kind="stable")
         sub = sub.take(pa.array(order))
         sub_pids = sub_pids[order]
@@ -663,7 +702,7 @@ def apply_epoch(
             c for c in (rev_a.get(f.name, f.name) for f in meta_event_sch) if c in present
         ]
         try:
-            a_ds = phase_b_reader(a_cols)
+            a_ds = phase_b_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
         except TypeError:
             a_ds = events_ds
         a_ds.map_batches(
@@ -688,27 +727,27 @@ def apply_epoch(
             if timing:
                 print(f"[phase] A-reduce {_t() - t0:.2f}s", file=__import__('sys').stderr)
                 t0 = _t()
-            # broadcast winner seq -> pid map (sorted) for the content scan
+            # seq-range-sharded winner seq -> pid map for the content scan
             fetch_seqs = np.concatenate(
                 [np.asarray(w["fetch_seqs"], dtype=np.int64) for w in wrows]
             ) if wrows else np.array([], dtype=np.int64)
             fetch_pids = np.concatenate(
                 [np.full(len(w["fetch_seqs"]), w["pid"], dtype=np.int32) for w in wrows]
             ) if wrows else np.array([], dtype=np.int32)
-            order = np.argsort(fetch_seqs, kind="stable")
-            seqs_ref = ray.put(fetch_seqs[order])
-            pids_ref = ray.put(fetch_pids[order])
             # raw column names in the source (reverse of the rename map)
             rev = {v: k for k, v in (rename_map or {}).items()}
             seq_col, content_col = rev.get("seq", "seq"), rev.get("content", "content")
             if len(fetch_seqs):
+                chunk_refs, chunk_bounds = _shard_winner_map(fetch_seqs, fetch_pids)
                 route = _make_content_route_fn(
-                    staging, seqs_ref, pids_ref, seq_col, content_col
+                    staging, chunk_refs, chunk_bounds, seq_col, content_col
                 )
                 # winners skew to high seqs (LWW): a row-group range filter
                 # on min(winner seq) prunes early row groups at the scan
                 min_fetch = int(fetch_seqs.min())
-                phase_b_reader([seq_col, content_col], min_seq=min_fetch).map_batches(
+                phase_b_reader(
+                    [seq_col, content_col], min_seq=min_fetch, seq_col=seq_col
+                ).map_batches(
                     route, batch_format="pyarrow", batch_size=batch_size,
                     zero_copy_batch=True,
                 ).take_all()
@@ -951,8 +990,12 @@ def run_replay(
                     if f.endswith(".parquet")
                 )
             ds = rd.read_parquet(events_path)
-            def phase_b_reader(columns, min_seq=None, _p=events_path):
-                seq_col = columns[0]
+
+            # ``seq_col`` is passed EXPLICITLY by apply_epoch (the raw name
+            # of the seq column in the source files) — never inferred from
+            # column-list position, which silently breaks once the evolved
+            # schema doesn't lead with seq.
+            def phase_b_reader(columns, min_seq=None, seq_col="seq", _p=events_path):
                 if min_seq is not None:
                     return rd.read_parquet(
                         _p, columns=columns, filter=pc.field(seq_col) >= min_seq
@@ -964,8 +1007,8 @@ def run_replay(
                 events_path, filter=(pc.field("seq") > lo) & (pc.field("seq") <= hi)
             )
 
-            def phase_b_reader(columns, min_seq=None, _p=events_path, _lo=lo, _hi=hi):
-                seq_col = columns[0]
+            def phase_b_reader(columns, min_seq=None, seq_col="seq",
+                               _p=events_path, _lo=lo, _hi=hi):
                 lo_eff = max(_lo, (min_seq - 1) if min_seq is not None else _lo)
                 return rd.read_parquet(
                     _p,

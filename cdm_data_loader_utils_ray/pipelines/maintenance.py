@@ -84,9 +84,16 @@ def _rewrite_partitions(
         touched_rows += r["touched_rows"]
         if r["changed"]:
             changed += 1
+            # carry the prior hwm forward: the rewritten file's max(seq) can
+            # be LOWER than the partition's applied high-water mark (e.g.
+            # the dropped tombstone held the max seq).  Recomputing hwm from
+            # surviving rows would let a partial redelivery in
+            # (new_hwm, old_hwm] resurrect a compacted delete.
+            prev_hwm = m.partitions[r["pid"]].hwm_seq
             partitions[r["pid"]] = PartitionEntry(
                 pid=r["pid"], files=[r["file"]], rows=r["rows"],
-                hwm_seq=r["hwm_seq"], live_keys=r["live_keys"], bytes=r["bytes"],
+                hwm_seq=max(r["hwm_seq"], prev_hwm), live_keys=r["live_keys"],
+                bytes=r["bytes"],
             )
         else:
             partitions[r["pid"]] = m.partitions[r["pid"]]

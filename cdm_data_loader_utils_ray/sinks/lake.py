@@ -40,6 +40,9 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema, rename_columns
+from cdm_data_loader_utils_ray.state.upsert import merge_states
+
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 AUDIT_DIR = "_audit"
@@ -170,6 +173,22 @@ class Manifest:
         )
 
 
+def merge_chain_files(table_dir: str, files: list[str], m: "Manifest") -> pa.Table:
+    """LWW-merge one partition's delta-chain files, applying the manifest's
+    ``rename_history`` per file BEFORE schema alignment (older chain files
+    may predate a column rename; without the rename they would silently
+    align to null) — the same per-file treatment as
+    ``pipelines.cdc._merge_chain_table``."""
+    parts = [
+        align_to_schema(
+            rename_columns(pq.read_table(os.path.join(table_dir, f)), m.rename_history),
+            m.schema,
+        )
+        for f in files
+    ]
+    return merge_states(None, pa.concat_tables(parts), m.schema)
+
+
 class LakeTable:
     """One logical table in the lake (Delta-table analogue)."""
 
@@ -275,19 +294,9 @@ class LakeTable:
         def merge_chain(batch: dict) -> pa.Table:
             import pyarrow.compute as pc
 
-            from cdm_data_loader_utils_ray.state.upsert import merge_states
-
             out = []
             for pid in batch["item"]:
-                lake = LakeTable(table_dir)
-                t = merge_states(
-                    None,
-                    pa.concat_tables(
-                        [pq.read_table(lake.abspath(f)) for f in chains[int(pid)]],
-                        promote_options="permissive",
-                    ),
-                    m.schema,
-                )
+                t = merge_chain_files(table_dir, chains[int(pid)], m)
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
                 out.append(t)
@@ -299,19 +308,14 @@ class LakeTable:
 
     def read_state_arrow(self, manifest: Manifest | None = None, live_only: bool = True) -> pa.Table:
         """Driver-side full read — tests and small tables only.  LWW-merges
-        each partition's delta chain."""
-        from cdm_data_loader_utils_ray.state.upsert import merge_states
-
+        each partition's delta chain (rename_history applied per file)."""
         m = manifest or self.latest_manifest()
         if m is None or not m.partitions:
             return (m.schema if m else pa.schema([])).empty_table()
-        parts = []
-        for p in sorted(m.partitions.values(), key=lambda p: p.pid):
-            chain = pa.concat_tables(
-                [pq.read_table(self.abspath(f)) for f in p.files],
-                promote_options="permissive",
-            )
-            parts.append(merge_states(None, chain, m.schema))
+        parts = [
+            merge_chain_files(self.dir, p.files, m)
+            for p in sorted(m.partitions.values(), key=lambda p: p.pid)
+        ]
         t = pa.concat_tables(parts) if parts else m.schema.empty_table()
         if live_only and "is_deleted" in t.column_names:
             import pyarrow.compute as pc
@@ -348,19 +352,13 @@ class LakeTable:
         """SELECT * LIMIT n over committed state (reference
         ``preview_or_skip``, ``utils/spark_delta.py:227-237``): merges one
         partition chain at a time until n rows are collected."""
-        from cdm_data_loader_utils_ray.state.upsert import merge_states
-
         m = self.latest_manifest()
         if m is None or not m.partitions:
             return (m.schema if m else pa.schema([])).empty_table()
         out: list[pa.Table] = []
         got = 0
         for p in sorted(m.partitions.values(), key=lambda p: p.pid):
-            chain = pa.concat_tables(
-                [pq.read_table(self.abspath(f)) for f in p.files],
-                promote_options="permissive",
-            )
-            t = merge_states(None, chain, m.schema)
+            t = merge_chain_files(self.dir, p.files, m)
             out.append(t.slice(0, n - got))
             got += min(len(t), n - got)
             if got >= n:

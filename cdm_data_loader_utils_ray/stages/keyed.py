@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
+from cdm_data_loader_utils_ray.state.upsert import _lww_take_indices
 
 _BUCKET = "__bucket__"
 
@@ -55,17 +56,21 @@ def lww_latest(
     def combine(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        df = _lww_pandas(batch.to_pandas(), keys, seq_column)
-        out = pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native per-key argmax (state.upsert._lww_take_indices): one
+        # multi-key sort_indices + boundary detection — no pandas round-trip
+        # of the payload columns in the map stage.
+        out = batch.take(_lww_take_indices(batch, keys, seq_column))
         return _add_bucket(out, keys, num_buckets)
 
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return _lww_pandas(df, keys, seq_column).drop(columns=[_BUCKET])
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        return group.take(_lww_take_indices(group, keys, seq_column)).drop_columns(
+            [_BUCKET]
+        )
 
     return (
         ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
         .groupby(_BUCKET)
-        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 

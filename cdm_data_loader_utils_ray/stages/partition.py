@@ -35,10 +35,13 @@ def stable_key_hash(batch: pa.Table, key_columns: Sequence[str]) -> np.ndarray:
 
     key = batch.column(key_columns[0])
     if len(key_columns) > 1:
+        # binary_join_element_wise treats its LAST argument as the separator:
+        # the parts come first, then ONE '\x1f' scalar (r2 fix: r1 passed the
+        # separator interleaved, which made the last part the separator and
+        # concatenated keys without a delimiter — ('ab','c') == ('a','bc')).
+        # Hash frozen again as of r2.
         parts = [batch.column(c).cast(pa.string()) for c in key_columns]
-        sep = [pa.scalar("\x1f")] * (2 * len(parts) - 1)
-        sep[0::2] = parts
-        key = pc.binary_join_element_wise(*sep)
+        key = pc.binary_join_element_wise(*parts, pa.scalar("\x1f"))
     else:
         key = key.cast(pa.string())
     if isinstance(key, pa.ChunkedArray):

@@ -38,7 +38,13 @@ from cdm_data_loader_utils_ray.state.upsert import events_to_state, merge_states
 
 @ray.remote(num_cpus=0.25)
 class UpsertShard:
-    """One partition's in-memory LWW state (reference T7, SURVEY §2.4)."""
+    """One partition's in-memory LWW state (reference T7, SURVEY §2.4).
+
+    Incoming deltas are BUFFERED and merged into the resident state only
+    when the buffer grows past a fraction of the state (or at snapshot) —
+    a per-micro-batch ``merge_states`` would re-sort the shard's ENTIRE
+    state every batch, O(S log S) per batch over a long-running tailer.
+    LWW is order-independent, so deferring the merge is semantics-free."""
 
     def __init__(self, table_dir: str, pid: int, prior_chain: list[str] | None,
                  state_schema_bytes: bytes):
@@ -54,16 +60,33 @@ class UpsertShard:
             self.state = merge_states(None, chain, self.schema)
         self.dirty = False
         self.applied = 0
+        self.pending: list[pa.Table] = []
+        self.pending_rows = 0
+        self.merges = 0  # full-state merges performed (observability)
+
+    def _flush(self) -> None:
+        if not self.pending:
+            return
+        delta = pa.concat_tables(self.pending, promote_options="permissive")
+        self.state = merge_states(self.state, delta, self.schema)
+        self.pending, self.pending_rows = [], 0
+        self.merges += 1
 
     def apply(self, delta: pa.Table) -> int:
-        """Idempotent LWW merge of prepped state rows into shard state."""
-        self.state = merge_states(self.state, delta, self.schema)
+        """Idempotent LWW merge of prepped state rows into shard state
+        (buffered; merged when the buffer reaches ~1/4 of resident state)."""
+        self.pending.append(delta)
+        self.pending_rows += len(delta)
         self.dirty = True
         self.applied += len(delta)
+        state_rows = len(self.state) if self.state is not None else 0
+        if self.pending_rows >= max(4096, state_rows // 4):
+            self._flush()
         return len(delta)
 
     def snapshot(self, epoch: int) -> dict:
         """Write the shard's state as this epoch's partition file."""
+        self._flush()
         state = self.state if self.state is not None else self.schema.empty_table()
         entry = self.lake.write_partition(state, self.pid, epoch)
         self.dirty = False
@@ -74,11 +97,13 @@ class UpsertShard:
         }
 
     def stats(self) -> dict:
+        self._flush()
         return {
             "pid": self.pid,
             "rows": len(self.state) if self.state is not None else 0,
             "applied": self.applied,
             "dirty": self.dirty,
+            "merges": self.merges,
         }
 
 
@@ -103,8 +128,22 @@ class StreamingUpserter:
             self.rename_history = {}
         self.event_schema = event_schema
         schema_bytes = self.state_schema.serialize().to_pybytes()
+        # Actor-headroom invariant (CLAUDE.md / functions.dedup._pool_size):
+        # the shard pool's total CPU reservation must stay well below the
+        # cluster's CPU count or feed()'s map_batches tasks get no slots and
+        # the pipeline deadlocks (P=32 × 0.25 = 8 CPUs starves an 8-CPU
+        # cluster).  Cap the pool at half the cluster, scaling the per-shard
+        # reservation down as P grows; shards are mostly-idle receivers, so
+        # fractional CPUs are accurate, not a dodge.
+        try:
+            cluster_cpus = float(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cluster_cpus = 4.0
+        cpu_per_shard = min(0.25, max(0.01, (cluster_cpus / 2.0) / self.P))
         self.shards = [
-            UpsertShard.remote(table_dir, pid, prior_files.get(pid), schema_bytes)
+            UpsertShard.options(num_cpus=cpu_per_shard).remote(
+                table_dir, pid, prior_files.get(pid), schema_bytes
+            )
             for pid in range(self.P)
         ]
 

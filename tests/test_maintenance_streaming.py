@@ -158,3 +158,28 @@ def test_chain_length_bounded_by_auto_fold(tmp_path):
     if folded is not None:
         assert max(len(p.files) for p in folded.partitions.values()) <= 2
     assert read_final_state_arrow(t2).num_rows == n
+
+
+def test_streaming_shard_buffers_deltas(tmp_path):
+    """Buffered apply (r2): many micro-batches trigger far fewer full-state
+    merges than batches, and the converged state is identical to a full
+    replay through the batch engine."""
+    ev_path = str(tmp_path / "ev.parquet")
+    write_events(ev_path, make_events(num_keys=80, num_events=2000, seed=31))
+    run_replay(ev_path, str(tmp_path / "batch"), num_partitions=2)
+    batch_state = read_final_state_arrow(LakeTable(str(tmp_path / "batch")))
+
+    s = StreamingUpserter(str(tmp_path / "stream"), num_partitions=2)
+    # tiny micro-batches => many apply() calls per shard
+    s.feed(rd.read_parquet(ev_path), batch_size=64)
+    stats = s.shard_stats()  # flushes pending buffers
+    n_batches_lower_bound = 2000 // 64
+    for st in stats:
+        assert st["merges"] < n_batches_lower_bound / 2, st
+    s.commit()
+    stream_state = read_final_state_arrow(LakeTable(str(tmp_path / "stream")))
+    s.shutdown()
+    b = batch_state.sort_by([("repo", "ascending"), ("path", "ascending")])
+    t = stream_state.sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert b["seq"].to_pylist() == t["seq"].to_pylist()
+    assert b["content_sha256"].to_pylist() == t["content_sha256"].to_pylist()
