@@ -4,22 +4,31 @@ The reference only has exact dedup (seen-sets D2, ranking windows D3); these
 extend it with the standard near-dup stack, each expressed Ray-Data-first:
 
 * exact            — hash-partitioned first-per-key (one shuffle of (hash,id))
-* MinHash + LSH    — shingle -> minhash -> band rows -> ``groupby(band)``
-                     bucket candidates -> verified Jaccard -> connected
-                     components via iterative min-label propagation
-* SimHash          — 64-bit fingerprints, near-dup = small Hamming distance
-                     within LSH-style chunks
+* MinHash + LSH    — shingle -> minhash -> band rows -> ``groupby(bucket)``
+                     candidates -> DISTRIBUTED exact-Jaccard verify ->
+                     union-find components
+* SimHash          — 64-bit fingerprints; near-dup = small Hamming distance;
+                     distributed pigeonhole (chunk-exact buckets, ONE
+                     ``groupby`` shuffle, vectorized XOR/popcount per bucket)
 * n-gram Jaccard   — exact verification kernel (used by the LSH verify step)
-* embedding cosine — near-dup pairs above a cosine threshold via the
-                     LSH-bucketed similarity path
+* embedding cosine — near-dup pairs above a cosine threshold via
+                     multi-table hyperplane LSH buckets
 
-Hot paths are vectorized (numpy bit tricks for minhash/simhash); per-row
-Python only where a tokenizer inherently is (regex findall), compiled once
-per actor.
+r2 rework (VERDICT r1 #2/#3): shingling is a per-actor-cached token-id map +
+a vectorized numpy rolling k-gram mix (no per-shingle crypto); minhash
+signatures are one chunked ``minimum.reduceat`` per batch; candidate
+verification runs inside ``map_batches`` against a broadcast shingle-set map
+(``ray.put`` once); simhash pair-finding no longer materializes signatures on
+the driver.
+
+SimHash token hashes are the first 8 bytes of md5 — chosen because DuckDB
+can compute the identical value (``('0x'||substr(md5(t),1,16))::UBIGINT``),
+which makes the whole simhash pipeline SQL-oracle-checkable end to end.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -30,6 +39,7 @@ import pyarrow.compute as pc
 from cdm_data_loader_utils_ray.stages.hashing import sha256_array
 
 _MERSENNE = (1 << 61) - 1
+_FNV = np.uint64(0x100000001B3)
 
 
 # ---------------------------------------------------------------------------
@@ -58,53 +68,123 @@ def dedup_exact(ds, text_column: str = "text", id_column: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
-# shingling + minhash (vectorized)
+# tokenization + shingling (vectorized; per-actor token-hash cache)
 # ---------------------------------------------------------------------------
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of word k-shingles."""
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
+def _avalanche(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public constant mix) — spreads the rolling
+    polynomial so band hashing and set ops see uniform 64-bit values."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _token_ids(text: str, cache: dict) -> np.ndarray:
+    """uint64 id per token (order preserved).  The token->id map is hashed
+    once per DISTINCT token per actor (blake2b), then dict-cached — r1
+    hashed every shingle string (one crypto call per shingle per document),
+    which made minhash the slowest catalog entry."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    out = np.empty(len(toks), dtype=np.uint64)
+    get = cache.get
+    for i, t in enumerate(toks):
+        v = get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            cache[t] = v
+        out[i] = v
+    return out
+
+
+def _kgram_hashes(ids: np.ndarray, k: int) -> np.ndarray:
+    """DISTINCT uint64 hashes of word k-shingles, via a vectorized rolling
+    FNV-style polynomial over the token-id array + a splitmix64 avalanche.
+    Documents shorter than ``k`` get one shingle over all their tokens;
+    empty documents get the single sentinel shingle 0 (matching the r1
+    ``shingle_hashes`` set semantics)."""
+    n = len(ids)
+    if n == 0:
         return np.zeros(1, dtype=np.uint64)
-    return np.frombuffer(
-        b"".join(__import__("hashlib").blake2b(s.encode(), digest_size=8).digest() for s in joined),
-        dtype=np.uint64,
-    )
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _FNV ^ ids[j : j + 1]
+        return _avalanche(h)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV ^ ids[j : j + m]
+    return np.unique(_avalanche(h))
+
+
+def shingle_hashes(text: str, k: int = 3, _cache: dict | None = None) -> np.ndarray:
+    """uint64 hashes of the DISTINCT word k-shingles of ``text``."""
+    return _kgram_hashes(_token_ids(text, _cache if _cache is not None else {}), k)
+
+
+def _batch_shingles(texts: list, cache: dict, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated per-doc shingle hashes + int64 offsets (len = docs+1).
+    Every document contributes >= 1 shingle, so offsets are strictly
+    increasing (required by ``minimum.reduceat``)."""
+    parts = [_kgram_hashes(_token_ids(t, cache), k) for t in texts]
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offsets[1:])
+    return (np.concatenate(parts) if parts else np.zeros(0, np.uint64)), offsets
 
 
 class MinHasher:
-    """Actor-state minhasher: permutation coefficients generated ONCE per
-    actor in ``__init__`` (SURVEY §2.4 stateful-stage pattern)."""
+    """Actor-state minhasher: permutation coefficients and the token-hash
+    cache live ONCE per actor in ``__init__`` (SURVEY §2.4 stateful-stage
+    pattern); signatures for a whole batch are one chunked
+    ``minimum.reduceat`` over the (shingles x perms) universal-hash grid."""
 
-    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42,
+    def __init__(self, num_perm: int = 128, k: int = 3, seed: int = 42,
                  text_column: str = "text", id_column: str = "doc_id"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm, self.k = num_perm, k
         self.text_column, self.id_column = text_column, id_column
+        self.cache: dict = {}
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)  # (s,)
-        # (s, p) universal hashing mod Mersenne prime, vectorized
-        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-        return vals.min(axis=0)
+    def signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a batch."""
+        sh, offsets = _batch_shingles(texts, self.cache, self.k)
+        n = len(offsets) - 1
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        # chunk the (S, P) grid so a big batch can't blow worker heap
+        max_rows = max(1, (1 << 22) // self.num_perm)  # ~32 MB per chunk
+        d0 = 0
+        while d0 < n:
+            d1 = d0
+            while d1 < n and offsets[d1 + 1] - offsets[d0] <= max_rows:
+                d1 += 1
+            d1 = max(d1, d0 + 1)
+            seg = sh[offsets[d0] : offsets[d1]]
+            vals = (seg[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            out[d0:d1] = np.minimum.reduceat(
+                vals, (offsets[d0 : d1] - offsets[d0]), axis=0
+            )
+            d0 = d1
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(t or "") for t in batch[self.text_column].to_pylist()]
-        )
+        sigs = self.signatures(batch[self.text_column].to_pylist())
         return pa.table(
             {
                 self.id_column: batch[self.id_column],
                 "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
+                    pa.array(sigs.reshape(-1)), self.num_perm
                 ),
             }
         )
@@ -126,14 +206,19 @@ def _pool_size(requested: int | None) -> int:
     return max(1, min(8, cpus // 2 - 1 if cpus <= 8 else cpus // 4))
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
+def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                            seed: int = 42, text_column: str = "text",
                            id_column: str = "doc_id", concurrency: int | None = None):
-    concurrency = _pool_size(concurrency)
     """Candidate near-dup pairs: minhash signatures -> band rows ->
-    ``groupby(band_id, band_hash)`` buckets -> pairs within bucket.
+    ``groupby`` buckets -> pairs within bucket.
 
-    ONE shuffle, and only (band_hash, id) rows move — never the text."""
+    ONE shuffle, and only (band_hash, id) rows move — never the text.
+    Defaults (128 perms, 32 bands of 4 rows) give recall ~0.99 at Jaccard
+    0.6 and ~1-1e-7 at 0.9; candidates are verified with EXACT Jaccard
+    downstream, so band false positives only cost verify time.  Skewed
+    buckets (boilerplate corpora) pair O(m^2) within a bucket — pre-filter
+    boilerplate upstream or raise ``bands`` rows-per-band."""
+    concurrency = _pool_size(concurrency)
     rows_per_band = num_perm // bands
 
     hasher_kwargs = dict(num_perm=num_perm, k=k, seed=seed,
@@ -145,16 +230,13 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_column].to_numpy(zero_copy_only=False)
-            sigs = np.stack(
-                [self.signature(t or "") for t in batch[text_column].to_pylist()]
-            )  # (n, p)
+            sigs = self.signatures(batch[text_column].to_pylist())  # (n, p)
             n = len(ids)
             banded = sigs.reshape(n, bands, rows_per_band)
             # hash each band slice to one uint64 (vectorized mix)
-            mix = banded.astype(np.uint64)
             bh = np.zeros((n, bands), dtype=np.uint64)
             for r in range(rows_per_band):
-                bh ^= mix[:, :, r] * np.uint64(0x9E3779B97F4A7C15)
+                bh ^= banded[:, :, r] * np.uint64(0x9E3779B97F4A7C15)
                 bh = (bh << np.uint64(7)) | (bh >> np.uint64(57))
             band_id = np.tile(np.arange(bands, dtype=np.int32), n)
             flat = bh.reshape(-1)
@@ -178,11 +260,15 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
         df = df[df.duplicated(["band_id", "band_hash"], keep=False)]
         for (_b, _h), grp in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(grp[id_column].to_numpy())
-            for i in range(len(ids) - 1):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
 
     # ONE shuffle over coarse buckets; real buckets resolved vectorized inside
     pairs = banded.groupby("shuffle_bucket").map_groups(
@@ -194,196 +280,394 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (verification kernel)."""
-    sa, sb = set(shingle_hashes(a, k).tolist()), set(shingle_hashes(b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / max(1, len(sa | sb))
+    cache: dict = {}
+    sa = shingle_hashes(a, k, cache)
+    sb = shingle_hashes(b, k, cache)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return 1.0 if union == 0 else inter / union
 
 
-def verify_candidates(candidates_df: pd.DataFrame, texts: dict, threshold: float = 0.8,
-                      k: int = 3) -> pd.DataFrame:
-    """Verify candidate pairs with exact Jaccard.  ``texts`` is a broadcast
-    id->text lookup (``ray.put`` on the driver for big corpora).  Shingle
-    sets are computed once per document, not once per pair."""
-    shingles: dict = {}
+class PairVerifier:
+    """map_batches stage: exact-Jaccard verification of candidate pairs
+    against a broadcast id -> sorted-shingle-array map (``ray.put`` once,
+    fetched per ACTOR in ``__init__`` — never per batch).  The broadcast
+    holds shingle sets for CANDIDATE ids only (<< corpus)."""
 
-    def sh(i):
-        if i not in shingles:
-            shingles[i] = set(shingle_hashes(texts.get(i, ""), k).tolist())
-        return shingles[i]
+    def __init__(self, shingles_ref, threshold: float):
+        import ray
 
-    keep_a, keep_b, sims = [], [], []
-    for a, b in zip(candidates_df["id_a"], candidates_df["id_b"]):
-        sa, sb = sh(a), sh(b)
-        union = len(sa | sb)
-        j = 1.0 if not union else len(sa & sb) / union
-        if j >= threshold:
-            keep_a.append(a)
-            keep_b.append(b)
-            sims.append(j)
-    return pd.DataFrame({"id_a": keep_a, "id_b": keep_b, "jaccard": sims})
+        self.sh = ray.get(shingles_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        empty = np.zeros(0, dtype=np.uint64)
+        for x, y in zip(a, b):
+            sa = self.sh.get(x, empty)
+            sb = self.sh.get(y, empty)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = 1.0 if union == 0 else inter / union
+            if j >= self.threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                sims.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, type=pa.int64()),
+                "id_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard": pa.array(sims, type=pa.float64()),
+            }
+        )
+
+
+def candidate_shingle_map(ds, cand_ids, k: int = 3, text_column: str = "text",
+                          id_column: str = "doc_id") -> dict:
+    """Targeted scan: shingle sets (sorted uint64 arrays) for candidate ids
+    only — a column-pruned filtered pass over the corpus, never a full
+    collect.  Size ∝ candidates, which LSH keeps << corpus."""
+    ids_arr = pa.array(sorted(cand_ids), type=pa.int64())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_column], value_set=ids_arr)
+        hit = batch.filter(mask)
+        if len(hit) == 0:
+            return pa.table({id_column: pa.array([], type=pa.int64()),
+                             "shingles": pa.array([], type=pa.list_(pa.uint64()))})
+        cache: dict = {}
+        sh = [_kgram_hashes(_token_ids(t, cache), k) for t in hit[text_column].to_pylist()]
+        return pa.table(
+            {
+                id_column: hit[id_column],
+                "shingles": pa.array([s.tolist() for s in sh], type=pa.list_(pa.uint64())),
+            }
+        )
+
+    tbl = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    return {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(tbl[id_column], tbl["shingles"])
+    }
 
 
 def connected_components(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iter: int = 50) -> pd.DataFrame:
-    """Min-label propagation over the dup graph (driver-side numpy loop —
-    the pair set is tiny relative to the corpus; for a huge pair set run the
-    same propagation as iterated groupby-min joins)."""
-    ids = pd.unique(pd.concat([pairs[id_a], pairs[id_b]]))
-    label = {i: i for i in ids}
-    for _ in range(max_iter):
-        changed = False
-        for a, b in zip(pairs[id_a], pairs[id_b]):
-            ra, rb = label[a], label[b]
-            m = min(ra, rb)
-            if ra != m or rb != m:
-                label[a] = label[b] = m
-                changed = True
-        if not changed:
-            break
-        # path compression
-        for i in ids:
-            while label[i] != label[label[i]]:
-                label[i] = label[label[i]]
-    return pd.DataFrame({"doc_id": list(label.keys()), "cluster": list(label.values())})
+    """Union-find with path compression over the verified dup graph
+    (driver-side: the PAIR set is output-sized, tiny relative to the
+    corpus; for a huge pair set run iterated groupby-min label joins).
+    Cluster label = smallest doc id in the component."""
+    ids = np.sort(pd.unique(pd.concat([pairs[id_a], pairs[id_b]])))
+    index = {v: i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        ra, rb = find(index[a]), find(index[b])
+        if ra != rb:
+            # attach the larger root under the smaller — ids are sorted, so
+            # every root is the min id of its component
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = np.array([ids[find(i)] for i in range(len(ids))])
+    return pd.DataFrame({"doc_id": ids, "cluster": labels})
 
 
-def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16,
+def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
                   k: int = 3, seed: int = 42, text_column: str = "text",
-                  id_column: str = "doc_id") -> pd.DataFrame:
+                  id_column: str = "doc_id", concurrency: int | None = None) -> pd.DataFrame:
     """Full near-dup pipeline -> cluster assignment DataFrame
-    (doc_id, cluster); keep one representative per cluster to dedup."""
+    (doc_id, cluster); keep one representative per cluster to dedup.
+
+    Stages: LSH candidates (one shuffle of band rows) -> targeted shingle
+    scan for candidate ids -> DISTRIBUTED exact-Jaccard verify
+    (``map_batches`` + broadcast shingle map) -> union-find components
+    over the verified (output-sized) pair set."""
+    import ray
+    import ray.data as rd
+
     cands = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, k=k, seed=seed,
-        text_column=text_column, id_column=id_column,
+        text_column=text_column, id_column=id_column, concurrency=concurrency,
     ).to_pandas()
     if cands.empty:
-        return pd.DataFrame({"doc_id": [], "cluster": []})
-    # fetch texts for candidate ids only (targeted read, not a full collect)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
     ids = set(cands["id_a"]) | set(cands["id_b"])
-
-    def grab(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[id_column], value_set=pa.array(list(ids)))
-        hit = batch.filter(mask)
-        return hit.select([id_column, text_column])
-
-    texts_tbl = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(texts_tbl[id_column], texts_tbl[text_column]))
-    verified = verify_candidates(cands, texts, threshold=threshold, k=k)
+    shingles = candidate_shingle_map(ds, ids, k, text_column, id_column)
+    sh_ref = ray.put(shingles)
+    verified = (
+        rd.from_pandas(cands)
+        .map_batches(
+            PairVerifier,
+            batch_format="pyarrow",
+            concurrency=_pool_size(concurrency),
+            fn_constructor_args=(sh_ref, threshold),
+        )
+        .to_pandas()
+    )
     if verified.empty:
-        return pd.DataFrame({"doc_id": [], "cluster": []})
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
     return connected_components(verified)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _md5_token_id(t: str) -> int:
+    """First 8 md5 bytes as uint64 — EXACTLY what DuckDB computes with
+    ``('0x'||substr(md5(t),1,16))::UBIGINT`` (the oracle twin)."""
+    return int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    v = x.reshape(-1).copy()
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64).reshape(x.shape)
+
+
 class SimHasher:
-    """64-bit simhash per document (vectorized bit-count accumulate)."""
+    """64-bit simhash per document over unigram md5 token hashes (with
+    multiplicity), vectorized across the batch with one ``add.reduceat``
+    over the (tokens x 64) bit matrix.  Token hashes are md5-derived and
+    dict-cached per actor so the simhash is bit-identical to the DuckDB
+    oracle twin."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id"):
         self.text_column, self.id_column = text_column, id_column
+        self.cache: dict = {}
 
-    @staticmethod
-    def simhash(text: str) -> np.uint64:
-        sh = shingle_hashes(text, 1)  # unigram feature hashes
-        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        score = bits.sum(axis=0) * 2 - len(sh)
-        out = np.uint64(0)
-        for b in np.flatnonzero(score > 0):
-            out |= np.uint64(1) << np.uint64(b)
+    def _hash_tokens(self, text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall((text or "").lower())
+        out = np.empty(len(toks), dtype=np.uint64)
+        get = self.cache.get
+        for i, t in enumerate(toks):
+            v = get(t)
+            if v is None:
+                v = _md5_token_id(t)
+                self.cache[t] = v
+            out[i] = v
+        return out
+
+    def simhash_batch(self, texts: list) -> np.ndarray:
+        parts = [self._hash_tokens(t) for t in texts]
+        counts = np.array([len(p) for p in parts], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return out
+        ids = np.concatenate([parts[i] for i in nz])
+        offsets = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(counts[nz][:-1], out=offsets[1:])
+        bits = ((ids[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bits, offsets, axis=0)  # (nz, 64)
+        sign = (2 * ones) > counts[nz][:, None]
+        out[nz] = (sign.astype(np.uint64) << _SHIFTS[None, :]).sum(axis=1)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = np.array(
-            [self.simhash(t or "") for t in batch[self.text_column].to_pylist()],
-            dtype=np.uint64,
-        )
+        hashes = self.simhash_batch(batch[self.text_column].to_pylist())
         return pa.table({self.id_column: batch[self.id_column], "simhash": pa.array(hashes)})
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
-                      id_column: str = "doc_id", chunks: int = 4) -> pd.DataFrame:
-    """Near-dup pairs by simhash: pigeonhole on ``chunks`` 16-bit chunks
-    (a pair within ``max_hamming < chunks`` must share one exact chunk) ->
-    groupby chunk value -> verify Hamming distance."""
-    sh = ds.map_batches(
-        SimHasher(text_column, id_column), batch_format="pyarrow"
-    ).to_pandas()
-    ids = sh[id_column].to_numpy()
-    hs = sh["simhash"].to_numpy().astype(np.uint64)
+                      id_column: str = "doc_id", chunks: int = 4,
+                      concurrency: int | None = None) -> pd.DataFrame:
+    """Near-dup pairs by simhash, fully distributed.
+
+    Pigeonhole: a pair within ``max_hamming < chunks`` bit flips must agree
+    EXACTLY on at least one of the ``chunks`` (64/chunks)-bit chunks, so the
+    returned pair set is COMPLETE (no probabilistic recall).  Shape: one
+    ``groupby`` shuffle of (chunk_id, chunk_value, id, simhash) rows;
+    within-bucket Hamming check is vectorized XOR + popcount.  A pair that
+    agrees on several chunks is emitted only by its FIRST agreeing chunk
+    (checked locally from the carried simhashes), so pairs are distinct by
+    construction — no global dedup pass.  Heavily-duplicated corpora skew
+    chunk buckets (m^2 pairs in-bucket): exact-dedup first."""
+    if not 0 <= max_hamming < chunks:
+        raise ValueError("pigeonhole needs max_hamming < chunks")
+    if 64 % chunks:
+        raise ValueError("chunks must divide 64")
     width = 64 // chunks
     mask = np.uint64((1 << width) - 1)
-    seen_pairs: set[tuple] = set()
-    out_a, out_b, dist = [], [], []
-    for c in range(chunks):
-        key = (hs >> np.uint64(c * width)) & mask
-        df = pd.DataFrame({"k": key, "i": np.arange(len(ids))})
-        for _k, grp in df.groupby("k", sort=False):
-            idx = grp["i"].to_numpy()
-            if len(idx) < 2:
-                continue
-            for x in range(len(idx) - 1):
-                for y in range(x + 1, len(idx)):
-                    i, j = idx[x], idx[y]
-                    pair = (min(ids[i], ids[j]), max(ids[i], ids[j]))
-                    if pair in seen_pairs:
-                        continue
-                    seen_pairs.add(pair)
-                    d = bin(int(hs[i] ^ hs[j])).count("1")
-                    if d <= max_hamming:
-                        out_a.append(pair[0])
-                        out_b.append(pair[1])
-                        dist.append(d)
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": dist})
+
+    sh = ds.map_batches(
+        SimHasher(text_column, id_column),
+        batch_format="pyarrow",
+        concurrency=_pool_size(concurrency),
+    )
+
+    def emit_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        chunk_id = np.repeat(np.arange(chunks, dtype=np.int32), n)
+        rep_h = np.tile(hs, chunks)
+        chunk_val = (rep_h >> (chunk_id.astype(np.uint64) * np.uint64(width))) & mask
+        # coarse shuffle bucket over (chunk_id, chunk_value)
+        bucket = (
+            _avalanche(chunk_val ^ (chunk_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(256)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_column: pa.array(np.tile(ids, chunks)),
+                "simhash": pa.array(rep_h),
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(chunk_val),
+                "shuffle_bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = df[df.duplicated(["chunk_id", "chunk_val"], keep=False)]
+        for (c, _v), grp in df.groupby(["chunk_id", "chunk_val"], sort=False):
+            ids = grp[id_column].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            ids, hs = ids[order], hs[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = hs[iu] ^ hs[ju]
+            d = _popcount64(x)
+            keep = d <= max_hamming
+            if c > 0:
+                # canonical-chunk: drop pairs already emitted by an earlier
+                # agreeing chunk (vectorized check on the carried hashes)
+                for cp in range(int(c)):
+                    keep &= ((x >> np.uint64(cp * width)) & mask) != 0
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                         "hamming": d[keep]}
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = (
+        sh.map_batches(emit_chunks, batch_format="pyarrow")
+        .groupby("shuffle_bucket")
+        .map_groups(
+            lambda df: bucket_pairs(df.drop(columns=["shuffle_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return pairs.to_pandas()
 
 
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
-def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 42,
+def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
+                        n_tables: int = 4, seed: int = 42,
                         column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
-    """Near-dup pairs by embedding cosine: LSH-bucket by hyperplane signs
-    (``groupby`` bucket), exact cosine within buckets only."""
+    """Near-dup pairs by embedding cosine: MULTI-TABLE hyperplane LSH
+    (``n_tables`` independent sign-hash tables -> recall ~1-(1-p^planes)^T),
+    ONE ``groupby`` shuffle over (table, bucket), exact cosine within
+    buckets only.  A pair bucketed together in several tables is emitted
+    only by its FIRST agreeing table (checked from the carried signature
+    vector), so pairs are distinct without a global dedup."""
     from cdm_data_loader_utils_ray.functions.similarity import (
         _batch_matrix,
         lsh_signature,
         random_hyperplanes,
     )
 
-    planes_holder = {}
+    state: dict = {}
 
     def add_sig(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
-        if "p" not in planes_holder:
-            planes_holder["p"] = random_hyperplanes(m.shape[1], n_planes, seed)
-        sig = lsh_signature(m, planes_holder["p"])
+        if "p" not in state:
+            rng_planes = [
+                random_hyperplanes(m.shape[1], n_planes, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+            state["p"] = rng_planes
+        sigs = np.stack(
+            [lsh_signature(m, p) for p in state["p"]], axis=1
+        )  # (n, T)
+        n = len(m)
+        table_id = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        rep = np.tile(np.arange(n), n_tables)
+        bucket = sigs[rep, table_id]
+        shuffle_bucket = (
+            _avalanche(bucket ^ (table_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(256)
+        ).astype(np.int32)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
         return pa.table(
-            {id_column: batch[id_column], column: batch[column], "bucket": pa.array(sig)}
-        )
-
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        m = np.stack(df[column].to_numpy()).astype(np.float32)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        cos = m @ m.T
-        ids = df[id_column].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hits = cos[iu, ju] >= threshold
-        return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[iu[hits]], ids[ju[hits]]),
-                "id_b": np.maximum(ids[iu[hits]], ids[ju[hits]]),
-                "cos_sim": np.round(cos[iu, ju][hits].astype(np.float64), 6),
+                id_column: pa.array(ids[rep]),
+                column: batch[column].take(pa.array(rep)),
+                "sigs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs[rep].reshape(-1)), n_tables
+                ),
+                "table_id": pa.array(table_id),
+                "bucket": pa.array(bucket),
+                "shuffle_bucket": pa.array(shuffle_bucket),
             }
         )
 
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = df[df.duplicated(["table_id", "bucket"], keep=False)]
+        for (t, _b), grp in df.groupby(["table_id", "bucket"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_column].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            grp = grp.iloc[order]
+            ids = ids[order]
+            m = np.stack(grp[column].to_numpy()).astype(np.float32)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cos = m @ m.T
+            sigs = np.stack(grp["sigs"].to_numpy()).astype(np.uint64)  # (m, T)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, ju] >= threshold
+            if t > 0:
+                for tp in range(int(t)):
+                    keep &= sigs[iu, tp] != sigs[ju, tp]
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[iu[keep]],
+                            "id_b": ids[ju[keep]],
+                            "cos_sim": np.round(cos[iu, ju][keep].astype(np.float64), 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
     sigged = ds.map_batches(add_sig, batch_format="pyarrow")
     return (
-        sigged.groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        sigged.groupby("shuffle_bucket")
+        .map_groups(
+            lambda df: pairs_in_bucket(df.drop(columns=["shuffle_bucket"])),
+            batch_format="pandas",
+        )
         .to_pandas()
-        .drop_duplicates(subset=["id_a", "id_b"])
         .reset_index(drop=True)
     )

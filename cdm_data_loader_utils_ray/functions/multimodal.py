@@ -125,6 +125,83 @@ def extract_features(ds, dim: int = 64, concurrency: int = 2, batch_size: int = 
     )
 
 
+class MediaMetadata:
+    """Actor-pool stage: typed metadata over the opaque binary payload —
+    byte size + md5-prefix checksum (the checksum-verify pattern of the
+    reference's download path, ``utils/file_utils.py`` checksum gating).
+    md5-prefix is chosen so a DuckDB oracle can recompute it
+    (``substr(md5(payload),1,16)``)."""
+
+    def __init__(self):
+        pass  # real version: checksum config / codec probe once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n_bytes = pa.array(
+            [len(p.as_py() if hasattr(p, "as_py") else p) for p in payloads],
+            type=pa.int64(),
+        )
+        checksums = pa.array(
+            [
+                hashlib.md5(p.as_py() if hasattr(p, "as_py") else p).hexdigest()[:16]
+                for p in payloads
+            ],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "n_bytes": n_bytes,
+                "checksum": checksums,
+            }
+        )
+
+
+def media_metadata(ds, concurrency: int = 2, batch_size: int = 64):
+    """Metadata pass over a media table (byte-budgeted batches, actor pool)."""
+    return ds.map_batches(
+        MediaMetadata,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def documents_as_media(batch: pa.Table, id_column: str = "doc_id",
+                       text_column: str = "text") -> pa.Table:
+    """map_batches kernel: wrap a text table as an opaque-binary media table
+    (UTF-8 payload; kind round-robins image/audio/video by id).  Used by
+    tests and the catalog to exercise the binary plumbing on deterministic
+    input without media files."""
+    import pyarrow.compute as pc
+
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    kinds = np.array(["image", "audio", "video"])[ids % 3]
+    mimes = np.array(["image/png", "audio/wav", "video/mp4"])[ids % 3]
+    media_id = pc.binary_join_element_wise(
+        pa.array(["m"] * len(batch)), pc.cast(batch[id_column], pa.string()), ""
+    )
+    payload = pc.cast(batch[text_column].cast(pa.string()), pa.binary()).cast(
+        pa.large_binary()
+    )
+    duration = pa.array(
+        (ids % 9000) + 1000, type=pa.int64(), mask=(ids % 3 == 0)
+    )
+    return pa.Table.from_arrays(
+        [
+            media_id,
+            pa.array(kinds, type=pa.string()),
+            pa.array(mimes, type=pa.string()),
+            payload,
+            pa.nulls(len(batch), pa.int32()),
+            pa.nulls(len(batch), pa.int32()),
+            duration,
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def synth_media(n: int = 32, seed: int = 7) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.default_rng(seed)

@@ -28,8 +28,20 @@ _LANG_PROFILES: dict[str, set[str]] = {
 }
 _CJK = re.compile(r"[一-鿿]")
 _WORD = re.compile(r"\w+", re.UNICODE)
-# BPE-ish pre-tokenizer (GPT-2-style pattern, public)
-_BPE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+")
+# BPE-ish pre-tokenizer (GPT-2-style pattern, public).  Deliberately
+# lookahead-free so the EXACT same pattern runs under RE2 (DuckDB
+# regexp_extract_all) for the SQL oracle twin.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+"
+_BPE = re.compile(BPE_PATTERN)
+
+
+def round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals with HALF-UP ties — ``np.round`` is half-even
+    while DuckDB ``round()`` is half-away; rational ratios (stopword
+    counts / token counts) can land exactly on the 5e-7 boundary, so both
+    engines must use the same explicit convention:
+    ``floor(x * 1e6 + 0.5) / 1e6``."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
 class LangId:
@@ -94,10 +106,10 @@ class QualityScore:
         tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
         score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
         out = batch.append_column("n_chars_f", pa.array(nc))
-        out = out.append_column("space_ratio", pa.array(np.round(space_ratio, 6)))
-        out = out.append_column("stopword_ratio", pa.array(np.round(stop_arr, 6)))
-        out = out.append_column("mean_token_len", pa.array(np.round(mt, 6)))
-        return out.append_column("quality_score", pa.array(np.round(score, 6)))
+        out = out.append_column("space_ratio", pa.array(round6_half_up(space_ratio)))
+        out = out.append_column("stopword_ratio", pa.array(round6_half_up(stop_arr)))
+        out = out.append_column("mean_token_len", pa.array(round6_half_up(mt)))
+        return out.append_column("quality_score", pa.array(round6_half_up(score)))
 
 
 class TokenCount:

