@@ -950,6 +950,90 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# 25. UniProt entry extraction through the REAL streaming-XML path:
+#     documents are rendered as deterministic UniProt-shaped <entry> XML,
+#     parsed by sources/uniprot.parse_uniprot_entry (the reference's
+#     flagship extractor, uniprot_kb.py:365-433), and the routed
+#     ``identifier`` table is returned.  The DuckDB twin recomputes the
+#     expected identifier rows directly from the documents columns.
+# ---------------------------------------------------------------------------
+def uniprot_route(sf_dir: str):
+    from cdm_data_loader_utils_ray.sources.uniprot import uniprot_extract_hook
+    from cdm_data_loader_utils_ray.sources.xml_stream import (
+        XmlEntryParser,
+        rows_for_table,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def doc_to_xml(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        entries = []
+        for i in ids:
+            i = int(i)
+            acc2 = f"<accession>Q{i:05d}</accession>" if i % 5 == 0 else ""
+            entries.append(
+                f'<entry dataset="Swiss-Prot" version="1">'
+                f"<accession>P{i:05d}</accession>{acc2}"
+                f"<name>ENTRY_{i}</name>"
+                f'<organism><dbReference type="NCBI Taxonomy" id="{9606 + i % 7}"/></organism>'
+                f'<dbReference type="GO" id="GO:{i % 100:07d}"/>'
+                f'<dbReference type="EMBL" id="EM{i}">'
+                f'<property type="protein sequence ID" value="EMP{i}"/>'
+                f'<property type="molecule type" value="mRNA"/>'
+                f"</dbReference>"
+                f"</entry>"
+            )
+        xml = ("<uniprot>" + "".join(entries) + "</uniprot>").encode()
+        first = int(ids[0]) if len(ids) else 0
+        return pa.table(
+            {
+                "bytes": pa.array([xml], type=pa.large_binary()),
+                "path": pa.array([f"synth-{first}.xml"]),
+            }
+        )
+
+    parsed = ds.map_batches(doc_to_xml, batch_format="pyarrow").map_batches(
+        XmlEntryParser("entry", uniprot_extract_hook(updated="2026-01-01")),
+        batch_format="pyarrow",
+    )
+    ident_schema = pa.schema(
+        [
+            pa.field("entity_id", pa.string()),
+            pa.field("db", pa.string()),
+            pa.field("xref", pa.string()),
+            pa.field("description", pa.string()),
+            pa.field("relationship", pa.string()),
+        ]
+    )
+    return rows_for_table(parsed, "identifier", ident_schema)
+
+
+UNIPROT_ROUTE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'uniprot:P' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS eid,
+         lpad(CAST(doc_id AS VARCHAR), 5, '0') AS pad5
+  FROM documents
+)
+SELECT eid AS entity_id, 'UniProt' AS db, 'P' || pad5 AS xref,
+       'UniProt accession' AS description, NULL::VARCHAR AS relationship FROM d
+UNION ALL
+SELECT eid, 'UniProt', 'Q' || pad5, 'UniProt accession', NULL FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT eid, 'GO', lpad(CAST(doc_id % 100 AS VARCHAR), 7, '0'), NULL, NULL FROM d
+UNION ALL
+SELECT eid, 'genbank', 'EM' || CAST(doc_id AS VARCHAR), 'EMBL/GenBank mRNA ID', NULL FROM d
+UNION ALL
+SELECT eid, 'genbank', 'EMP' || CAST(doc_id AS VARCHAR),
+       'EMBL/GenBank protein sequence ID', NULL FROM d
+UNION ALL
+SELECT eid, 'NCBITaxon', CAST(9606 + doc_id % 7 AS VARCHAR),
+       'UniProt taxon designation', 'RO:0002162: in taxon' FROM d
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -977,4 +1061,5 @@ def registry() -> dict:
         "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
         "knn_lsh": (knn_lsh, KNN_LSH_SQL),
         "media_features": (media_features, MEDIA_FEATURES_SQL),
+        "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
     }

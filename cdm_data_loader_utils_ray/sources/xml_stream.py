@@ -128,6 +128,11 @@ def rows_for_table(ds, table: str, schema: pa.Schema):
         dicts = [json.loads(r) for r in hit["row"].to_pylist()]
         if not dicts:
             return schema.empty_table()
-        return align_to_schema(pa.Table.from_pylist(dicts), schema)
+        # NOTE: pa.Table.from_pylist infers its schema from the FIRST row
+        # only — a key missing there (e.g. a sparse 'relationship' column)
+        # would be silently dropped.  Build columns over the union of keys.
+        keys = list(dict.fromkeys(k for d in dicts for k in d))
+        tbl = pa.table({k: pa.array([d.get(k) for d in dicts]) for k in keys})
+        return align_to_schema(tbl, schema)
 
     return ds.map_batches(extract, batch_format="pyarrow")
