@@ -111,6 +111,33 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Validated DSV ingest (reference idmapping end-to-end shape):
+    --schema is name:type[!] pairs, '!' marking non-nullable."""
+    ray = _ray_session(args.num_cpus)
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.pipelines.ingest import ingest_dsv
+
+    types = {"int64": pa.int64(), "float64": pa.float64(), "string": pa.string()}
+    fields = []
+    for spec in args.schema:
+        name, typ = spec.split(":")
+        required = typ.endswith("!")
+        fields.append(pa.field(name, types[typ.rstrip("!")], nullable=not required))
+    res = ingest_dsv(
+        args.input, args.out, pa.schema(fields),
+        delimiter=args.delimiter, header=args.header,
+    )
+    print(json.dumps({
+        "run_id": res.run_id, "records_read": res.records_read,
+        "records_valid": res.records_valid, "records_invalid": res.records_invalid,
+        "errors": res.distinct_errors,
+    }))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cdm-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -145,6 +172,15 @@ def main(argv=None) -> int:
     pv.add_argument("--lake", required=True)
     pv.add_argument("-n", type=int, default=10)
     pv.set_defaults(fn=cmd_preview)
+
+    ing = sub.add_parser("ingest", help="validated DSV ingest -> Parquet + audit")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--schema", nargs="+", required=True,
+                     help="column specs name:type[!] ('!' = non-nullable)")
+    ing.add_argument("--delimiter", default="\t")
+    ing.add_argument("--header", action="store_true")
+    ing.set_defaults(fn=cmd_ingest)
 
     st = sub.add_parser("stream", help="feed events through the shard-actor tailer")
     st.add_argument("--events", required=True)

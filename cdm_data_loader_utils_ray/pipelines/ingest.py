@@ -1,0 +1,184 @@
+"""Composed validated-ingest pipeline — the reference's end-to-end DSV
+ingest shape (``parsers/uniprot/idmapping.py:56-95``: read with declared
+schema -> validate (nullable + parse errors) -> rejects + metrics ->
+projection -> append), re-expressed as ONE streaming Ray Data pass.
+
+Execution shape:
+
+    read_dsv / read_jsonl / any Dataset
+      -> map_batches (pyarrow): annotate errors -> quarantine rejects to
+         ``<audit>/rejects/`` (deterministic content-hashed file names, so
+         task retries overwrite rather than duplicate) -> project valid rows
+      -> write_parquet(out_dir)                (partitioned, resumable)
+      -> driver: metrics + run state machine (started/completed/failed)
+
+No stage materializes the stream; rejects leave the data plane inside the
+map task (the CDC engine's quarantine pattern, ``pipelines/cdc.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from cdm_data_loader_utils_ray.audit.tables import AuditLog, PipelineRun
+from cdm_data_loader_utils_ray.core.schemas import ERRORS_COLUMN, INVALID_DATA_COLUMN
+from cdm_data_loader_utils_ray.stages.validate import (
+    annotate_errors,
+    check_non_nullable,
+    check_parse_errors,
+    error_mask,
+    has_any_errors,
+)
+
+
+@dataclass
+class IngestResult:
+    out_dir: str
+    run_id: str
+    records_read: int
+    records_valid: int
+    records_invalid: int
+    distinct_errors: list[str]
+
+
+class ValidateQuarantineProject:
+    """Fused map stage: annotate -> quarantine rejects -> project.
+
+    Rejects are written HERE, inside the map task (never shipped to the
+    driver): one file per offending batch, named by the sha256 of its
+    serialized content so a retried task overwrites the identical file.
+    The valid side flows on to the caller's sink.
+    """
+
+    def __init__(self, validators, rejects_dir: str, run: PipelineRun,
+                 project: Callable[[pa.Table], pa.Table] | None):
+        self.validators = validators
+        self.rejects_dir = rejects_dir
+        self.run = run
+        self.project = project
+
+    def _quarantine(self, rejects: pa.Table) -> None:
+        os.makedirs(self.rejects_dir, exist_ok=True)
+        errs = rejects[ERRORS_COLUMN]
+        plain = rejects.drop_columns([ERRORS_COLUMN])
+        raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
+        tbl = pa.table(
+            {
+                "run_id": pa.array([self.run.run_id] * len(rejects)),
+                "pipeline": pa.array([self.run.pipeline] * len(rejects)),
+                "source_path": pa.array([self.run.source_path] * len(rejects)),
+                "raw_record": pa.array(raw),
+                ERRORS_COLUMN: errs,
+            }
+        )
+        digest = hashlib.sha256("\x00".join(raw).encode()).hexdigest()[:16]
+        pq.write_table(tbl, os.path.join(self.rejects_dir, f"rejects-{digest}.parquet"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = annotate_errors(batch, self.validators)
+        if has_any_errors(b):
+            mask = error_mask(b)
+            self._quarantine(b.filter(mask))
+            b = b.filter(pc.invert(mask))
+        b = b.drop_columns(
+            [c for c in (ERRORS_COLUMN, INVALID_DATA_COLUMN) if c in b.column_names]
+        )
+        return self.project(b) if self.project else b
+
+
+def run_ingest(
+    ds,
+    out_dir: str,
+    schema: pa.Schema,
+    *,
+    project: Callable[[pa.Table], pa.Table] | None = None,
+    extra_validators: Sequence = (),
+    run: PipelineRun | None = None,
+    audit_dir: str | None = None,
+    batch_size: int = 32768,
+) -> IngestResult:
+    """Run the composed ingest over ``ds`` (typically ``read_dsv`` /
+    ``read_jsonl`` output carrying ``__invalid_data__``), writing valid
+    projected rows to ``out_dir`` and rejects + metrics to ``audit_dir``
+    (default ``<out_dir>/_audit``).  Returns counts; raises nothing for
+    data errors — bad rows are quarantined, the run state machine records
+    failure only for infrastructure errors."""
+    run = run or PipelineRun.new("validated_ingest", "ingest")
+    audit_dir = audit_dir or os.path.join(out_dir, "_audit")
+    rejects_dir = os.path.join(audit_dir, "rejects")
+    log = AuditLog(audit_dir)
+    log.start_run(run)
+    try:
+        validators = [check_parse_errors(), check_non_nullable(schema),
+                      *extra_validators]
+        stage = ValidateQuarantineProject(validators, rejects_dir, run, project)
+        data_dir = os.path.join(out_dir, "data")
+        ds.map_batches(
+            stage, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ).write_parquet(data_dir)
+        # counts from sink/quarantine Parquet metadata — no extra data scan
+        records_valid = sum(
+            pq.read_metadata(os.path.join(data_dir, f)).num_rows
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        records_invalid = 0
+        distinct: set[str] = set()
+        if os.path.isdir(rejects_dir):
+            for f in os.listdir(rejects_dir):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(rejects_dir, f), columns=[ERRORS_COLUMN])
+                records_invalid += len(t)
+                distinct.update(e for lst in t[ERRORS_COLUMN].to_pylist() for e in lst or [])
+        records_read = records_valid + records_invalid
+        log.write_metrics(
+            run,
+            records_read=records_read,
+            records_valid=records_valid,
+            records_invalid=records_invalid,
+            validation_errors=sorted(distinct),
+        )
+        log.complete_run(run, records_read)
+    except Exception as exc:
+        log.fail_run(run, str(exc))
+        raise
+    return IngestResult(
+        out_dir=out_dir,
+        run_id=run.run_id,
+        records_read=records_read,
+        records_valid=records_valid,
+        records_invalid=records_invalid,
+        distinct_errors=sorted(distinct),
+    )
+
+
+def ingest_dsv(
+    paths,
+    out_dir: str,
+    schema: pa.Schema,
+    *,
+    delimiter: str = "\t",
+    header: bool = False,
+    project: Callable[[pa.Table], pa.Table] | None = None,
+    extra_validators: Sequence = (),
+    run: PipelineRun | None = None,
+) -> IngestResult:
+    """DSV file(s) -> validated, projected Parquet table + audit trail
+    (the reference ``idmapping.read_and_write`` end-to-end shape)."""
+    from cdm_data_loader_utils_ray.sources.dsv import read_dsv
+
+    ds = read_dsv(paths, schema, delimiter=delimiter, header=header)
+    return run_ingest(
+        ds, out_dir, schema, project=project, extra_validators=extra_validators,
+        run=run,
+    )

@@ -1034,6 +1034,168 @@ SELECT eid, 'NCBITaxon', CAST(9606 + doc_id % 7 AS VARCHAR),
 """
 
 
+# ---------------------------------------------------------------------------
+# 26. Composed validated ingest (reference idmapping.py:56-95 end-to-end):
+#     documents rendered as a headerless TSV, read back through the DSV
+#     source with a declared non-nullable schema, domain-validated
+#     (lang whitelist -> rejects), projected, appended as Parquet, then the
+#     committed output read back.  The DuckDB twin recomputes the surviving
+#     projection directly from documents.
+# ---------------------------------------------------------------------------
+def validated_ingest(sf_dir: str):
+    import tempfile
+
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.ingest import ingest_dsv
+    from cdm_data_loader_utils_ray.stages.validate import predicate_validator
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_ingest_")
+    tsv = os.path.join(work, "docs.tsv")
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    with open(tsv, "w") as f:
+        for d, l, s, n in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+            t["source"].to_pylist(), t["n_chars"].to_pylist(),
+        ):
+            f.write(f"{d}\t{l}\t{s}\t{n}\n")
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64(), nullable=False),
+            pa.field("lang", pa.string(), nullable=False),
+            pa.field("source", pa.string(), nullable=False),
+            pa.field("n_chars", pa.int64(), nullable=True),
+        ]
+    )
+    allowed = pa.array(["en", "es", "fr", "zh"])
+    lang_whitelist = predicate_validator(
+        lambda b: pc.invert(pc.is_in(b["lang"], value_set=allowed)),
+        "invalid_value: lang",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        curie = pc.binary_join_element_wise(
+            pa.array(["doc"] * len(batch)), pc.cast(batch["doc_id"], pa.string()), ":"
+        )
+        return pa.table(
+            {
+                "entity_id": curie,
+                "lang_upper": pc.utf8_upper(batch["lang"]),
+                "source": batch["source"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    out_dir = os.path.join(work, "out")
+    ingest_dsv(
+        tsv, out_dir, schema, delimiter="\t", header=False, project=project,
+        extra_validators=[lang_whitelist],
+    )
+    return rd.read_parquet(os.path.join(out_dir, "data"))
+
+
+VALIDATED_INGEST_SQL = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS entity_id,
+       upper(lang) AS lang_upper,
+       source,
+       n_chars
+FROM documents
+WHERE lang IN ('en', 'es', 'fr', 'zh')
+"""
+
+
+# ---------------------------------------------------------------------------
+# 27. GAF normalization through the REAL pipeline (reference
+#     gene_association_file.py:106-222): documents rendered as a GAF CSV,
+#     run through load_gaf (split/negation/guarded-date/explode/two-level
+#     ECO join/projection), hash-checked against a DuckDB twin.
+# ---------------------------------------------------------------------------
+_GAF_ECO_TXT = """IEA\tGO_REF:0000002\tECO:0000256
+IEA\tDEFAULT\tECO:0000501
+EXP\tDEFAULT\tECO:0000269
+"""
+
+
+def gaf_normalize(sf_dir: str):
+    import tempfile
+
+    from cdm_data_loader_utils_ray.pipelines.gaf import load_gaf
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    preds = ["enables", "involved_in", "located_in", "part_of"]
+    work = tempfile.mkdtemp(prefix="cdm_ray_gaf_")
+    csv_path = os.path.join(work, "annotations.csv")
+    with open(csv_path, "w") as f:
+        f.write("DB,DB_Object_ID,Qualifier,GO_ID,DB_Reference,Evidence_Code,"
+                "With_From,Date,Assigned_By\n")
+        for d, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            neg = "NOT|" if d % 7 == 0 else ""
+            ref = f"PMID:{d}" + ("|GO_REF:0000002" if d % 3 == 0 else "")
+            code = "IEA" if d % 2 == 0 else "EXP"
+            wf = "UniProtKB:P1|UniProtKB:P2" if d % 4 == 0 else ""
+            date = "BADDATE" if d % 11 == 0 else f"2024{d % 12 + 1:02d}15"
+            f.write(f"UniProtKB,A{d},{neg}{preds[d % 4]},GO:{d % 50:07d},"
+                    f"{ref},{code},{wf},{date},{s}\n")
+    out = load_gaf(csv_path, _GAF_ECO_TXT)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # stringify the date for cross-engine hashing
+        return batch.set_column(
+            batch.column_names.index("annotation_date"),
+            "annotation_date",
+            pc.cast(batch["annotation_date"], pa.string()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+GAF_NORMALIZE_SQL = """
+WITH g AS (
+  SELECT 'UniProtKB' AS db,
+         'A' || CAST(doc_id AS VARCHAR) AS obj_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'NOT|' ELSE '' END) ||
+           (CASE doc_id % 4 WHEN 0 THEN 'enables' WHEN 1 THEN 'involved_in'
+                 WHEN 2 THEN 'located_in' ELSE 'part_of' END) AS qualifier,
+         'GO:' || lpad(CAST(doc_id % 50 AS VARCHAR), 7, '0') AS go_id,
+         'PMID:' || CAST(doc_id AS VARCHAR) ||
+           (CASE WHEN doc_id % 3 = 0 THEN '|GO_REF:0000002' ELSE '' END) AS db_ref,
+         CASE WHEN doc_id % 2 = 0 THEN 'IEA' ELSE 'EXP' END AS code,
+         CASE WHEN doc_id % 4 = 0 THEN 'UniProtKB:P1|UniProtKB:P2' ELSE '' END AS wf,
+         CASE WHEN doc_id % 11 = 0 THEN 'BADDATE'
+              ELSE '2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '15'
+         END AS dt,
+         source, doc_id
+  FROM documents
+),
+e AS (SELECT g.*, upper(trim(p.pub)) AS pub
+      FROM g, unnest(string_split(db_ref, '|')) AS p(pub)
+      WHERE trim(p.pub) <> '')
+SELECT go_id AS "object",
+       db AS "DB",
+       CASE WHEN regexp_matches(dt, '^[0-9]{8}$')
+            THEN strftime(strptime(dt, '%Y%m%d'), '%Y-%m-%d') END AS annotation_date,
+       regexp_replace(qualifier, '^NOT\\|', '') AS predicate,
+       code AS "Evidence_Code",
+       pub AS publications,
+       obj_id AS "DB_Object_ID",
+       source AS primary_knowledge_source,
+       nullif(wf, '') AS supporting_objects,
+       'UniProt' AS aggregator,
+       NULL::VARCHAR AS protocol_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'true' ELSE 'false' END AS negated,
+       db || ':' || obj_id AS subject,
+       CASE WHEN code = 'IEA' AND pub = 'GO_REF:0000002' THEN 'ECO:0000256'
+            WHEN code = 'IEA' THEN 'ECO:0000501'
+            ELSE 'ECO:0000269' END AS evidence_type
+FROM e
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1062,4 +1224,6 @@ def registry() -> dict:
         "knn_lsh": (knn_lsh, KNN_LSH_SQL),
         "media_features": (media_features, MEDIA_FEATURES_SQL),
         "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
+        "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),
+        "gaf_normalize": (gaf_normalize, GAF_NORMALIZE_SQL),
     }

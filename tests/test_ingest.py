@@ -1,0 +1,108 @@
+"""Composed validated-ingest pipeline (pipelines/ingest.py) end to end:
+DSV -> validate -> quarantine + metrics -> projection -> Parquet + audit
+(reference ``parsers/uniprot/idmapping.py:56-95`` shape)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from cdm_data_loader_utils_ray.audit.tables import AuditLog
+from cdm_data_loader_utils_ray.pipelines.ingest import ingest_dsv, run_ingest
+from cdm_data_loader_utils_ray.stages.validate import predicate_validator
+
+SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.string(), nullable=False),
+        pa.field("db", pa.string(), nullable=False),
+        pa.field("xref", pa.string(), nullable=False),
+    ]
+)
+
+
+def _write_tsv(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_ingest_dsv_end_to_end(tmp_path):
+    tsv = str(tmp_path / "idmap.tsv")
+    _write_tsv(
+        tsv,
+        [
+            "P1\tGeneID\t111",
+            "P2\tGeneID\t222",
+            "P3\t\t333",          # empty db -> missing_required (empty->null)
+            "P4\tRefSeq\t444",
+            "bad line with no tabs",  # wrong column count -> parse_error
+        ],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        curie = pc.binary_join_element_wise(
+            pa.array(["UniProt"] * len(batch)), batch["id"], ":"
+        )
+        return pa.table(
+            {
+                "uniprot_id": curie,
+                "db": batch["db"],
+                "xref": batch["xref"],
+                "source": pa.array(["UniProt ID mapping"] * len(batch)),
+            }
+        )
+
+    out = str(tmp_path / "out")
+    res = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False, project=project)
+
+    assert res.records_read == 5
+    assert res.records_valid == 3
+    assert res.records_invalid == 2
+    assert "parse_error" in res.distinct_errors
+
+    data = pq.read_table(os.path.join(out, "data")).to_pandas().sort_values("uniprot_id")
+    assert list(data["uniprot_id"]) == ["UniProt:P1", "UniProt:P2", "UniProt:P4"]
+    assert set(data["source"]) == {"UniProt ID mapping"}
+
+    # quarantine captured both bad rows with raw records
+    rej_dir = os.path.join(out, "_audit", "rejects")
+    rej = pa.concat_tables(
+        [pq.read_table(os.path.join(rej_dir, f)) for f in os.listdir(rej_dir)]
+    )
+    assert len(rej) == 2
+    assert set(rej["run_id"].to_pylist()) == {res.run_id}
+
+    # audit state machine: completed run + metrics row
+    log = AuditLog(os.path.join(out, "_audit"))
+    runs = log.read("run").to_pandas()
+    assert list(runs["status"]) == ["SUCCESS"]
+    metrics = log.read("metrics").to_pandas()
+    assert int(metrics["records_invalid"].iloc[0]) == 2
+
+
+def test_ingest_idempotent_rejects(tmp_path):
+    """Re-running the same ingest overwrites (not duplicates) quarantine
+    files — deterministic content-hashed names."""
+    tsv = str(tmp_path / "x.tsv")
+    _write_tsv(tsv, ["a\tb\tc", "broken"])
+    out = str(tmp_path / "out")
+    r1 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
+    n_files_1 = len(os.listdir(os.path.join(out, "_audit", "rejects")))
+    r2 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
+    n_files_2 = len(os.listdir(os.path.join(out, "_audit", "rejects")))
+    assert n_files_1 == n_files_2 == 1
+    assert r1.records_invalid == r2.records_invalid == 1
+
+
+def test_run_ingest_extra_validator(tmp_path):
+    ds = rd.from_arrow(
+        pa.table({"id": ["a", "b", "c"], "db": ["x", "y", "x"], "xref": ["1", "2", "3"]})
+    )
+    only_x = predicate_validator(
+        lambda b: pc.invert(pc.equal(b["db"], pa.scalar("x"))), "invalid_value: db"
+    )
+    res = run_ingest(ds, str(tmp_path / "o"), SCHEMA, extra_validators=[only_x])
+    assert res.records_valid == 2
+    assert res.records_invalid == 1
+    assert res.distinct_errors == ["invalid_value: db"]
