@@ -156,14 +156,19 @@ class MinHasher:
         self.cache: dict = {}
 
     def signatures(self, texts: list) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix for a batch."""
+        """(n_docs, num_perm) uint64 signature matrix for a batch.
+
+        The permuted-value grid uses plain 64-bit wraparound ``a*x + b``
+        (no Mersenne modulo): min-wise hashing only needs a uniform-ish
+        bijection per permutation, and the modulo pass doubled the memory
+        traffic of the hot loop on this bandwidth-starved host.  Chunks are
+        kept L2-small (~2 MB) and updated in place for the same reason."""
         sh, offsets = _batch_shingles(texts, self.cache, self.k)
         n = len(offsets) - 1
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
-        # chunk the (S, P) grid so a big batch can't blow worker heap
-        max_rows = max(1, (1 << 22) // self.num_perm)  # ~32 MB per chunk
+        max_rows = max(1, (1 << 18) // self.num_perm)  # ~2 MB per chunk
         d0 = 0
         while d0 < n:
             d1 = d0
@@ -171,7 +176,8 @@ class MinHasher:
                 d1 += 1
             d1 = max(d1, d0 + 1)
             seg = sh[offsets[d0] : offsets[d1]]
-            vals = (seg[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            vals = np.multiply.outer(seg, self.a)
+            vals += self.b
             out[d0:d1] = np.minimum.reduceat(
                 vals, (offsets[d0 : d1] - offsets[d0]), axis=0
             )
@@ -218,41 +224,41 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
     downstream, so band false positives only cost verify time.  Skewed
     buckets (boilerplate corpora) pair O(m^2) within a bucket — pre-filter
     boilerplate upstream or raise ``bands`` rows-per-band."""
-    concurrency = _pool_size(concurrency)
     rows_per_band = num_perm // bands
 
-    hasher_kwargs = dict(num_perm=num_perm, k=k, seed=seed,
-                         text_column=text_column, id_column=id_column)
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        # task form: the permutation coefficients take microseconds to
+        # regenerate from the seed, so plain tasks beat an actor pool whose
+        # worker spin-up dominates at small corpus sizes; the token-hash
+        # cache still amortizes within each batch
+        hasher = MinHasher(num_perm=num_perm, k=k, seed=seed,
+                           text_column=text_column, id_column=id_column)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        sigs = hasher.signatures(batch[text_column].to_pylist())  # (n, p)
+        n = len(ids)
+        banded_sigs = sigs.reshape(n, bands, rows_per_band)
+        # hash each band slice to one uint64 (vectorized mix)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bh ^= banded_sigs[:, :, r] * np.uint64(0x9E3779B97F4A7C15)
+            bh = (bh << np.uint64(7)) | (bh >> np.uint64(57))
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        flat = bh.reshape(-1)
+        # coarse shuffle bucket: map_groups fires once per GROUP, so
+        # grouping by raw band_hash would mean one Python call per
+        # bucket — group by hash%64 and pair-find vectorized inside
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, bands)),
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(flat),
+                "shuffle_bucket": pa.array((flat % np.uint64(64)).astype(np.int32)),
+            }
+        )
 
-    class BandEmitter(MinHasher):
-        def __init__(self):
-            super().__init__(**hasher_kwargs)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_column].to_numpy(zero_copy_only=False)
-            sigs = self.signatures(batch[text_column].to_pylist())  # (n, p)
-            n = len(ids)
-            banded = sigs.reshape(n, bands, rows_per_band)
-            # hash each band slice to one uint64 (vectorized mix)
-            bh = np.zeros((n, bands), dtype=np.uint64)
-            for r in range(rows_per_band):
-                bh ^= banded[:, :, r] * np.uint64(0x9E3779B97F4A7C15)
-                bh = (bh << np.uint64(7)) | (bh >> np.uint64(57))
-            band_id = np.tile(np.arange(bands, dtype=np.int32), n)
-            flat = bh.reshape(-1)
-            # coarse shuffle bucket: map_groups fires once per GROUP, so
-            # grouping by raw band_hash would mean one Python call per
-            # bucket — group by hash%256 and pair-find vectorized inside
-            return pa.table(
-                {
-                    id_column: pa.array(np.repeat(ids, bands)),
-                    "band_id": pa.array(band_id),
-                    "band_hash": pa.array(flat),
-                    "shuffle_bucket": pa.array((flat % np.uint64(256)).astype(np.int32)),
-                }
-            )
-
-    banded = ds.map_batches(BandEmitter, batch_format="pyarrow", concurrency=concurrency)
+    # small batch_size: a small corpus often arrives as ONE Parquet block,
+    # and without splitting it a single task does all the signature work
+    banded = ds.map_batches(emit_bands, batch_format="pyarrow", batch_size=512)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -288,11 +294,37 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return 1.0 if union == 0 else inter / union
 
 
+def _verify_pairs_table(batch: pa.Table, sh: dict, threshold: float) -> pa.Table:
+    a = batch["id_a"].to_pylist()
+    b = batch["id_b"].to_pylist()
+    keep_a, keep_b, sims = [], [], []
+    empty = np.zeros(0, dtype=np.uint64)
+    for x, y in zip(a, b):
+        sa = sh.get(x, empty)
+        sb = sh.get(y, empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = 1.0 if union == 0 else inter / union
+        if j >= threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            sims.append(j)
+    return pa.table(
+        {
+            "id_a": pa.array(keep_a, type=pa.int64()),
+            "id_b": pa.array(keep_b, type=pa.int64()),
+            "jaccard": pa.array(sims, type=pa.float64()),
+        }
+    )
+
+
 class PairVerifier:
     """map_batches stage: exact-Jaccard verification of candidate pairs
     against a broadcast id -> sorted-shingle-array map (``ray.put`` once,
     fetched per ACTOR in ``__init__`` — never per batch).  The broadcast
-    holds shingle sets for CANDIDATE ids only (<< corpus)."""
+    holds shingle sets for CANDIDATE ids only (<< corpus).  For a small
+    candidate set prefer the task form (``make_pair_verifier``): an actor
+    pool pays worker spin-up the tasks don't."""
 
     def __init__(self, shingles_ref, threshold: float):
         import ray
@@ -301,27 +333,19 @@ class PairVerifier:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        empty = np.zeros(0, dtype=np.uint64)
-        for x, y in zip(a, b):
-            sa = self.sh.get(x, empty)
-            sb = self.sh.get(y, empty)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = 1.0 if union == 0 else inter / union
-            if j >= self.threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                sims.append(j)
-        return pa.table(
-            {
-                "id_a": pa.array(keep_a, type=pa.int64()),
-                "id_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(sims, type=pa.float64()),
-            }
-        )
+        return _verify_pairs_table(batch, self.sh, self.threshold)
+
+
+def make_pair_verifier(shingles_ref, threshold: float):
+    """Task-form verifier (stateless): ``ray.get`` of an in-plasma object
+    per task is zero-copy-cheap and avoids actor-pool startup."""
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import ray
+
+        return _verify_pairs_table(batch, ray.get(shingles_ref), threshold)
+
+    return verify
 
 
 def candidate_shingle_map(ds, cand_ids, k: int = 3, text_column: str = "text",
@@ -405,10 +429,8 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 
     verified = (
         rd.from_pandas(cands)
         .map_batches(
-            PairVerifier,
+            make_pair_verifier(sh_ref, threshold),
             batch_format="pyarrow",
-            concurrency=_pool_size(concurrency),
-            fn_constructor_args=(sh_ref, threshold),
         )
         .to_pandas()
     )
@@ -472,8 +494,13 @@ class SimHasher:
         ids = np.concatenate([parts[i] for i in nz])
         offsets = np.zeros(len(nz), dtype=np.int64)
         np.cumsum(counts[nz][:-1], out=offsets[1:])
-        bits = ((ids[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
-        ones = np.add.reduceat(bits, offsets, axis=0)  # (nz, 64)
+        # per-bit matrix via unpackbits (uint8, little-endian bit order ==
+        # bit position) instead of a 64-wide uint64 shift grid — 4-8x less
+        # memory traffic on the hot path
+        bits = np.unpackbits(
+            ids[:, None].view(np.uint8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ones = np.add.reduceat(bits, offsets, axis=0)  # (nz, 64) int32
         sign = (2 * ones) > counts[nz][:, None]
         out[nz] = (sign.astype(np.uint64) << _SHIFTS[None, :]).sum(axis=1)
         return out
@@ -504,11 +531,11 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
     width = 64 // chunks
     mask = np.uint64((1 << width) - 1)
 
-    sh = ds.map_batches(
-        SimHasher(text_column, id_column),
-        batch_format="pyarrow",
-        concurrency=_pool_size(concurrency),
-    )
+    hasher = SimHasher(text_column, id_column)
+    # task form (stateless apart from the md5 cache, which re-amortizes per
+    # batch): avoids actor-pool spin-up; batch_size splits single-block
+    # small corpora across workers
+    sh = ds.map_batches(hasher, batch_format="pyarrow", batch_size=512)
 
     def emit_chunks(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
@@ -520,7 +547,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
         # coarse shuffle bucket over (chunk_id, chunk_value)
         bucket = (
             _avalanche(chunk_val ^ (chunk_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(256)
+            % np.uint64(64)
         ).astype(np.int32)
         return pa.table(
             {
@@ -610,7 +637,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
         bucket = sigs[rep, table_id]
         shuffle_bucket = (
             _avalanche(bucket ^ (table_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-            % np.uint64(256)
+            % np.uint64(64)
         ).astype(np.int32)
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         return pa.table(

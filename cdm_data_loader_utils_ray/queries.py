@@ -847,15 +847,19 @@ def _augmented_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
+        # fused single-pass augmentation (original rows + planted copies in
+        # the same batch) — a Dataset.union here would re-read the source
+        # for the planted branch
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         hit = batch.filter(pa.array(ids % 20 == 0))
         shifted = pc.add(hit["vec_id"], pa.scalar(1000000, type=pa.int64()))
-        return pa.Table.from_arrays(
+        planted = pa.Table.from_arrays(
             [shifted.cast(hit.schema.field("vec_id").type), hit["embedding"]],
             schema=hit.schema,
         )
+        return pa.concat_tables([batch, planted])
 
-    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return ds.map_batches(plant, batch_format="pyarrow")
 
 
 def embedding_dups(sf_dir: str):
