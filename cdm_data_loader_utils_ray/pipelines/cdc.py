@@ -87,23 +87,43 @@ def event_schema_of(state_sch: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _staging_group_size(num_partitions: int) -> int:
+    """Partitions per staging GROUP.  A map task writing one slice file per
+    touched pid is a small-file storm at cluster partition counts (P=64k x
+    thousands of tasks); grouping G consecutive pids into one staging dir
+    caps file count at tasks x P/G while one reduce task handles the whole
+    group (slices keep the ``_pid`` column, the reducer splits in memory).
+    G adapts so reduce parallelism still covers the cluster (~4 group
+    tasks per CPU)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, num_partitions // max(1, 4 * cpus))
+
+
 class PrepAndRoute:
     """Fused map-side stage of the explicit two-stage shuffle: prep the
     batch (validate/sha/partition/pre-reduce via :class:`EventPrep`), then
-    WRITE each partition's slice straight to the epoch staging directory
-    (``_staging/epoch-E/pid=P/``) instead of feeding an all-to-all sort.
+    WRITE each partition-GROUP's slice straight to the epoch staging
+    directory (``_staging/epoch-E/pg=G/``) instead of feeding an
+    all-to-all sort.
 
     This is a file-based hash shuffle (Spark-shuffle-file shaped): on a
     cluster the staging dir lives on shared storage and each reduce task
-    reads only its partition's slices.  Deterministic slice file names
+    reads only its group's slices.  Deterministic slice file names
     (seq range + row count) make task retries overwrite, not duplicate.
     Returns one tiny count row per (batch, pid) for lineage.
     """
 
-    def __init__(self, prep: "EventPrep", staging_dir: str, drop: tuple[str, ...] = ()):
+    def __init__(self, prep: "EventPrep", staging_dir: str, drop: tuple[str, ...] = (),
+                 group_size: int = 1):
         self.prep = prep
         self.staging_dir = staging_dir
         self.drop = drop
+        self.group_size = max(1, group_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = self.prep(batch)
@@ -116,24 +136,25 @@ class PrepAndRoute:
             idx = pc.sort_indices(b[PARTITION_COLUMN])
             b = b.take(idx)
             pids = b[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
-            bounds = np.flatnonzero(np.diff(pids)) + 1
+            # per-pid lineage counts (cheap, from the sorted array)
+            pbounds = np.flatnonzero(np.diff(pids)) + 1
+            for s, e in zip(np.concatenate([[0], pbounds]),
+                            np.concatenate([pbounds, [n]])):
+                out_pids.append(int(pids[s]))
+                out_rows.append(int(e - s))
+            gids = pids // self.group_size
+            bounds = np.flatnonzero(np.diff(gids)) + 1
             starts = np.concatenate([[0], bounds])
             ends = np.concatenate([bounds, [n]])
             seqs = b["seq"].to_numpy(zero_copy_only=False)
             for s, e in zip(starts, ends):
-                pid = int(pids[s])
+                gid = int(gids[s])
                 part = b.slice(s, e - s)
-                d = os.path.join(self.staging_dir, f"pid={pid:05d}")
+                d = os.path.join(self.staging_dir, f"pg={gid:05d}")
                 os.makedirs(d, exist_ok=True)
                 lo, hi = int(seqs[s:e].min()), int(seqs[s:e].max())
                 fname = f"slice-{lo:012d}-{hi:012d}-{e - s}.parquet"
-                pq.write_table(
-                    part.drop_columns([PARTITION_COLUMN]),
-                    os.path.join(d, fname),
-                    compression="lz4",
-                )
-                out_pids.append(pid)
-                out_rows.append(e - s)
+                pq.write_table(part, os.path.join(d, fname), compression="lz4")
         return pa.table(
             {
                 "pid": pa.array(out_pids, type=pa.int32()),
@@ -279,6 +300,27 @@ def _make_merge_fn(
     return merge_group
 
 
+def _read_staging_group(staging_dir: str, gid: int) -> pa.Table:
+    d = os.path.join(staging_dir, f"pg={gid:05d}")
+    return pa.concat_tables(
+        [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
+        promote_options="permissive",
+    )
+
+
+def _split_by_pid(group: pa.Table):
+    """Yield (pid, sub_table_without_pid_column) for a staged group table."""
+    pids = group[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
+    order = np.argsort(pids, kind="stable")
+    g = group.take(pa.array(order))
+    pids = pids[order]
+    bounds = np.flatnonzero(np.diff(pids)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(pids)]])
+    for s, e in zip(starts, ends):
+        yield int(pids[s]), g.slice(s, e - s).drop_columns([PARTITION_COLUMN])
+
+
 def _make_staging_merge_fn(
     table_dir: str,
     staging_dir: str,
@@ -288,28 +330,25 @@ def _make_staging_merge_fn(
     run: PipelineRun,
     commit_ts_us: int,
 ):
-    """file-shuffle reduce fn over ``from_items(pids)``: each call reads one
-    partition's staged slices and merges them with its prior state."""
+    """file-shuffle reduce fn over ``from_items(gids)``: each call reads one
+    staging GROUP's slices, splits by ``_pid`` in memory and merges each
+    partition."""
 
-    def merge_pid(batch: dict) -> pa.Table:
+    def merge_gid(batch: dict) -> pa.Table:
         rows = []
-        for pid in batch["item"]:
-            pid = int(pid)
+        for gid in batch["item"]:
             lake = LakeTable(table_dir)
-            d = os.path.join(staging_dir, f"pid={pid:05d}")
-            files = sorted(os.listdir(d))
-            group = pa.concat_tables(
-                [pq.read_table(os.path.join(d, f)) for f in files],
-                promote_options="permissive",
-            )
-            rows.append(
-                _merge_partition_core(
-                    lake, pid, group, prior_files, state_sch, epoch, run, commit_ts_us
+            group = _read_staging_group(staging_dir, int(gid))
+            for pid, sub in _split_by_pid(group):
+                rows.append(
+                    _merge_partition_core(
+                        lake, pid, sub, prior_files, state_sch, epoch, run,
+                        commit_ts_us,
+                    )
                 )
-            )
         return pa.Table.from_pylist(rows, schema=_MERGE_RESULT_SCHEMA)
 
-    return merge_pid
+    return merge_gid
 
 
 # ---------------------------------------------------------------------------
@@ -381,50 +420,47 @@ def _make_winner_fn(
     commit_ts_us: int,
 ):
     """Phase-A reduce: LWW over THIS EPOCH'S metadata, emit winners file +
-    content-fetch seq list per partition.  Prior state never read: the
+    content-fetch seq list per partition (reduce granularity = staging
+    GROUP; split by ``_pid`` in memory).  Prior state never read: the
     epoch's winners become a delta file; recency across epochs resolves at
     read/compaction time."""
     meta_sch = _meta_schema(state_sch)
 
-    def winners_pid(batch: dict) -> pa.Table:
+    def winners_gid(batch: dict) -> pa.Table:
         rows = []
-        for pid in batch["item"]:
-            pid = int(pid)
+        for gid in batch["item"]:
             lake = LakeTable(table_dir)
-            d = os.path.join(staging_dir, f"pid={pid:05d}")
-            group = pa.concat_tables(
-                [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
-                promote_options="permissive",
-            )
-            if has_any_errors(group):
-                mask = error_mask(group)
-                rejects = group.filter(mask)
-                events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN])
-                distinct_errors = _write_rejects_file(
-                    lake, pid, rejects, epoch, run, commit_ts_us
+            whole = _read_staging_group(staging_dir, int(gid))
+            for pid, group in _split_by_pid(whole):
+                if has_any_errors(group):
+                    mask = error_mask(group)
+                    rejects = group.filter(mask)
+                    events = group.filter(pc.invert(mask)).drop_columns([ERRORS_COLUMN])
+                    distinct_errors = _write_rejects_file(
+                        lake, pid, rejects, epoch, run, commit_ts_us
+                    )
+                else:
+                    rejects = group.slice(0, 0)
+                    events = group.drop_columns([ERRORS_COLUMN])
+                    distinct_errors = []
+                merged = merge_states(None, events_to_state(events, meta_sch), meta_sch)
+                need = pc.equal(merged[DELETED_COLUMN], False)
+                fetch = merged.filter(need)["seq"].to_pylist()
+                wdir = os.path.join(staging_dir, "winners")
+                os.makedirs(wdir, exist_ok=True)
+                pq.write_table(merged, os.path.join(wdir, f"pid={pid:05d}.parquet"))
+                rows.append(
+                    {
+                        "pid": pid,
+                        "n_events": len(events),
+                        "n_rejects": len(rejects),
+                        "distinct_errors": json.dumps(distinct_errors),
+                        "fetch_seqs": fetch,
+                    }
                 )
-            else:
-                rejects = group.slice(0, 0)
-                events = group.drop_columns([ERRORS_COLUMN])
-                distinct_errors = []
-            merged = merge_states(None, events_to_state(events, meta_sch), meta_sch)
-            need = pc.equal(merged[DELETED_COLUMN], False)
-            fetch = merged.filter(need)["seq"].to_pylist()
-            wdir = os.path.join(staging_dir, "winners")
-            os.makedirs(wdir, exist_ok=True)
-            pq.write_table(merged, os.path.join(wdir, f"pid={pid:05d}.parquet"))
-            rows.append(
-                {
-                    "pid": pid,
-                    "n_events": len(events),
-                    "n_rejects": len(rejects),
-                    "distinct_errors": json.dumps(distinct_errors),
-                    "fetch_seqs": fetch,
-                }
-            )
         return pa.Table.from_pylist(rows, schema=_WINNER_RESULT_SCHEMA)
 
-    return winners_pid
+    return winners_gid
 
 
 def _shard_winner_map(
@@ -454,12 +490,13 @@ def _shard_winner_map(
 
 
 def _make_content_route_fn(
-    staging_dir: str, chunk_refs, chunk_bounds: np.ndarray, seq_col: str, content_col: str
+    staging_dir: str, chunk_refs, chunk_bounds: np.ndarray, seq_col: str,
+    content_col: str, group_size: int = 1,
 ):
-    """Phase-B map: column-pruned scan routes (seq, content) of WINNING rows
-    to their partition's content staging dir.  The winner seq->pid map is
-    seq-range-sharded (``_shard_winner_map``); a task fetches only the
-    chunks overlapping its batch's seq range."""
+    """Phase-B map: column-pruned scan routes (seq, content, pid) of WINNING
+    rows to their partition-GROUP's content staging dir.  The winner
+    seq->pid map is seq-range-sharded (``_shard_winner_map``); a task
+    fetches only the chunks overlapping its batch's seq range."""
 
     def route(batch: pa.Table) -> pa.Table:
         import ray
@@ -490,23 +527,27 @@ def _make_content_route_fn(
         order = np.argsort(sub_pids, kind="stable")
         sub = sub.take(pa.array(order))
         sub_pids = sub_pids[order]
-        bounds = np.flatnonzero(np.diff(sub_pids)) + 1
+        gids = sub_pids // np.int32(group_size)
+        bounds = np.flatnonzero(np.diff(gids)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(sub_pids)]])
         ss = sub[seq_col].to_numpy(zero_copy_only=False)
         out_pids, out_rows = [], []
         for a, b in zip(starts, ends):
-            pid = int(sub_pids[a])
-            d = os.path.join(staging_dir, "content", f"pid={pid:05d}")
+            gid = int(gids[a])
+            d = os.path.join(staging_dir, "content", f"pg={gid:05d}")
             os.makedirs(d, exist_ok=True)
             lo, hi = int(ss[a:b].min()), int(ss[a:b].max())
             part = sub.slice(a, b - a).rename_columns(["seq", "content"])
+            part = part.append_column(
+                "pid", pa.array(sub_pids[a:b], type=pa.int32())
+            )
             pq.write_table(
                 part,
                 os.path.join(d, f"slice-{lo:012d}-{hi:012d}-{b - a}.parquet"),
                 compression="lz4",
             )
-            out_pids.append(pid)
+            out_pids.append(gid)
             out_rows.append(b - a)
         return pa.table(
             {"pid": pa.array(out_pids, type=pa.int32()),
@@ -536,72 +577,88 @@ def _make_assemble_fn(
     prior_files: dict[int, str],
     state_sch: pa.Schema,
     epoch: int,
+    gid_pids: dict[int, list[int]],
 ):
-    """Phase-B reduce: join this epoch's winner metadata with the fetched
-    content and write the partition's DELTA file (no prior state involved)."""
+    """Phase-B reduce over staging GROUPS: join each partition's winner
+    metadata with the group's fetched content and write the partition's
+    DELTA file (no prior state involved)."""
 
     def assemble(batch: dict) -> pa.Table:
         rows = []
-        for pid in batch["item"]:
-            pid = int(pid)
+        for gid in batch["item"]:
+            gid = int(gid)
             lake = LakeTable(table_dir)
-            winners = pq.read_table(
-                os.path.join(staging_dir, "winners", f"pid={pid:05d}.parquet")
-            )
-            wseq = winners["seq"].to_numpy(zero_copy_only=False)
-            deleted = winners[DELETED_COLUMN].to_numpy(zero_copy_only=False)
-            content = [None] * len(winners)
-            # fetched event content
-            cdir = os.path.join(staging_dir, "content", f"pid={pid:05d}")
+            # the group's fetched content, split once by pid
+            cdir = os.path.join(staging_dir, "content", f"pg={gid:05d}")
+            content_by_pid: dict[int, pa.Table] = {}
             if os.path.isdir(cdir):
-                fetched = pa.concat_tables(
+                fetched_all = pa.concat_tables(
                     [pq.read_table(os.path.join(cdir, f)) for f in sorted(os.listdir(cdir))]
                 )
-                fs = fetched["seq"].to_numpy(zero_copy_only=False)
-                order = np.argsort(fs, kind="stable")
-                fs = fs[order]
-                fvals = fetched["content"].take(pa.array(order)).to_pylist()
-                # dedup re-delivered seqs (identical payloads)
-                uniq = np.concatenate([[True], np.diff(fs) != 0]) if len(fs) else np.array([], bool)
-                fs, fvals = fs[uniq], [v for v, u in zip(fvals, uniq) if u]
-                need = ~deleted
-                got = _lookup_by_seq(fs, fvals, wseq[need])
-                for i, v in zip(np.flatnonzero(need), got):
-                    content[i] = v
-            # late content-null validation: a non-delete winner with no
-            # content (invalid event: content must be null iff delete) is
-            # excluded from state here — losers with invalid content are
-            # dropped unrecorded in late mode (documented divergence)
-            have = np.array([c is not None for c in content], dtype=bool)
-            bad = ~deleted & ~have
-            n_late_rejects = int(bad.sum())
-            final = winners.append_column(
-                "content", pa.array(content, type=pa.string())
-            )
-            if n_late_rejects:
-                final = final.filter(pa.array(~bad))
-            # sha256 deferred from the map phase: hash winners only
-            if SHA_COLUMN in final.column_names:
-                final = final.drop_columns([SHA_COLUMN])
-            final = final.append_column(SHA_COLUMN, sha256_array(final["content"]))
-            final = align_to_schema(final, state_sch)
-            entry = lake.write_partition(final, pid, epoch)
-            rows.append(
-                {
-                    "pid": entry.pid,
-                    "file": entry.file,
-                    "rows": entry.rows,
-                    "hwm_seq": entry.hwm_seq,
-                    "live_keys": entry.live_keys,
-                    "bytes": entry.bytes,
-                    "n_events": 0,
-                    "n_rejects": n_late_rejects,
-                    "distinct_errors": "[]",
-                }
-            )
+                cp = fetched_all["pid"].to_numpy(zero_copy_only=False)
+                order = np.argsort(cp, kind="stable")
+                fetched_all = fetched_all.take(pa.array(order))
+                cp = cp[order]
+                cb = np.flatnonzero(np.diff(cp)) + 1
+                for s, e in zip(np.concatenate([[0], cb]),
+                                np.concatenate([cb, [len(cp)]])):
+                    content_by_pid[int(cp[s])] = fetched_all.slice(s, e - s)
+            for pid in gid_pids.get(gid, []):
+                rows.append(
+                    _assemble_one(lake, staging_dir, state_sch, epoch, pid,
+                                  content_by_pid.get(pid))
+                )
         return pa.Table.from_pylist(rows, schema=_MERGE_RESULT_SCHEMA)
 
     return assemble
+
+
+def _assemble_one(lake, staging_dir, state_sch, epoch, pid, fetched):
+    winners = pq.read_table(
+        os.path.join(staging_dir, "winners", f"pid={pid:05d}.parquet")
+    )
+    wseq = winners["seq"].to_numpy(zero_copy_only=False)
+    deleted = winners[DELETED_COLUMN].to_numpy(zero_copy_only=False)
+    content = [None] * len(winners)
+    if fetched is not None and len(fetched):
+        fs = fetched["seq"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fs, kind="stable")
+        fs = fs[order]
+        fvals = fetched["content"].take(pa.array(order)).to_pylist()
+        # dedup re-delivered seqs (identical payloads)
+        uniq = np.concatenate([[True], np.diff(fs) != 0]) if len(fs) else np.array([], bool)
+        fs, fvals = fs[uniq], [v for v, u in zip(fvals, uniq) if u]
+        need = ~deleted
+        got = _lookup_by_seq(fs, fvals, wseq[need])
+        for i, v in zip(np.flatnonzero(need), got):
+            content[i] = v
+    # late content-null validation: a non-delete winner with no
+    # content (invalid event: content must be null iff delete) is
+    # excluded from state here — losers with invalid content are
+    # dropped unrecorded in late mode (documented divergence)
+    have = np.array([c is not None for c in content], dtype=bool)
+    bad = ~deleted & ~have
+    n_late_rejects = int(bad.sum())
+    final = winners.append_column("content", pa.array(content, type=pa.string()))
+    if n_late_rejects:
+        final = final.filter(pa.array(~bad))
+    # sha256 deferred from the map phase: hash winners only
+    if SHA_COLUMN in final.column_names:
+        final = final.drop_columns([SHA_COLUMN])
+    final = final.append_column(SHA_COLUMN, sha256_array(final["content"]))
+    final = align_to_schema(final, state_sch)
+    entry = lake.write_partition(final, pid, epoch)
+    return {
+        "pid": entry.pid,
+        "file": entry.file,
+        "rows": entry.rows,
+        "hwm_seq": entry.hwm_seq,
+        "live_keys": entry.live_keys,
+        "bytes": entry.bytes,
+        "n_events": 0,
+        "n_rejects": n_late_rejects,
+        "distinct_errors": "[]",
+    }
 
 
 def apply_epoch(
@@ -692,7 +749,9 @@ def apply_epoch(
             meta_event_sch, P, hwm, rename_map, compute_sha=False,
             extra_validators=extra_validators,
         )
-        router = PrepAndRoute(prep_late, staging, drop=("content",))
+        group_size = _staging_group_size(P)
+        router = PrepAndRoute(prep_late, staging, drop=("content",),
+                              group_size=group_size)
         rev_a = {v: k for k, v in (rename_map or {}).items()}
         # only columns that actually exist in THIS epoch's files (the
         # evolved schema may carry columns older/newer epochs don't have;
@@ -711,16 +770,16 @@ def apply_epoch(
         if timing:
             print(f"[phase] A-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
             t0 = _t()
-        pids = sorted(
-            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pid=")
+        gids = sorted(
+            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pg=")
         )
         rows = []
-        if pids:
+        if gids:
             winner_fn = _make_winner_fn(
                 table.dir, staging, prior_files, state_sch, epoch, run, commit_ts_us
             )
             wrows = (
-                rd.from_items(pids, override_num_blocks=len(pids))
+                rd.from_items(gids, override_num_blocks=len(gids))
                 .map_batches(winner_fn, batch_size=1)
                 .take_all()
             )
@@ -740,7 +799,8 @@ def apply_epoch(
             if len(fetch_seqs):
                 chunk_refs, chunk_bounds = _shard_winner_map(fetch_seqs, fetch_pids)
                 route = _make_content_route_fn(
-                    staging, chunk_refs, chunk_bounds, seq_col, content_col
+                    staging, chunk_refs, chunk_bounds, seq_col, content_col,
+                    group_size=group_size,
                 )
                 # winners skew to high seqs (LWW): a row-group range filter
                 # on min(winner seq) prunes early row groups at the scan
@@ -754,11 +814,14 @@ def apply_epoch(
             if timing:
                 print(f"[phase] B-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
                 t0 = _t()
+            gid_pids: dict[int, list[int]] = {}
+            for w in wrows:
+                gid_pids.setdefault(int(w["pid"]) // group_size, []).append(int(w["pid"]))
             assemble = _make_assemble_fn(
-                table.dir, staging, prior_files, state_sch, epoch
+                table.dir, staging, prior_files, state_sch, epoch, gid_pids
             )
             arows = (
-                rd.from_items(pids, override_num_blocks=len(pids))
+                rd.from_items(gids, override_num_blocks=len(gids))
                 .map_batches(assemble, batch_size=1)
                 .take_all()
             )
@@ -786,19 +849,19 @@ def apply_epoch(
         staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
-        router = PrepAndRoute(prep, staging)
+        router = PrepAndRoute(prep, staging, group_size=_staging_group_size(P))
         events_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
         ).take_all()  # tiny (pid, rows) lineage rows; drives execution
-        pids = sorted(
-            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pid=")
+        gids = sorted(
+            int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pg=")
         )
-        if pids:
+        if gids:
             merge_fn = _make_staging_merge_fn(
                 table.dir, staging, prior_files, state_sch, epoch, run, commit_ts_us
             )
             rows = (
-                rd.from_items(pids, override_num_blocks=len(pids))
+                rd.from_items(gids, override_num_blocks=len(gids))
                 .map_batches(merge_fn, batch_size=1)
                 .take_all()
             )

@@ -377,12 +377,16 @@ def broadcast_join(sf_dir: str):
 
     class Enrich:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)  # fetched once per actor
+            # fetched once per actor; stored as parallel Arrow arrays so the
+            # per-batch lookup is a vectorized index_in + take, not a Python
+            # dict probe per row
+            lookup = ray.get(lookup_ref)
+            self.keys = pa.array(list(lookup.keys()), type=pa.int64())
+            self.values = pa.array(list(lookup.values()), type=pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_pylist()
-            names = pa.array([self.lookup.get(k) for k in keys], type=pa.string())
-            return batch.append_column("n_name", names)
+            idx = pc.index_in(batch["c_nationkey"].cast(pa.int64()), value_set=self.keys)
+            return batch.append_column("n_name", self.values.take(idx))
 
     return ds.map_batches(Enrich, batch_format="pyarrow", concurrency=2)
 
@@ -584,17 +588,21 @@ def asof_events_orders(sf_dir: str):
     events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
-        # one order per (customer, date): keep max orderkey so the as-of
-        # pick is deterministic on date ties (both sides use this rule)
-        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-        df = df.drop_duplicates(subset=["o_custkey", "o_orderdate"], keep="last")
-        return df.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+    from cdm_data_loader_utils_ray.stages.keyed import lww_latest
 
-    right = orders.map_batches(prep_orders, batch_format="pandas")
-    # NOTE: per-batch dedup is exact here because each (custkey, date) pair
-    # appears once per batch at this scale; the bucket-side merge_asof
-    # re-sorts, so residual dups would still resolve to max orderkey
+    # one order per (customer, date), keep max orderkey: a KEYED reduce
+    # (combiner + one bucket shuffle), exact regardless of batch layout —
+    # r1 used a per-batch dedup whose exactness leaned on block boundaries
+    deduped = lww_latest(
+        orders, ["o_custkey", "o_orderdate"], "o_orderkey", num_buckets=16
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = ["user_id" if n == "o_custkey" else "ts" if n == "o_orderdate" else n
+                 for n in batch.column_names]
+        return batch.rename_columns(names)
+
+    right = deduped.map_batches(rename, batch_format="pyarrow")
     joined = asof_join(events, right, on="ts", by=["user_id"], num_buckets=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -634,9 +642,14 @@ def fallback_enrich(sf_dir: str):
     labels = dict(_RETURNFLAG_LABELS)
     default = _RETURNFLAG_DEFAULT
 
+    keys = pa.array(list(labels.keys()), type=pa.string())
+    values = pa.array(list(labels.values()), type=pa.string())
+
     def enrich(batch: pa.Table) -> pa.Table:
-        flags = batch["l_returnflag"].to_pylist()
-        lab = pa.array([labels.get(f, default) for f in flags], type=pa.string())
+        # vectorized lookup-with-DEFAULT: index_in + take, nulls (missing
+        # keys) coalesced to the fallback label
+        idx = pc.index_in(batch["l_returnflag"], value_set=keys)
+        lab = pc.fill_null(values.take(idx), default)
         return batch.append_column("flag_label", lab)
 
     return ds.map_batches(enrich, batch_format="pyarrow")

@@ -255,3 +255,26 @@ def test_read_final_state_streaming(events_path, tmp_path):
     ds = read_final_state(t)
     via_ds = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     assert via_ds.num_rows == read_final_state_arrow(t).num_rows
+
+
+def test_replay_with_grouped_staging(tmp_path):
+    """P large relative to CPUs engages pid-GROUP staging (group_size > 1):
+    both shuffle modes must converge identically to the keyed oracle."""
+    from cdm_data_loader_utils_ray.pipelines.cdc import _staging_group_size
+    from cdm_data_loader_utils_ray.state.upsert import oracle_materialize
+
+    assert _staging_group_size(256) > 1  # 4-CPU test session
+    ev = str(tmp_path / "ev.parquet")
+    events = make_events(num_keys=300, num_events=4000, seed=77)
+    write_events(ev, events)
+    import pyarrow.parquet as pq
+
+    expected = oracle_materialize(pq.read_table(ev))
+    for mode in ("staging", "late"):
+        lake_dir = str(tmp_path / f"lake_{mode}")
+        run_replay(ev, lake_dir, num_partitions=256, shuffle_mode=mode)
+        state = read_final_state_arrow(LakeTable(lake_dir))
+        assert state.num_rows == len(expected)
+        got = state.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert list(got["seq"]) == list(expected["seq"])
+        assert list(got["content"]) == list(expected["content"])
