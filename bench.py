@@ -209,6 +209,9 @@ def run_scaling() -> dict:
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                 BENCH_HEADLINE_ONLY="1", BENCH_PREFER_SOAK_LOG="1",
+                # identical job at every level: staging group size must not
+                # adapt to the CPU count being measured
+                CDM_RAY_STAGING_GROUP_SIZE="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],

@@ -145,3 +145,39 @@ class JsonRowExtractor:
         for name, arr in cols.items():
             keep = keep.append_column(name, arr)
         return keep
+
+
+def parse_taxid_args(taxid_arg: str | None = None, taxid_file: str | None = None) -> list[str]:
+    """Collect valid numeric TaxIDs from a comma-separated argument and/or a
+    file, digit-stripping each token and de-duplicating while PRESERVING
+    first-seen order (reference ``refseq_api_cli.py:28-62``, M20 + D5)."""
+    import os
+    import re
+
+    taxids: list[str] = []
+    if taxid_arg:
+        for num in taxid_arg.split(","):
+            tid = re.sub(r"\D+", "", num.strip())
+            if tid:
+                taxids.append(tid)
+    if taxid_file:
+        if not os.path.exists(taxid_file):
+            raise FileNotFoundError(taxid_file)
+        with open(taxid_file, encoding="utf-8") as f:
+            for line in f:
+                tid = re.sub(r"\D+", "", line.strip())
+                if tid:
+                    taxids.append(tid)
+    return ordered_unique(taxids)
+
+
+def ordered_unique(values) -> list:
+    """Order-preserving dedup (reference D5, ``refseq_api_cli.py:54-62``) —
+    driver-side helper; for dataset-scale dedup use functions/dedup."""
+    seen: set = set()
+    out = []
+    for v in values:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out

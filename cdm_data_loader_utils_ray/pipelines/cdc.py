@@ -94,7 +94,11 @@ def _staging_group_size(num_partitions: int) -> int:
     caps file count at tasks x P/G while one reduce task handles the whole
     group (slices keep the ``_pid`` column, the reducer splits in memory).
     G adapts so reduce parallelism still covers the cluster (~4 group
-    tasks per CPU)."""
+    tasks per CPU).  ``CDM_RAY_STAGING_GROUP_SIZE`` pins it — the scaling
+    benchmark sets it so the job is IDENTICAL at every CPU level."""
+    pinned = os.environ.get("CDM_RAY_STAGING_GROUP_SIZE")
+    if pinned:
+        return max(1, int(pinned))
     try:
         import ray
 

@@ -904,22 +904,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 #     data is asserted separately (recall@k pytest vs brute force).
 # ---------------------------------------------------------------------------
 def knn_lsh(sf_dir: str):
-    import ray.data as rd
-
     from cdm_data_loader_utils_ray.functions.similarity import lsh_bucketed_topk
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)], columns=["vec_id", "embedding"])
-    query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    planted = pa.Table.from_arrays(
-        [
-            pa.array([1000000 + i for i in range(15)], type=q_tbl.schema.field("vec_id").type),
-            pa.array([query.tolist()] * 15, type=q_tbl.schema.field("embedding").type),
-        ],
-        schema=q_tbl.schema,
-    )
-    aug = ds.union(rd.from_arrow(planted))
+    query, aug = _planted_query_corpus(sf_dir)
     out = lsh_bucketed_topk(aug, query, k=10, n_planes=8)
     out["cos_sim"] = out["cos_sim"].round(4)
     return out
@@ -938,6 +925,46 @@ FROM aug
 ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM q)) DESC, vec_id
 LIMIT 10
 """
+
+
+def _planted_query_corpus(sf_dir: str):
+    """(query vector, augmented Dataset with 15 exact copies of it) — the
+    shared fixture for the ANN hash-checks: copies of the query share its
+    bucket/cell under ANY hash or centroid set, so the exact top-10 is
+    deterministic in both engines."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)], columns=["vec_id", "embedding"])
+    query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    planted = pa.Table.from_arrays(
+        [
+            pa.array([1000000 + i for i in range(15)], type=q_tbl.schema.field("vec_id").type),
+            pa.array([query.tolist()] * 15, type=q_tbl.schema.field("embedding").type),
+        ],
+        schema=q_tbl.schema,
+    )
+    return query, ds.union(rd.from_arrow(planted))
+
+
+def knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN, hash-checked like knn_lsh: the planted
+    copies share the query's nearest centroid whatever k-means produced,
+    so probing the query's cell provably recovers the true top-10."""
+    from cdm_data_loader_utils_ray.functions.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    query, aug = _planted_query_corpus(sf_dir)
+    centroids = train_ivf_centroids(aug, n_cells=16, sample_frac=0.5, seed=42)
+    out = ivf_topk(aug, query, centroids, k=10, n_probe=2)
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+KNN_IVF_SQL = KNN_LSH_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1239,6 +1266,7 @@ def registry() -> dict:
         "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
         "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
         "knn_lsh": (knn_lsh, KNN_LSH_SQL),
+        "knn_ivf": (knn_ivf, KNN_IVF_SQL),
         "media_features": (media_features, MEDIA_FEATURES_SQL),
         "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
         "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),

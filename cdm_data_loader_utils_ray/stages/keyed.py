@@ -22,6 +22,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
 from cdm_data_loader_utils_ray.state.upsert import _lww_take_indices
@@ -146,8 +147,14 @@ def hash_join(
     a broadcast lookup instead (SURVEY §2.5 J4/J5 — no shuffle at all).
     Skewed keys: salt upstream; a single key's rows must fit one bucket."""
     keys = list(on)
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_sch = left_ds.schema().base_schema
+    right_sch = right_ds.schema().base_schema
+    left_cols = list(left_sch.names)
+    right_cols = list(right_sch.names)
+    left_types = {f.name: f.type for f in left_sch}
+    right_types = {f.name: f.type for f in right_sch}
+    join_type = {"inner": "inner", "left": "left outer", "outer": "full outer",
+                 "right": "right outer"}[how]
 
     def tag(side: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -160,16 +167,28 @@ def hash_join(
         right_ds.map_batches(tag("r"), batch_format="pyarrow")
     )
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # reindex: a group made of one side's blocks lacks the other
-        # side's columns entirely; reindex creates them as nulls
-        l = df[df["__side__"] == "l"].reindex(columns=left_cols)
-        r = df[df["__side__"] == "r"].reindex(columns=right_cols)
-        if l.empty and how in ("inner", "left"):
-            return pd.DataFrame()
-        return l.merge(r, on=keys, how=how, suffixes=("", suffix))
+    def _side(group: pa.Table, side: str, cols: list[str], types: dict) -> pa.Table:
+        hit = group.filter(pc.equal(group["__side__"], side))
+        # a group made of one side's blocks lacks the other side's columns
+        # entirely (or carries them null-typed from the union promote);
+        # align to the side's DECLARED types — Arrow's join rejects
+        # null-typed non-key fields
+        out = {}
+        for c in cols:
+            if c in hit.column_names and not pa.types.is_null(hit[c].type):
+                out[c] = hit[c].cast(types[c])
+            else:
+                out[c] = pa.nulls(len(hit), type=types[c])
+        return pa.table(out)
 
-    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket hash join (C++ kernel) — no pandas
+        # round-trip of the payload columns
+        l = _side(group, "l", left_cols, left_types)
+        r = _side(group, "r", right_cols, right_types)
+        return l.join(r, keys=keys, join_type=join_type, right_suffix=suffix)
+
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def anti_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: int = 64):

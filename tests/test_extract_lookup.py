@@ -156,3 +156,16 @@ def test_cli_replay_and_preview(tmp_path, capsys):
     assert len(out) == 1 + 3  # replay summary + 3 preview rows
     assert main(["compact", "--lake", lake]) == 0
     assert main(["vacuum", "--lake", lake, "--keep", "1"]) == 0
+
+
+def test_parse_taxid_args(tmp_path):
+    from cdm_data_loader_utils_ray.functions.extract import (
+        ordered_unique,
+        parse_taxid_args,
+    )
+
+    assert parse_taxid_args("224325, 2741724, taxon:224325") == ["224325", "2741724"]
+    f = tmp_path / "ids.txt"
+    f.write_text("123\nabc999\n\n123\n")
+    assert parse_taxid_args("5", str(f)) == ["5", "123", "999"]
+    assert ordered_unique(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
