@@ -579,6 +579,89 @@ FROM events GROUP BY user_id, date_trunc('day', ts)
 
 
 # ---------------------------------------------------------------------------
+# 15b. Session windows (streaming concern §2.11): per-user sessions split
+#      at >1h quiet gaps — one key-bucket shuffle, vectorized session
+#      assignment inside the bucket.
+# ---------------------------------------------------------------------------
+def session_windows(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import session_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = session_window(
+        ds, "ts", ["user_id"], "1h",
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["session_start"] = df["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        df["session_end"] = df["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(value) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15c. Sliding (hopping) window: 2-day windows sliding daily per user —
+#      vectorized explode to (row x window) partials + the tumbling
+#      two-level combine.
+# ---------------------------------------------------------------------------
+def sliding_daily(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import sliding_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sliding_window(
+        ds, "ts", "2D", "1D", ["user_id"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["window_start"] = df["window_start"].dt.strftime("%Y-%m-%d")
+        return df[["user_id", "window_start", "n_events", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SLIDING_DAILY_SQL = """
+SELECT user_id,
+       strftime(ws, '%Y-%m-%d') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT user_id, value,
+         date_trunc('day', ts) - k * INTERVAL '1 day' AS ws
+  FROM events, range(2) t(k)
+)
+GROUP BY user_id, ws
+"""
+
+
+# ---------------------------------------------------------------------------
 # 16. As-of join: each event matched to the customer's most recent order at
 #     event time (backward, per-key).
 # ---------------------------------------------------------------------------
@@ -1258,6 +1341,8 @@ def registry() -> dict:
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
         "window_daily": (window_daily, WINDOW_DAILY_SQL),
+        "session_windows": (session_windows, SESSION_WINDOWS_SQL),
+        "sliding_daily": (sliding_daily, SLIDING_DAILY_SQL),
         "asof_events_orders": (asof_events_orders, ASOF_SQL),
         "fallback_enrich": (fallback_enrich, FALLBACK_ENRICH_SQL),
         "explode_tokens": (explode_tokens, EXPLODE_SQL),

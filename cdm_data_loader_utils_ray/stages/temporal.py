@@ -169,3 +169,100 @@ def tumbling_window(
     return partials.groupby(_BUCKET).map_groups(
         lambda df: final(df.drop(columns=[_BUCKET])), batch_format="pandas"
     )
+
+
+def sliding_window(
+    ds,
+    ts_column: str,
+    window: str,
+    slide: str,
+    by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+):
+    """Sliding (hopping) window aggregate: every row contributes to the
+    ``window/slide`` overlapping windows covering its timestamp, windows
+    aligned to the epoch on the ``slide`` grid.  Expressed as a vectorized
+    per-batch EXPLODE to (row x window_start) + the tumbling two-level
+    partial/final combine — one shuffle of partials, never of raw rows.
+    The fan-out factor is window/slide: keep it small at scale (it
+    multiplies partial-row volume, not raw-data volume)."""
+    win = pd.Timedelta(window)
+    sl = pd.Timedelta(slide)
+    if win % sl != pd.Timedelta(0):
+        raise ValueError("window must be a multiple of slide")
+    fanout = win // sl
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # window starts covering ts: floor(ts/slide)*slide - k*slide,
+        # k = 0..fanout-1  (vectorized repeat + tile)
+        base = df[ts_column].dt.floor(sl)
+        n = len(df)
+        rep = df.loc[df.index.repeat(fanout)].reset_index(drop=True)
+        offsets = pd.TimedeltaIndex(
+            np.tile(np.arange(fanout), n) * sl
+        )
+        rep["__wstart__"] = (
+            base.repeat(fanout).reset_index(drop=True) - offsets
+        )
+        return rep
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    out = tumbling_window(
+        exploded.map_batches(
+            lambda df: df.rename(columns={"__wstart__": "__sw__"}),
+            batch_format="pandas",
+        ),
+        "__sw__",
+        slide,  # __sw__ is already on the slide grid; floor is identity
+        by,
+        aggs,
+        num_buckets=num_buckets,
+    )
+    return out
+
+
+def session_window(
+    ds,
+    ts_column: str,
+    by: Sequence[str],
+    gap: str,
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+):
+    """Session-window aggregate: per key, consecutive events closer than
+    ``gap`` belong to one session; a longer quiet period starts a new one.
+
+    Sessions are NOT decomposable into per-batch partials (a session can
+    span any number of blocks), so the shape is: project (keys, ts, agg
+    sources) -> ONE ``groupby(bucket)`` shuffle co-locating each key ->
+    vectorized session assignment inside the bucket (sort + diff > gap ->
+    cumsum) -> groupby aggregate.  Only the projected columns shuffle.
+    Output carries ``session_start`` / ``session_end`` / per-agg columns.
+    """
+    keys = list(by)
+    g = pd.Timedelta(gap)
+    src_cols = sorted({src for (src, _how) in aggs.values()})
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([c for c in keys + [ts_column] + src_cols])
+        return _add_bucket(t, keys, num_buckets)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [ts_column], kind="stable")
+        new_key = (df[keys] != df[keys].shift()).any(axis=1)
+        gap_break = df[ts_column].diff() > g
+        df["__sid__"] = (new_key | gap_break).cumsum()
+        grp = df.groupby("__sid__", sort=False)
+        out = grp.agg(
+            **{k: (k, "first") for k in keys},
+            session_start=(ts_column, "min"),
+            session_end=(ts_column, "max"),
+            **{o: (src, how) for o, (src, how) in aggs.items()},
+        ).reset_index(drop=True)
+        return out
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+    return projected.groupby(_BUCKET).map_groups(
+        lambda df: sessions(df.drop(columns=[_BUCKET])), batch_format="pandas"
+    )

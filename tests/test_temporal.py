@@ -77,3 +77,46 @@ def test_hash_join_matches_pandas():
     )
     assert list(out["k"]) == [2, 2, 3]
     assert list(out["y"]) == [20, 20, 30]
+
+
+def test_session_window_gap_split():
+    from cdm_data_loader_utils_ray.stages.temporal import session_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+         "2024-01-01 02:30", "2024-01-01 00:05"]
+    )
+    t = pa.table({"k": ["a", "a", "a", "a", "b"],
+                  "ts": pa.array(ts),
+                  "v": [1.0, 2.0, 3.0, 4.0, 9.0]})
+    out = (
+        session_window(rd.from_arrow(t), "ts", ["k"], "1h",
+                       {"n": ("v", "count"), "s": ("v", "sum")}, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "session_start"])
+        .reset_index(drop=True)
+    )
+    # key a: two sessions (00:00-00:10, 02:00-02:30); key b: one
+    assert len(out) == 3
+    a = out[out["k"] == "a"]
+    assert list(a["n"]) == [2, 2]
+    assert list(a["s"]) == [3.0, 7.0]
+    assert str(a["session_end"].iloc[0]) == "2024-01-01 00:10:00"
+
+
+def test_sliding_window_fanout():
+    from cdm_data_loader_utils_ray.stages.temporal import sliding_window
+
+    ts = pd.to_datetime(["2024-01-02 12:00", "2024-01-03 01:00"])
+    t = pa.table({"k": ["a", "a"], "ts": pa.array(ts), "v": [1.0, 10.0]})
+    out = (
+        sliding_window(rd.from_arrow(t), "ts", "2D", "1D", ["k"],
+                       {"s": ("v", "sum")}, num_buckets=4)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # event 1 in windows [01-01, 01-02]; event 2 in [01-02, 01-03]
+    assert list(out["window_start"].dt.strftime("%Y-%m-%d")) == [
+        "2024-01-01", "2024-01-02", "2024-01-03"]
+    assert list(out["s"]) == [1.0, 11.0, 10.0]
