@@ -15,6 +15,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -93,21 +94,24 @@ class MediaFeatureExtractor:
 
 class FrameSampler:
     """Video frame-sampling stage: emits one row per sampled frame offset
-    (timing plumbing real, frame decode stubbed like above)."""
+    (timing plumbing real, frame decode stubbed like above).  Vectorized:
+    per-row frame counts -> one repeat + arange subtraction, no Python
+    loop over frames."""
 
     def __init__(self, every_ms: int = 1000, mode: str = "fake"):
         self.every_ms, self.mode = every_ms, mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, offs = [], []
-        for mid, dur in zip(batch["media_id"].to_pylist(), batch["duration_ms"].to_pylist()):
-            for off in range(0, int(dur or 0), self.every_ms):
-                ids.append(mid)
-                offs.append(off)
+        dur = pc.fill_null(batch["duration_ms"], 0).to_numpy(zero_copy_only=False)
+        counts = np.maximum(0, -(-dur // self.every_ms)).astype(np.int64)
+        parent = np.repeat(np.arange(len(dur)), counts)
+        # offset within each row's run: global arange minus run starts
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(counts.sum()) - starts[parent]
         return pa.table(
             {
-                "media_id": pa.array(ids, type=pa.string()),
-                "frame_offset_ms": pa.array(offs, type=pa.int64()),
+                "media_id": batch["media_id"].take(pa.array(parent)),
+                "frame_offset_ms": pa.array(local * self.every_ms, type=pa.int64()),
             }
         )
 
@@ -174,8 +178,6 @@ def documents_as_media(batch: pa.Table, id_column: str = "doc_id",
     (UTF-8 payload; kind round-robins image/audio/video by id).  Used by
     tests and the catalog to exercise the binary plumbing on deterministic
     input without media files."""
-    import pyarrow.compute as pc
-
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     kinds = np.array(["image", "audio", "video"])[ids % 3]
     mimes = np.array(["image/png", "audio/wav", "video/mp4"])[ids % 3]

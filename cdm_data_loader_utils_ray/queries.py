@@ -1078,6 +1078,31 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 24b. Video/audio frame sampling (multimodal timing plumbing): one row per
+#      sampled frame offset, vectorized repeat/arange — hash-checked
+#      against the arithmetic twin.
+# ---------------------------------------------------------------------------
+def media_frames(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.multimodal import (
+        FrameSampler,
+        documents_as_media,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    media = ds.map_batches(documents_as_media, batch_format="pyarrow")
+    return media.map_batches(FrameSampler(every_ms=1000), batch_format="pyarrow")
+
+
+MEDIA_FRAMES_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       (k * 1000)::BIGINT AS frame_offset_ms
+FROM documents, range(10) t(k)
+WHERE doc_id % 3 <> 0
+  AND k < ((doc_id % 9000 + 1000) + 999) // 1000
+"""
+
+
+# ---------------------------------------------------------------------------
 # 25. UniProt entry extraction through the REAL streaming-XML path:
 #     documents are rendered as deterministic UniProt-shaped <entry> XML,
 #     parsed by sources/uniprot.parse_uniprot_entry (the reference's
@@ -1353,6 +1378,7 @@ def registry() -> dict:
         "knn_lsh": (knn_lsh, KNN_LSH_SQL),
         "knn_ivf": (knn_ivf, KNN_IVF_SQL),
         "media_features": (media_features, MEDIA_FEATURES_SQL),
+        "media_frames": (media_frames, MEDIA_FRAMES_SQL),
         "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
         "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),
         "gaf_normalize": (gaf_normalize, GAF_NORMALIZE_SQL),
