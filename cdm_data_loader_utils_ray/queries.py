@@ -671,22 +671,19 @@ def asof_events_orders(sf_dir: str):
     events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    from cdm_data_loader_utils_ray.stages.keyed import lww_latest
-
-    # one order per (customer, date), keep max orderkey: a KEYED reduce
-    # (combiner + one bucket shuffle), exact regardless of batch layout —
-    # r1 used a per-batch dedup whose exactness leaned on block boundaries
-    deduped = lww_latest(
-        orders, ["o_custkey", "o_orderdate"], "o_orderkey", num_buckets=16
-    )
-
     def rename(batch: pa.Table) -> pa.Table:
         names = ["user_id" if n == "o_custkey" else "ts" if n == "o_orderdate" else n
                  for n in batch.column_names]
         return batch.rename_columns(names)
 
-    right = deduped.map_batches(rename, batch_format="pyarrow")
-    joined = asof_join(events, right, on="ts", by=["user_id"], num_buckets=16)
+    right = orders.map_batches(rename, batch_format="pyarrow")
+    # one order per (customer, date), keep max orderkey — deduped INSIDE
+    # the join bucket (all rows of a key are co-located there), exact
+    # regardless of batch layout with no extra keyed-reduce shuffle
+    joined = asof_join(
+        events, right, on="ts", by=["user_id"], num_buckets=16,
+        right_dedup=(["user_id", "ts"], "o_orderkey"),
+    )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["event_id", "user_id", "ts", "o_orderkey"]].copy()

@@ -28,11 +28,17 @@ def asof_join(
     num_buckets: int = 64,
     direction: str = "backward",
     suffix: str = "_right",
+    right_dedup: tuple[Sequence[str], str] | None = None,
 ):
     """As-of join: for each left row, the latest right row with
     ``right[on] <= left[on]`` within the same ``by`` key (direction
     'backward'; 'forward' mirrors).  One shuffle; per-bucket
     ``pd.merge_asof`` over key-sorted frames.
+
+    ``right_dedup=(subset_cols, pref_col)`` keeps only the max-``pref_col``
+    right row per ``subset_cols`` — applied INSIDE the bucket, where all
+    rows of a key are co-located, so it is exact without a separate keyed
+    reduce (fuses the dedup shuffle into the join shuffle).
     """
     keys = list(by)
     # explicit side columns: an all-null-within-bucket column must survive
@@ -60,6 +66,10 @@ def asof_join(
         l = l.sort_values(on, kind="stable")
         if r.empty:
             return l
+        if right_dedup is not None:
+            subset, pref = right_dedup
+            r = r.sort_values([*subset, pref], kind="stable")
+            r = r.drop_duplicates(subset=list(subset), keep="last")
         r = r.sort_values(on, kind="stable")
         out = pd.merge_asof(
             l, r, on=on, by=keys, direction=direction, suffixes=("", suffix)
