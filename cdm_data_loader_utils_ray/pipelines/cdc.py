@@ -374,7 +374,6 @@ _WINNER_RESULT_SCHEMA = pa.schema(
         pa.field("n_events", pa.int64()),
         pa.field("n_rejects", pa.int64()),
         pa.field("distinct_errors", pa.string()),
-        pa.field("fetch_seqs", pa.list_(pa.int64())),
     ]
 )
 
@@ -435,6 +434,8 @@ def _make_winner_fn(
         for gid in batch["item"]:
             lake = LakeTable(table_dir)
             whole = _read_staging_group(staging_dir, int(gid))
+            fm_seqs: list[np.ndarray] = []
+            fm_pids: list[np.ndarray] = []
             for pid, group in _split_by_pid(whole):
                 if has_any_errors(group):
                     mask = error_mask(group)
@@ -449,7 +450,9 @@ def _make_winner_fn(
                     distinct_errors = []
                 merged = merge_states(None, events_to_state(events, meta_sch), meta_sch)
                 need = pc.equal(merged[DELETED_COLUMN], False)
-                fetch = merged.filter(need)["seq"].to_pylist()
+                fseq = merged.filter(need)["seq"].to_numpy(zero_copy_only=False)
+                fm_seqs.append(fseq.astype(np.int64, copy=False))
+                fm_pids.append(np.full(len(fseq), pid, dtype=np.int32))
                 wdir = os.path.join(staging_dir, "winners")
                 os.makedirs(wdir, exist_ok=True)
                 pq.write_table(merged, os.path.join(wdir, f"pid={pid:05d}.parquet"))
@@ -459,9 +462,27 @@ def _make_winner_fn(
                         "n_events": len(events),
                         "n_rejects": len(rejects),
                         "distinct_errors": json.dumps(distinct_errors),
-                        "fetch_seqs": fetch,
                     }
                 )
+            # compact columnar (seq, pid) fetch map per group — the driver
+            # reads these files instead of marshalling per-pid Python lists
+            # through take_all (at 10^9 winners that was the bottleneck)
+            fmdir = os.path.join(staging_dir, "fetchmap")
+            os.makedirs(fmdir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "seq": pa.array(
+                            np.concatenate(fm_seqs) if fm_seqs else np.array([], np.int64)
+                        ),
+                        "pid": pa.array(
+                            np.concatenate(fm_pids) if fm_pids else np.array([], np.int32)
+                        ),
+                    }
+                ),
+                os.path.join(fmdir, f"pg={int(gid):05d}.parquet"),
+                compression="lz4",
+            )
         return pa.Table.from_pylist(rows, schema=_WINNER_RESULT_SCHEMA)
 
     return winners_gid
@@ -790,13 +811,19 @@ def apply_epoch(
             if timing:
                 print(f"[phase] A-reduce {_t() - t0:.2f}s", file=__import__('sys').stderr)
                 t0 = _t()
-            # seq-range-sharded winner seq -> pid map for the content scan
-            fetch_seqs = np.concatenate(
-                [np.asarray(w["fetch_seqs"], dtype=np.int64) for w in wrows]
-            ) if wrows else np.array([], dtype=np.int64)
-            fetch_pids = np.concatenate(
-                [np.full(len(w["fetch_seqs"]), w["pid"], dtype=np.int32) for w in wrows]
-            ) if wrows else np.array([], dtype=np.int32)
+            # seq-range-sharded winner seq -> pid map for the content scan,
+            # loaded COLUMNAR from the per-group fetchmap files
+            fmdir = os.path.join(staging, "fetchmap")
+            fm_files = sorted(os.listdir(fmdir)) if os.path.isdir(fmdir) else []
+            if fm_files:
+                fm = pa.concat_tables(
+                    [pq.read_table(os.path.join(fmdir, f)) for f in fm_files]
+                )
+                fetch_seqs = fm["seq"].to_numpy(zero_copy_only=False)
+                fetch_pids = fm["pid"].to_numpy(zero_copy_only=False)
+            else:
+                fetch_seqs = np.array([], dtype=np.int64)
+                fetch_pids = np.array([], dtype=np.int32)
             # raw column names in the source (reverse of the rename map)
             rev = {v: k for k, v in (rename_map or {}).items()}
             seq_col, content_col = rev.get("seq", "seq"), rev.get("content", "content")
