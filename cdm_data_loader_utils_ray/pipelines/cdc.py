@@ -949,9 +949,17 @@ def apply_epoch(
     )
     table.commit(manifest)
     if staging is not None:
+        # staging holds thousands of slice files at large inputs; deleting
+        # them synchronously adds seconds of driver tail after the commit.
+        # The dir is per-epoch-unique, already committed past, and the next
+        # epoch rmtree's its own path first — safe to clean in background.
         import shutil
+        import threading
 
-        shutil.rmtree(staging, ignore_errors=True)
+        threading.Thread(
+            target=shutil.rmtree, args=(staging,), kwargs={"ignore_errors": True},
+            daemon=True,
+        ).start()
 
     if max_chain_len and any(len(p.files) > max_chain_len for p in partitions.values()):
         from cdm_data_loader_utils_ray.pipelines.maintenance import fold_long_chains
