@@ -514,6 +514,32 @@ FROM r WHERE rn = 1 AND op <> 'delete'
 
 
 # ---------------------------------------------------------------------------
+# 13b. Continuous-tailing mode (T7): the same event log fed through the
+#      shard-ACTOR tailer (state resident between micro-batches, snapshot
+#      commit) must converge to the identical final state — same oracle as
+#      the batch engine.
+# ---------------------------------------------------------------------------
+def cdc_streaming_replay(sf_dir: str):
+    import tempfile
+
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from cdm_data_loader_utils_ray.pipelines.cdc import read_final_state_arrow
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+    from cdm_data_loader_utils_ray.state.streaming import StreamingUpserter
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_stream_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    s = StreamingUpserter(os.path.join(work, "lake"), num_partitions=8)
+    s.feed(rd.read_parquet(ev), batch_size=4096)
+    s.commit()
+    s.shutdown()
+    state = read_final_state_arrow(LakeTable(os.path.join(work, "lake")))
+    return state.select(["repo", "path", "seq", "lang", "content", "content_sha256"])
+
+
+# ---------------------------------------------------------------------------
 # 14. Partitioned hash join (two large sides, one shuffle each).
 # ---------------------------------------------------------------------------
 def hash_join_orders(sf_dir: str):
@@ -1361,6 +1387,7 @@ def registry() -> dict:
         "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
         "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
+        "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
         "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
         "window_daily": (window_daily, WINDOW_DAILY_SQL),
         "session_windows": (session_windows, SESSION_WINDOWS_SQL),
