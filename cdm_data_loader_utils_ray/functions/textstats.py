@@ -146,17 +146,65 @@ class Fingerprint:
         return batch.append_column("fingerprint", fps)
 
 
+class TextAnalyzer:
+    """FUSED text-analysis stage: langid + quality + token counts +
+    fingerprint in ONE ``map_batches`` pass.  The four standalone stages
+    each re-tokenized every row and paid a batch (de)serialization per
+    stage; fusing tokenizes once per convention (raw-token list for
+    langid, lowercased-text tokens for quality — kept separate to stay
+    bit-compatible with the SQL oracle twin) and emits all columns
+    together."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.langid = LangId(text_column)
+        self.stops = frozenset().union(*_LANG_PROFILES.values())
+        self.window = 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column]
+        tl = texts.to_pylist()
+        preds, stop_ratio, mean_tok, bpe, fps = [], [], [], [], []
+        for t in tl:
+            t = t or ""
+            preds.append(self.langid.classify(t))
+            toks = _WORD.findall(t.lower())
+            if toks:
+                stop_ratio.append(sum(tt in self.stops for tt in toks) / len(toks))
+                mean_tok.append(sum(map(len, toks)) / len(toks))
+            else:
+                stop_ratio.append(0.0)
+                mean_tok.append(0.0)
+            bpe.append(len(_BPE.findall(t)))
+            fps.append(rolling_fingerprint(t, self.window))
+        n_chars = pc.utf8_length(texts).cast(pa.float64())
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        n_space = pc.count_substring(texts, " ").cast(pa.float64())
+        space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
+        stop_arr = np.array(stop_ratio)
+        mt = np.array(mean_tok)
+        len_score = np.clip(nc / 500.0, 0, 1)
+        tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)
+        score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
+        ws = pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64())
+        out = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        out = out.append_column("n_chars_f", pa.array(nc))
+        out = out.append_column("space_ratio", pa.array(round6_half_up(space_ratio)))
+        out = out.append_column("stopword_ratio", pa.array(round6_half_up(stop_arr)))
+        out = out.append_column("mean_token_len", pa.array(round6_half_up(mt)))
+        out = out.append_column("quality_score", pa.array(round6_half_up(score)))
+        out = out.append_column("n_tokens_ws", ws)
+        out = out.append_column("n_tokens_bpe", pa.array(bpe, type=pa.int64()))
+        return out.append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+
+
 def analyze_documents(ds, text_column: str = "text", concurrency: int = 4,
                       batch_size: int = 4096):
-    """Full text-analysis pipeline: langid + quality + tokens + fingerprint,
-    chained actor-pool stages over Arrow batches."""
-    return (
-        ds.map_batches(LangId(text_column), batch_format="pyarrow",
-                       batch_size=batch_size, concurrency=concurrency)
-        .map_batches(QualityScore(text_column), batch_format="pyarrow",
-                     batch_size=batch_size, concurrency=concurrency)
-        .map_batches(TokenCount(text_column), batch_format="pyarrow",
-                     batch_size=batch_size, concurrency=concurrency)
-        .map_batches(Fingerprint(text_column), batch_format="pyarrow",
-                     batch_size=batch_size, concurrency=concurrency)
+    """Full text-analysis pipeline: langid + quality + tokens + fingerprint
+    as ONE fused actor-pool stage over Arrow batches (the standalone
+    ``LangId``/``QualityScore``/``TokenCount``/``Fingerprint`` classes
+    remain for piecemeal use)."""
+    return ds.map_batches(
+        TextAnalyzer(text_column), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
     )
