@@ -420,6 +420,62 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "i
     return pd.DataFrame({"doc_id": ids, "cluster": labels})
 
 
+def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                                     max_iter: int = 30, num_buckets: int = 64):
+    """Scale path for huge verified-pair sets: iterated groupby-min label
+    propagation as Dataset ops (one join + one aggregate shuffle per
+    round, O(component diameter) rounds — near-dup clusters are shallow).
+    The driver union-find (:func:`connected_components`) is preferred when
+    the pair set fits one machine; this variant never materializes the
+    graph driver-side.  Convergence detected via the monotone-decreasing
+    label sum."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    def und(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].cast(pa.int64()).combine_chunks()
+        b = batch[id_b].cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs_ds.map_batches(und, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch["src"]
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow").groupby(
+        "node"
+    ).min("label").map_batches(
+        lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
+    ).materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_iter):
+        neigh = hash_join(
+            edges,
+            labels.map_batches(
+                lambda b: b.rename_columns(["dst", "label"]), batch_format="pyarrow"
+            ),
+            on=["dst"],
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.union(neigh).groupby("node").min("label").map_batches(
+            lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
 def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
                   k: int = 3, seed: int = 42, text_column: str = "text",
                   id_column: str = "doc_id", concurrency: int | None = None) -> pd.DataFrame:

@@ -217,3 +217,29 @@ def test_media_metadata_stage():
     import hashlib
 
     assert out["checksum"][0] == hashlib.md5(b"aaa").hexdigest()[:16]
+
+
+def test_connected_components_distributed_matches_union_find():
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.default_rng(21)
+    # short chains (diameter 3) over ~60 nodes: each propagation round is
+    # a shuffle, so unit-test graphs must be shallow
+    edges = []
+    for base in range(0, 60, 4):
+        for i in range(3):  # chain of 4
+            edges.append((base + i, base + i + 1))
+    rng.shuffle(edges)
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    exp = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        connected_components_distributed(rd.from_pandas(pairs), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["cluster"]) == list(exp["cluster"])
