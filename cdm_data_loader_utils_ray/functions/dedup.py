@@ -516,6 +516,11 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 
     if verified.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster": pd.Series([], dtype="int64")})
+    if len(verified) > 5_000_000:
+        # scale path: label propagation as Dataset ops — a pair set this
+        # size signals a dup-saturated corpus where the driver union-find
+        # loop becomes the bottleneck
+        return connected_components_distributed(rd.from_pandas(verified)).to_pandas()
     return connected_components(verified)
 
 
