@@ -737,6 +737,41 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
             }
         )
 
+    def _bucket_tile_pairs(t, ids, m, sigs, out, tile: int = 2048):
+        """All-pairs >= threshold within one bucket, computed in
+        tile x tile blocks — a dup-saturated bucket must not build an
+        m x m cosine matrix (10 GB at m=50k)."""
+        n = len(ids)
+        for a0 in range(0, n, tile):
+            a1 = min(n, a0 + tile)
+            for b0 in range(a0, n, tile):
+                b1 = min(n, b0 + tile)
+                cos = m[a0:a1] @ m[b0:b1].T
+                if a0 == b0:
+                    iu, ju = np.triu_indices(a1 - a0, k=1)
+                else:
+                    iu, ju = np.meshgrid(
+                        np.arange(a1 - a0), np.arange(b1 - b0), indexing="ij"
+                    )
+                    iu, ju = iu.ravel(), ju.ravel()
+                keep = cos[iu, ju] >= threshold
+                gi, gj = iu + a0, ju + b0
+                if t > 0:
+                    for tp in range(int(t)):
+                        keep &= sigs[gi, tp] != sigs[gj, tp]
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[gi[keep]],
+                                "id_b": ids[gj[keep]],
+                                "cos_sim": np.round(
+                                    cos[iu, ju][keep].astype(np.float64), 6
+                                ),
+                            }
+                        )
+                    )
+
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         df = df[df.duplicated(["table_id", "bucket"], keep=False)]
@@ -749,23 +784,8 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
             ids = ids[order]
             m = np.stack(grp[column].to_numpy()).astype(np.float32)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            cos = m @ m.T
             sigs = np.stack(grp["sigs"].to_numpy()).astype(np.uint64)  # (m, T)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = cos[iu, ju] >= threshold
-            if t > 0:
-                for tp in range(int(t)):
-                    keep &= sigs[iu, tp] != sigs[ju, tp]
-            if keep.any():
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[iu[keep]],
-                            "id_b": ids[ju[keep]],
-                            "cos_sim": np.round(cos[iu, ju][keep].astype(np.float64), 6),
-                        }
-                    )
-                )
+            _bucket_tile_pairs(t, ids, m, sigs, out)
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
