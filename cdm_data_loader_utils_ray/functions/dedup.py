@@ -596,7 +596,7 @@ class SimHasher:
 
 def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
                       id_column: str = "doc_id", chunks: int = 4,
-                      concurrency: int | None = None) -> pd.DataFrame:
+                      concurrency: int | None = None, as_dataset: bool = False):
     """Near-dup pairs by simhash, fully distributed.
 
     Pigeonhole: a pair within ``max_hamming < chunks`` bit flips must agree
@@ -681,7 +681,10 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
             batch_format="pandas",
         )
     )
-    return pairs.to_pandas()
+    # the PAIR OUTPUT is quadratic on dup-saturated corpora: pass
+    # as_dataset=True to keep it distributed (write_parquet it) instead of
+    # collecting to the driver
+    return pairs if as_dataset else pairs.to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +692,8 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
 # ---------------------------------------------------------------------------
 def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                         n_tables: int = 4, seed: int = 42,
-                        column: str = "embedding", id_column: str = "vec_id") -> pd.DataFrame:
+                        column: str = "embedding", id_column: str = "vec_id",
+                        as_dataset: bool = False):
     """Near-dup pairs by embedding cosine: MULTI-TABLE hyperplane LSH
     (``n_tables`` independent sign-hash tables -> recall ~1-(1-p^planes)^T),
     ONE ``groupby`` shuffle over (table, bucket), exact cosine within
@@ -793,12 +797,10 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
         return pd.concat(out, ignore_index=True)
 
     sigged = ds.map_batches(add_sig, batch_format="pyarrow")
-    return (
-        sigged.groupby("shuffle_bucket")
-        .map_groups(
-            lambda df: pairs_in_bucket(df.drop(columns=["shuffle_bucket"])),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .reset_index(drop=True)
+    pairs = sigged.groupby("shuffle_bucket").map_groups(
+        lambda df: pairs_in_bucket(df.drop(columns=["shuffle_bucket"])),
+        batch_format="pandas",
     )
+    # quadratic pair output on dup-saturated corpora: as_dataset=True keeps
+    # it distributed for a streaming sink instead of a driver collect
+    return pairs if as_dataset else pairs.to_pandas().reset_index(drop=True)
