@@ -789,11 +789,18 @@ def apply_epoch(
             a_ds = phase_b_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
         except TypeError:
             a_ds = events_ds
-        a_ds.map_batches(
+        a_mapped = a_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-        ).take_all()
+        )
+        a_mapped.take_all()
         if timing:
-            print(f"[phase] A-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
+            import sys as _sys
+
+            print(f"[phase] A-map {_t() - t0:.2f}s", file=_sys.stderr)
+            if timing == "stats":
+                # per-operator Ray Data stats (wall, cpu, output bytes) —
+                # the "read ds.stats() and iterate" loop
+                print(a_mapped.stats(), file=_sys.stderr)
             t0 = _t()
         gids = sorted(
             int(d.split("=")[1]) for d in os.listdir(staging) if d.startswith("pg=")
@@ -836,12 +843,15 @@ def apply_epoch(
                 # winners skew to high seqs (LWW): a row-group range filter
                 # on min(winner seq) prunes early row groups at the scan
                 min_fetch = int(fetch_seqs.min())
-                phase_b_reader(
+                b_mapped = phase_b_reader(
                     [seq_col, content_col], min_seq=min_fetch, seq_col=seq_col
                 ).map_batches(
                     route, batch_format="pyarrow", batch_size=batch_size,
                     zero_copy_batch=True,
-                ).take_all()
+                )
+                b_mapped.take_all()
+                if timing == "stats":
+                    print(b_mapped.stats(), file=__import__('sys').stderr)
             if timing:
                 print(f"[phase] B-map {_t() - t0:.2f}s", file=__import__('sys').stderr)
                 t0 = _t()
