@@ -200,7 +200,11 @@ def _pool_size(requested: int | None) -> int:
     """Actor-pool size with headroom: BELOW the cluster CPU count — a pool
     that reserves every slot starves the downstream groupby's shuffle tasks
     and the pipeline deadlocks (observed on a 4-CPU session with a 4-actor
-    pool)."""
+    pool).  The dedup stages themselves now run as TASKS (r2: worker
+    spin-up dominated small corpora); this helper remains for callers that
+    opt into actor pools (``PairVerifier``, ``analyze_documents``-style
+    stages).  ``concurrency`` parameters on the dedup entry points are
+    kept for API compatibility and honoured where an actor pool is used."""
     if requested is not None:
         return requested
     try:
