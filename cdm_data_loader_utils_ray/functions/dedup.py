@@ -316,27 +316,25 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def _verify_pairs_table(batch: pa.Table, sh: dict, threshold: float) -> pa.Table:
+    """Exact-Jaccard filter of a candidate-pair batch.  Surviving rows are
+    TAKEN from the input batch so id columns keep their original Arrow type
+    (int, string, ...) — rebuilding from Python lists regressed non-int64
+    ids in an earlier draft."""
     a = batch["id_a"].to_pylist()
     b = batch["id_b"].to_pylist()
-    keep_a, keep_b, sims = [], [], []
+    keep_idx, sims = [], []
     empty = np.zeros(0, dtype=np.uint64)
-    for x, y in zip(a, b):
+    for i, (x, y) in enumerate(zip(a, b)):
         sa = sh.get(x, empty)
         sb = sh.get(y, empty)
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
         j = 1.0 if union == 0 else inter / union
         if j >= threshold:
-            keep_a.append(x)
-            keep_b.append(y)
+            keep_idx.append(i)
             sims.append(j)
-    return pa.table(
-        {
-            "id_a": pa.array(keep_a, type=pa.int64()),
-            "id_b": pa.array(keep_b, type=pa.int64()),
-            "jaccard": pa.array(sims, type=pa.float64()),
-        }
-    )
+    kept = batch.select(["id_a", "id_b"]).take(pa.array(keep_idx, type=pa.int64()))
+    return kept.append_column("jaccard", pa.array(sims, type=pa.float64()))
 
 
 class PairVerifier:
@@ -373,14 +371,15 @@ def candidate_shingle_map(ds, cand_ids, k: int = 3, text_column: str = "text",
                           id_column: str = "doc_id") -> dict:
     """Targeted scan: shingle sets (sorted uint64 arrays) for candidate ids
     only — a column-pruned filtered pass over the corpus, never a full
-    collect.  Size ∝ candidates, which LSH keeps << corpus."""
-    ids_arr = pa.array(sorted(cand_ids), type=pa.int64())
+    collect.  Size ∝ candidates, which LSH keeps << corpus.  Id type is
+    inferred (ints and strings both work)."""
+    ids_arr = pa.array(sorted(cand_ids))
 
     def grab(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[id_column], value_set=ids_arr)
         hit = batch.filter(mask)
         if len(hit) == 0:
-            return pa.table({id_column: pa.array([], type=pa.int64()),
+            return pa.table({id_column: hit[id_column],  # keeps the id type
                              "shingles": pa.array([], type=pa.list_(pa.uint64()))})
         cache: dict = {}
         sh = [_kgram_hashes(_token_ids(t, cache), k) for t in hit[text_column].to_pylist()]
@@ -393,7 +392,7 @@ def candidate_shingle_map(ds, cand_ids, k: int = 3, text_column: str = "text",
 
     tbl = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
     return {
-        int(i): np.asarray(s, dtype=np.uint64)
+        i: np.asarray(s, dtype=np.uint64)
         for i, s in zip(tbl[id_column], tbl["shingles"])
     }
 
@@ -425,7 +424,7 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "i
 
 
 def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
-                                     max_iter: int = 30, num_buckets: int = 64):
+                                     max_iter: int = 100, num_buckets: int = 64):
     """Scale path for huge verified-pair sets: iterated groupby-min label
     propagation as Dataset ops (one join + one aggregate shuffle per
     round, O(component diameter) rounds — near-dup clusters are shallow).
@@ -456,6 +455,7 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "
         lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
     ).materialize()
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iter):
         neigh = hash_join(
             edges,
@@ -473,8 +473,17 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "
         ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # an unconverged result would silently SPLIT true clusters — the
+        # label sum is a strictly decreasing integer, so convergence is
+        # guaranteed given enough rounds (one per component-diameter hop)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
     )
@@ -773,9 +782,12 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                             {
                                 "id_a": ids[gi[keep]],
                                 "id_b": ids[gj[keep]],
-                                "cos_sim": np.round(
-                                    cos[iu, ju][keep].astype(np.float64), 6
-                                ),
+                                # half-up to match the DuckDB oracle twin
+                                # (np.round is half-even; CLAUDE.md: round
+                                # identically on both sides)
+                                "cos_sim": np.floor(
+                                    cos[iu, ju][keep].astype(np.float64) * 1e6 + 0.5
+                                ) / 1e6,
                             }
                         )
                     )

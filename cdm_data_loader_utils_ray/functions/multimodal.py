@@ -141,15 +141,11 @@ class MediaMetadata:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]
-        n_bytes = pa.array(
-            [len(p.as_py() if hasattr(p, "as_py") else p) for p in payloads],
-            type=pa.int64(),
-        )
+        # sizes via the Arrow kernel (zero copies); payload bytes converted
+        # out of Arrow exactly ONCE for the checksum
+        n_bytes = pc.binary_length(payloads).cast(pa.int64())
         checksums = pa.array(
-            [
-                hashlib.md5(p.as_py() if hasattr(p, "as_py") else p).hexdigest()[:16]
-                for p in payloads
-            ],
+            [hashlib.md5(p).hexdigest()[:16] for p in payloads.to_pylist()],
             type=pa.string(),
         )
         return pa.table(

@@ -785,8 +785,18 @@ def apply_epoch(
         a_cols = [
             c for c in (rev_a.get(f.name, f.name) for f in meta_event_sch) if c in present
         ]
+        def _call_reader(columns, **kw):
+            """Tolerate legacy reader signatures (``(columns, min_seq=None)``)
+            at EVERY call site, not just phase A — a reader written to the
+            documented minimal contract must not crash mid-epoch."""
+            try:
+                return phase_b_reader(columns, **kw)
+            except TypeError:
+                kw.pop("seq_col", None)
+                return phase_b_reader(columns, **kw)
+
         try:
-            a_ds = phase_b_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
+            a_ds = _call_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
         except TypeError:
             a_ds = events_ds
         a_mapped = a_ds.map_batches(
@@ -843,7 +853,7 @@ def apply_epoch(
                 # winners skew to high seqs (LWW): a row-group range filter
                 # on min(winner seq) prunes early row groups at the scan
                 min_fetch = int(fetch_seqs.min())
-                b_mapped = phase_b_reader(
+                b_mapped = _call_reader(
                     [seq_col, content_col], min_seq=min_fetch, seq_col=seq_col
                 ).map_batches(
                     route, batch_format="pyarrow", batch_size=batch_size,
@@ -961,13 +971,20 @@ def apply_epoch(
     if staging is not None:
         # staging holds thousands of slice files at large inputs; deleting
         # them synchronously adds seconds of driver tail after the commit.
-        # The dir is per-epoch-unique, already committed past, and the next
-        # epoch rmtree's its own path first — safe to clean in background.
+        # RENAME to a unique trash path first (atomic, instant) so a later
+        # re-creation of the SAME epoch path (e.g. the lake dir wiped and
+        # replayed in-process) can never race the background walker.
         import shutil
         import threading
+        import uuid
 
+        trash = f"{staging}.trash-{uuid.uuid4().hex[:8]}"
+        try:
+            os.replace(staging, trash)
+        except OSError:
+            trash = staging  # rename failed: fall back to in-place delete
         threading.Thread(
-            target=shutil.rmtree, args=(staging,), kwargs={"ignore_errors": True},
+            target=shutil.rmtree, args=(trash,), kwargs={"ignore_errors": True},
             daemon=True,
         ).start()
 

@@ -142,7 +142,9 @@ class GafNormalizer:
             "DB_Object_ID": batch["DB_Object_ID"].take(take),
             "primary_knowledge_source": batch["Assigned_By"].take(take),
             "supporting_objects": supp.take(take),
-            "aggregator": pa.array(["UniProt"] * len(parent)),
+            # explicit type: an all-empty explode would otherwise infer a
+            # null-typed column and break cross-block schema unification
+            "aggregator": pa.array(["UniProt"] * len(parent), type=pa.string()),
             "protocol_id": pa.nulls(len(parent), pa.string()),
             "negated": neg_str.take(take),
             "subject": subject.take(take),

@@ -121,6 +121,13 @@ def run_ingest(
                       *extra_validators]
         stage = ValidateQuarantineProject(validators, rejects_dir, run, project)
         data_dir = os.path.join(out_dir, "data")
+        # OVERWRITE semantics for the data table: Ray's write_parquet names
+        # files with a fresh UUID per execution, so appending into an
+        # existing dir would silently duplicate rows on re-run (the
+        # quarantine files are content-hashed and naturally idempotent)
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
         ds.map_batches(
             stage, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,
@@ -137,7 +144,12 @@ def run_ingest(
             for f in os.listdir(rejects_dir):
                 if not f.endswith(".parquet"):
                     continue
-                t = pq.read_table(os.path.join(rejects_dir, f), columns=[ERRORS_COLUMN])
+                t = pq.read_table(
+                    os.path.join(rejects_dir, f), columns=["run_id", ERRORS_COLUMN]
+                )
+                # THIS run's rejects only: the quarantine dir accumulates
+                # across runs (earlier runs' files must not inflate metrics)
+                t = t.filter(pc.equal(t["run_id"], run.run_id))
                 records_invalid += len(t)
                 distinct.update(e for lst in t[ERRORS_COLUMN].to_pylist() for e in lst or [])
         records_read = records_valid + records_invalid

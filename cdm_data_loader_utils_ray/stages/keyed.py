@@ -51,7 +51,11 @@ def lww_latest(
 ):
     """Distributed argmax-by-``seq_column`` per key: returns one row per key,
     the one with the greatest sequence value.  Ties broken by input order
-    (stable), matching ``keep='last'`` on a stably sorted frame."""
+    (stable), matching ``keep='last'`` on a stably sorted frame.
+
+    PRECONDITION: key columns must be non-null (the CDC schema enforces
+    this; validate upstream otherwise) — Arrow's boundary detection treats
+    null keys as distinct, so every null-key row would survive."""
     keys = list(key_columns)
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -143,9 +147,10 @@ def hash_join(
     suffix: str = "_right",
 ):
     """Partitioned hash join for two LARGE sides: bucket both on the key
-    hash (one shuffle each), pandas merge per bucket.  For a small side use
-    a broadcast lookup instead (SURVEY §2.5 J4/J5 — no shuffle at all).
-    Skewed keys: salt upstream; a single key's rows must fit one bucket."""
+    hash (one shuffle each), Arrow hash join per bucket.  For a small side
+    use a broadcast lookup instead (SURVEY §2.5 J4/J5 — no shuffle at all).
+    Skewed keys: salt upstream; a single key's rows must fit one bucket.
+    Null join keys never match (Arrow join semantics, same as SQL)."""
     keys = list(on)
     left_sch = left_ds.schema().base_schema
     right_sch = right_ds.schema().base_schema

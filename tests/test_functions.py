@@ -243,3 +243,19 @@ def test_connected_components_distributed_matches_union_find():
     )
     assert list(got["doc_id"]) == list(exp["doc_id"])
     assert list(got["cluster"]) == list(exp["cluster"])
+
+
+def test_minhash_dedup_string_ids():
+    """Non-integer doc ids survive the whole candidates->verify->components
+    path (the verify stage must not coerce id types)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        {"doc_id": "doc-a", "text": base},
+        {"doc_id": "doc-b", "text": base + " extra"},
+        {"doc_id": "doc-z", "text": "unrelated words entirely different content here now"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    clusters = minhash_dedup(ds, threshold=0.5, num_perm=64, bands=16)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    assert cl.get("doc-a") == cl.get("doc-b") == "doc-a"
+    assert "doc-z" not in cl
