@@ -44,6 +44,59 @@ def round6_half_up(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
+# ---------------------------------------------------------------------------
+# Shared column kernels — the SINGLE definition of each metric.  Both the
+# standalone stages and the fused TextAnalyzer call these, so a convention
+# change (e.g. the half-up rounding migration) can never make them diverge
+# from each other or from the SQL oracle twin.
+# ---------------------------------------------------------------------------
+def quality_columns(texts, stops) -> dict:
+    """n_chars_f / space_ratio / stopword_ratio / mean_token_len /
+    quality_score arrays for a text column."""
+    n_chars = pc.utf8_length(texts).cast(pa.float64())
+    n_space = pc.count_substring(texts, " ").cast(pa.float64())
+    stop_ratio, mean_tok = [], []
+    for t in texts.to_pylist():
+        toks = _WORD.findall((t or "").lower())
+        if toks:
+            stop_ratio.append(sum(tt in stops for tt in toks) / len(toks))
+            mean_tok.append(sum(map(len, toks)) / len(toks))
+        else:
+            stop_ratio.append(0.0)
+            mean_tok.append(0.0)
+    stop_arr = np.array(stop_ratio)
+    mt = np.array(mean_tok)
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
+    len_score = np.clip(nc / 500.0, 0, 1)
+    tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
+    score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
+    return {
+        "n_chars_f": pa.array(nc),
+        "space_ratio": pa.array(round6_half_up(space_ratio)),
+        "stopword_ratio": pa.array(round6_half_up(stop_arr)),
+        "mean_token_len": pa.array(round6_half_up(mt)),
+        "quality_score": pa.array(round6_half_up(score)),
+    }
+
+
+def token_count_columns(texts) -> dict:
+    """n_tokens_ws (whitespace) / n_tokens_bpe (RE2-safe BPE-ish) arrays."""
+    return {
+        "n_tokens_ws": pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64()),
+        "n_tokens_bpe": pa.array(
+            [len(_BPE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64()
+        ),
+    }
+
+
+def fingerprint_column(texts, window: int = 64) -> pa.Array:
+    return pa.array(
+        [rolling_fingerprint(t or "", window) for t in texts.to_pylist()],
+        type=pa.uint64(),
+    )
+
+
 class LangId:
     """n-gram/stopword language-ID heuristic (no model downloads)."""
 
@@ -83,33 +136,10 @@ class QualityScore:
         self.stops = frozenset().union(*_LANG_PROFILES.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column]
-        n_chars = pc.utf8_length(texts).cast(pa.float64())
-        # vectorized punct/digit/space counts via Arrow kernels
-        n_space = pc.count_substring(texts, " ").cast(pa.float64())
-        safe_chars = pc.max_element_wise(n_chars, 1.0)
-        stop_ratio = []
-        mean_tok = []
-        for t in texts.to_pylist():
-            toks = _WORD.findall((t or "").lower())
-            if toks:
-                stop_ratio.append(sum(tt in self.stops for tt in toks) / len(toks))
-                mean_tok.append(sum(map(len, toks)) / len(toks))
-            else:
-                stop_ratio.append(0.0)
-                mean_tok.append(0.0)
-        stop_arr = np.array(stop_ratio)
-        mt = np.array(mean_tok)
-        nc = n_chars.to_numpy(zero_copy_only=False)
-        space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
-        len_score = np.clip(nc / 500.0, 0, 1)
-        tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
-        score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
-        out = batch.append_column("n_chars_f", pa.array(nc))
-        out = out.append_column("space_ratio", pa.array(round6_half_up(space_ratio)))
-        out = out.append_column("stopword_ratio", pa.array(round6_half_up(stop_arr)))
-        out = out.append_column("mean_token_len", pa.array(round6_half_up(mt)))
-        return out.append_column("quality_score", pa.array(round6_half_up(score)))
+        out = batch
+        for name, arr in quality_columns(batch[self.text_column], self.stops).items():
+            out = out.append_column(name, arr)
+        return out
 
 
 class TokenCount:
@@ -119,13 +149,10 @@ class TokenCount:
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column]
-        ws = pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64())
-        bpe = pa.array(
-            [len(_BPE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64()
-        )
-        out = batch.append_column("n_tokens_ws", ws)
-        return out.append_column("n_tokens_bpe", bpe)
+        out = batch
+        for name, arr in token_count_columns(batch[self.text_column]).items():
+            out = out.append_column(name, arr)
+        return out
 
 
 class Fingerprint:
@@ -136,24 +163,17 @@ class Fingerprint:
         self.text_column, self.window = text_column, window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = pa.array(
-            [
-                rolling_fingerprint(t or "", self.window)
-                for t in batch[self.text_column].to_pylist()
-            ],
-            type=pa.uint64(),
+        return batch.append_column(
+            "fingerprint", fingerprint_column(batch[self.text_column], self.window)
         )
-        return batch.append_column("fingerprint", fps)
 
 
 class TextAnalyzer:
     """FUSED text-analysis stage: langid + quality + token counts +
-    fingerprint in ONE ``map_batches`` pass.  The four standalone stages
-    each re-tokenized every row and paid a batch (de)serialization per
-    stage; fusing tokenizes once per convention (raw-token list for
-    langid, lowercased-text tokens for quality — kept separate to stay
-    bit-compatible with the SQL oracle twin) and emits all columns
-    together."""
+    fingerprint in ONE ``map_batches`` pass (one stage's worth of batch
+    (de)serialization instead of four).  Metric definitions live in the
+    shared column kernels above, so this stage can never diverge from the
+    standalone classes or the SQL oracle twin."""
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
@@ -163,39 +183,16 @@ class TextAnalyzer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column]
-        tl = texts.to_pylist()
-        preds, stop_ratio, mean_tok, bpe, fps = [], [], [], [], []
-        for t in tl:
-            t = t or ""
-            preds.append(self.langid.classify(t))
-            toks = _WORD.findall(t.lower())
-            if toks:
-                stop_ratio.append(sum(tt in self.stops for tt in toks) / len(toks))
-                mean_tok.append(sum(map(len, toks)) / len(toks))
-            else:
-                stop_ratio.append(0.0)
-                mean_tok.append(0.0)
-            bpe.append(len(_BPE.findall(t)))
-            fps.append(rolling_fingerprint(t, self.window))
-        n_chars = pc.utf8_length(texts).cast(pa.float64())
-        nc = n_chars.to_numpy(zero_copy_only=False)
-        n_space = pc.count_substring(texts, " ").cast(pa.float64())
-        space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
-        stop_arr = np.array(stop_ratio)
-        mt = np.array(mean_tok)
-        len_score = np.clip(nc / 500.0, 0, 1)
-        tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)
-        score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
-        ws = pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64())
-        out = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
-        out = out.append_column("n_chars_f", pa.array(nc))
-        out = out.append_column("space_ratio", pa.array(round6_half_up(space_ratio)))
-        out = out.append_column("stopword_ratio", pa.array(round6_half_up(stop_arr)))
-        out = out.append_column("mean_token_len", pa.array(round6_half_up(mt)))
-        out = out.append_column("quality_score", pa.array(round6_half_up(score)))
-        out = out.append_column("n_tokens_ws", ws)
-        out = out.append_column("n_tokens_bpe", pa.array(bpe, type=pa.int64()))
-        return out.append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+        preds = pa.array(
+            [self.langid.classify(t or "") for t in texts.to_pylist()],
+            type=pa.string(),
+        )
+        out = batch.append_column("lang_pred", preds)
+        for name, arr in quality_columns(texts, self.stops).items():
+            out = out.append_column(name, arr)
+        for name, arr in token_count_columns(texts).items():
+            out = out.append_column(name, arr)
+        return out.append_column("fingerprint", fingerprint_column(texts, self.window))
 
 
 def analyze_documents(ds, text_column: str = "text", concurrency: int = 4,
