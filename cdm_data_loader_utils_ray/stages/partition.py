@@ -8,8 +8,9 @@ into sub-partitions explicitly (north_rule: "explicit salted-key
 repartitioning to defuse hot-repo skew").
 
 The hash must be stable across Python processes — ``hash()`` is salted by
-PYTHONHASHSEED, so we use pandas' deterministic ``hash_pandas_object``
-(vectorized SipHash with a fixed key) over the concatenated key columns.
+PYTHONHASHSEED, so we use a deterministic CRC32 (zlib polynomial) of the
+raw key bytes, computed VECTORIZED across the batch (table-driven CRC over
+the Arrow offsets/data buffers in numpy), then spread to 64 bits.
 """
 
 from __future__ import annotations
@@ -24,15 +25,95 @@ import pyarrow.compute as pc
 from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS, PARTITION_COLUMN
 
 
+def _crc32_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Slicing-by-4 tables for the standard reflected CRC-32 (zlib/IEEE,
+    poly 0xEDB88320)."""
+    t0 = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t0 = np.where(t0 & 1, (t0 >> 1) ^ np.uint32(0xEDB88320), t0 >> 1)
+    ts = [t0]
+    for _ in range(3):
+        p = ts[-1]
+        ts.append((p >> np.uint32(8)) ^ t0[p & np.uint32(0xFF)])
+    return ts[0], ts[1], ts[2], ts[3]
+
+
+_T0, _T1, _T2, _T3 = _crc32_tables()
+# strings longer than this fall back to zlib's C loop (vectorizing across
+# rows pays off only when many rows share each byte position)
+_LONG_KEY = 256
+
+
+def _crc32_rows(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """zlib.crc32 of ``data[starts[i] : starts[i]+lengths[i]]`` for every row,
+    VECTORIZED across rows (slicing-by-4): word position w is processed for
+    all still-active rows at once — rows sorted by length descending so the
+    active set is a shrinking prefix — with 4 message bytes consumed per
+    round via an overlapping little-endian uint32 view of the data buffer.
+    Rows longer than ``_LONG_KEY`` use zlib's C loop (few rows share those
+    byte positions).  Byte-identical to per-row ``zlib.crc32``."""
+    from zlib import crc32
+
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint32)
+    if n == 0:
+        return out
+    order = np.argsort(lengths, kind="stable")[::-1]
+    st = starts[order].astype(np.int64)
+    ln = lengths[order].astype(np.int64)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    k = int(np.searchsorted(-ln, -_LONG_KEY))  # rows with len > _LONG_KEY
+    mv = data.data
+    for i in range(k):
+        crc[i] = np.uint32(crc32(mv[st[i] : st[i] + ln[i]])) ^ np.uint32(0xFFFFFFFF)
+    if k < n:
+        stv, lnv = st[k:], ln[k:]
+        nv = n - k
+        cv = crc[k:]
+        idx = stv.copy()
+        nwords = lnv >> 2
+        maxw = int(nwords[0]) if nv else 0
+        if maxw and len(data) >= 4:
+            # overlapping unaligned uint32 window at every byte offset
+            dword = np.ndarray(
+                buffer=data, shape=(len(data) - 3,), dtype=np.uint32, strides=(1,)
+            )
+            asc_w = nwords[::-1]
+            for w in range(maxw):
+                m = nv - int(np.searchsorted(asc_w, w, side="right"))
+                if m == 0:
+                    break
+                c = cv[:m]
+                c ^= dword[idx[:m]]
+                cv[:m] = (
+                    _T3[c & np.uint32(0xFF)]
+                    ^ _T2[(c >> np.uint32(8)) & np.uint32(0xFF)]
+                    ^ _T1[(c >> np.uint32(16)) & np.uint32(0xFF)]
+                    ^ _T0[c >> np.uint32(24)]
+                )
+                idx[:m] += 4
+        rem = lnv & 3
+        for t in range(3):
+            sel = np.flatnonzero(rem > t)
+            if len(sel) == 0:
+                break
+            b = data[idx[sel] + t]
+            c = cv[sel]
+            cv[sel] = _T0[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)
+    res = np.empty(n, dtype=np.uint32)
+    res[order] = crc
+    return res
+
+
 def stable_key_hash(batch: pa.Table, key_columns: Sequence[str]) -> np.ndarray:
     """uint64 deterministic hash of the composite key.
 
-    CRC32-chained over the raw Arrow utf8 buffers (no Python string
-    objects), mixed into 64 bits.  Must stay STABLE across releases: the
-    lake's partition layout depends on it (a change would orphan committed
-    partition files on resume)."""
-    from zlib import crc32
-
+    CRC32 over the raw Arrow utf8 buffers (no Python string objects),
+    vectorized across the batch (``_crc32_rows``), mixed into 64 bits.
+    Must stay STABLE across releases: the lake's partition layout depends
+    on it (a change would orphan committed partition files on resume) —
+    ``tests/test_stages.py`` pins golden values."""
     key = batch.column(key_columns[0])
     if len(key_columns) > 1:
         # binary_join_element_wise treats its LAST argument as the separator:
@@ -50,18 +131,29 @@ def stable_key_hash(batch: pa.Table, key_columns: Sequence[str]) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    off0 = key.offset
-    buffers = key.buffers()
-    odt = np.int64 if pa.types.is_large_string(key.type) else np.int32
-    offsets = np.frombuffer(buffers[1], dtype=odt, count=n + 1 + off0)[off0:]
-    data = memoryview(buffers[2])
+    # CDC batches repeat keys heavily (hot repos, LWW streams): hash each
+    # DISTINCT key once and gather — dictionary_encode is an Arrow C++
+    # hash-table build, far cheaper than redundant CRC work
+    dict_arr = pc.dictionary_encode(key)
+    vals = dict_arr.dictionary
+    if len(vals) == 0:  # all-null key column
+        out[:] = 0
+        return out
+    codes = dict_arr.indices.fill_null(0).to_numpy(zero_copy_only=False)
+    off0 = vals.offset
+    buffers = vals.buffers()
+    odt = np.int64 if pa.types.is_large_string(vals.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=odt, count=len(vals) + 1 + off0)[off0:]
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    uniq = _crc32_rows(data, starts, lengths).astype(np.uint64)
     if key.null_count:
-        valid = ~np.asarray(key.is_null())
-        for i in range(n):
-            out[i] = crc32(data[offsets[i] : offsets[i + 1]]) if valid[i] else 0
+        null_mask = np.asarray(key.is_null())
+        out[~null_mask] = uniq[codes[~null_mask]]
+        out[null_mask] = 0
     else:
-        for i in range(n):
-            out[i] = crc32(data[offsets[i] : offsets[i + 1]])
+        out[:] = uniq[codes]
     # spread the 32-bit crc across 64 bits (splitmix-style) so modulo by any
     # partition count stays well distributed
     out ^= out << np.uint64(21)

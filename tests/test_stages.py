@@ -66,6 +66,58 @@ def test_set_hash_order_independent():
 
 
 # -- partitioning -----------------------------------------------------------
+def test_stable_key_hash_frozen_golden():
+    """The lake's partition layout depends on stable_key_hash staying
+    byte-stable FOREVER (CLAUDE.md invariant).  Golden values captured from
+    the r2 per-row-zlib implementation; the r3 vectorized CRC must match
+    bit for bit, including empty strings, unicode, long keys, the \\x1f
+    separator and nulls."""
+    from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
+
+    keys = ["", "a", "ab", "repo-1", "src/main.py", "ünïcode/路径.py",
+            "x" * 300, "\x1f", "a\x1fb"]
+    h = stable_key_hash(pa.table({"k": keys}), ["k"])
+    assert [hex(int(v)) for v in h] == [
+        "0x0", "0x457845596e390f7f", "0x103c20d42b7bbcf1",
+        "0xb5a9b4e24fc0bf00", "0x229f6cb6f7a48b5a", "0xff00ef381431a506",
+        "0x1ee75b47ae35e68f", "0x7647e899546b3d8", "0x2a5ffb885375859b",
+    ]
+    t2 = pa.table({"r": ["repo-1", "repo-2", "ab", ""],
+                   "p": ["src/a.py", "b", "c", "d"]})
+    assert [hex(int(v)) for v in stable_key_hash(t2, ["r", "p"])] == [
+        "0xa9425495a94bdeb3", "0xc48c0ef2f8a413dc",
+        "0x6c4aa27bd41febe8", "0x263b9bdede86afa0",
+    ]
+    t3 = pa.table({"k": pa.array(["a", None, "b"])})
+    assert [hex(int(v)) for v in stable_key_hash(t3, ["k"])] == [
+        "0x457845596e390f7f", "0x0", "0x60cd153094404b6d",
+    ]
+
+
+def test_stable_key_hash_matches_zlib_per_row():
+    """Property check: the vectorized CRC path == per-row zlib.crc32 on a
+    random corpus spanning the long-key fallback boundary, sliced arrays,
+    and large_string."""
+    from zlib import crc32
+
+    rng = np.random.default_rng(7)
+    keys = [
+        "".join(chr(rng.integers(32, 0x3000)) for _ in range(int(n)))
+        for n in rng.integers(0, 700, size=200)
+    ]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(keys, type=typ)
+        # non-zero offset slice exercises the offsets[off0:] path
+        t = pa.table({"k": arr.slice(3, 150)})
+        h = stable_key_hash(t, ["k"])
+        expect = np.array(
+            [crc32(k.encode()) for k in keys[3:153]], dtype=np.uint64
+        )
+        expect ^= expect << np.uint64(21)
+        expect *= np.uint64(0x9E3779B97F4A7C15)
+        assert (h == expect).all()
+
+
 def test_partition_stable_and_in_range():
     ev = _events()
     h1 = stable_key_hash(ev, ["repo", "path"])
