@@ -488,60 +488,182 @@ def _make_winner_fn(
     return winners_gid
 
 
-def _shard_winner_map(
-    fetch_seqs: np.ndarray, fetch_pids: np.ndarray, chunk_rows: int = 1 << 22
-):
-    """Shard the winner seq->pid map into seq-RANGE chunks, each its own
-    ``ray.put`` object, plus a tiny bounds array.  A map task fetches only
-    the chunks whose seq range overlaps its batch — at 10^9 winners the r1
-    design broadcast one ~12 GB array to every task; sharded, a task
-    touches ~1-2 × 48 MB chunks (event logs are roughly seq-ordered, so a
-    Parquet batch spans a narrow seq range), and chunks land in each node's
-    plasma store once.  Returns (list[(seqs_ref, pids_ref)], bounds) where
-    chunk i covers seqs in [bounds[i], bounds[i+1])."""
+def _fetchmap_metadata(fmdir: str) -> tuple[list[str], int, int | None, int | None]:
+    """Parquet-METADATA-only scan of the phase-A fetchmap files: paths,
+    total winner count and global seq min/max.  O(#files) driver memory —
+    the driver never touches winner row data."""
+    files = sorted(os.listdir(fmdir)) if os.path.isdir(fmdir) else []
+    paths = [os.path.join(fmdir, f) for f in files if f.endswith(".parquet")]
+    total, gmin, gmax = 0, None, None
+    for p in paths:
+        md = pq.read_metadata(p)
+        total += md.num_rows
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                if col.path_in_schema != "seq":
+                    continue
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    gmin = st.min if gmin is None else min(gmin, st.min)
+                    gmax = st.max if gmax is None else max(gmax, st.max)
+    return paths, total, gmin, gmax
+
+
+def _reshard_fetchmap_task(paths: list, edges_bytes: bytes, out_dir: str, tid: int) -> int:
+    """Round-1 reshard (runs on a WORKER): bucket one file-group's
+    (seq, pid) rows by uniform seq range and write one piece file per
+    touched bucket.  Deterministic names ⇒ retry-safe."""
+    edges = np.frombuffer(edges_bytes, dtype=np.int64)
+    t = pa.concat_tables([pq.read_table(p) for p in paths])
+    seqs = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    pids = t["pid"].to_numpy(zero_copy_only=False)
+    if len(seqs) == 0:
+        return 0
+    b = np.clip(np.searchsorted(edges, seqs, side="right") - 1, 0, len(edges) - 2)
+    order = np.argsort(b, kind="stable")
+    bs, ss, ps = b[order], seqs[order], pids[order]
+    cut = np.flatnonzero(np.diff(bs)) + 1
+    for s, e in zip(np.concatenate([[0], cut]), np.concatenate([cut, [len(bs)]])):
+        d = os.path.join(out_dir, f"bkt={int(bs[s]):05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"seq": pa.array(ss[s:e]), "pid": pa.array(ps[s:e])}),
+            os.path.join(d, f"piece-{tid:05d}.parquet"),
+            compression="lz4",
+        )
+    return len(seqs)
+
+
+def _sort_bucket_task(bucket_dir: str, out_dir: str, chunk_rows: int) -> list:
+    """Round-2 (runs on a WORKER): concat+sort one bucket's pieces by seq
+    and emit seq-ordered chunk files of <= chunk_rows rows.  Returns tiny
+    (first_seq, last_seq, rows, filename) tuples only."""
+    files = sorted(f for f in os.listdir(bucket_dir) if f.endswith(".parquet"))
+    t = pa.concat_tables([pq.read_table(os.path.join(bucket_dir, f)) for f in files])
+    seqs = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    pids = t["pid"].to_numpy(zero_copy_only=False)
+    order = np.argsort(seqs, kind="stable")
+    seqs, pids = seqs[order], pids[order]
+    out = []
+    for a in range(0, len(seqs), chunk_rows):
+        e = min(len(seqs), a + chunk_rows)
+        fname = f"chunk-{int(seqs[a]):012d}-{int(seqs[e - 1]):012d}-{e - a}.parquet"
+        pq.write_table(
+            pa.table({"seq": pa.array(seqs[a:e]), "pid": pa.array(pids[a:e])}),
+            os.path.join(out_dir, fname),
+            compression="lz4",
+        )
+        out.append((int(seqs[a]), int(seqs[e - 1]), int(e - a), fname))
+    return out
+
+
+def _build_winner_shards(
+    staging_dir: str, chunk_rows: int = 1 << 22
+) -> tuple[list[str], np.ndarray]:
+    """Build the seq-range-sharded winner seq->pid map ON WORKERS, directly
+    from the phase-A ``fetchmap/`` files (VERDICT r2 #1): the driver reads
+    only Parquet metadata and tiny (bounds, filename) tuples — never the
+    O(#winners) arrays (~12 GB at 10^9 winners in the r2 design).
+
+    Two task rounds: (1) reshard each file-group into uniform seq-range
+    bucket pieces (4x oversampled buckets to tolerate winner-seq skew),
+    (2) sort each bucket and emit <=chunk_rows seq-ordered chunk FILES under
+    ``fetchshard/``.  Phase-B route tasks read only the chunks overlapping
+    their batch's seq range, through a per-worker LRU (files live on shared
+    storage on a cluster; locally the page cache serves repeats).
+
+    Returns (chunk_paths, bounds) where chunk i covers seqs in
+    [bounds[i], bounds[i+1])."""
     import ray
 
-    order = np.argsort(fetch_seqs, kind="stable")
-    seqs, pids = fetch_seqs[order], fetch_pids[order]
-    n = len(seqs)
-    n_chunks = max(1, -(-n // chunk_rows))
-    refs, bounds = [], []
-    for i in range(n_chunks):
-        a, b = i * chunk_rows, min(n, (i + 1) * chunk_rows)
-        refs.append((ray.put(seqs[a:b]), ray.put(pids[a:b])))
-        bounds.append(int(seqs[a]))
-    bounds.append(int(seqs[-1]) + 1)
-    return refs, np.asarray(bounds, dtype=np.int64)
+    fmdir = os.path.join(staging_dir, "fetchmap")
+    paths, total, gmin, gmax = _fetchmap_metadata(fmdir)
+    if total == 0:
+        return [], np.zeros(1, dtype=np.int64)
+    if gmin is None:  # stats missing (shouldn't happen: we write them)
+        gmin, gmax = 0, np.iinfo(np.int64).max // 2
+    n_buckets = int(min(4096, max(1, -(-total // chunk_rows) * 4)))
+    edges = np.linspace(gmin, gmax + 1, n_buckets + 1).astype(np.int64)
+    edges[0], edges[-1] = gmin, gmax + 1
+    piece_dir = os.path.join(staging_dir, "fetchshard_pieces")
+    shard_dir = os.path.join(staging_dir, "fetchshard")
+    os.makedirs(piece_dir, exist_ok=True)
+    os.makedirs(shard_dir, exist_ok=True)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_tasks = min(len(paths), max(1, 2 * cpus))
+    groups = [paths[i::n_tasks] for i in range(n_tasks)]
+    reshard = ray.remote(_reshard_fetchmap_task)
+    ray.get([
+        reshard.remote(g, edges.tobytes(), piece_dir, i)
+        for i, g in enumerate(groups)
+    ])
+    buckets = sorted(d for d in os.listdir(piece_dir) if d.startswith("bkt="))
+    sortb = ray.remote(_sort_bucket_task)
+    results = ray.get([
+        sortb.remote(os.path.join(piece_dir, d), shard_dir, chunk_rows)
+        for d in buckets
+    ])
+    chunk_paths, bounds, last = [], [], None
+    for lst in results:
+        for first, lastseq, _n, fname in lst:
+            chunk_paths.append(os.path.join(shard_dir, fname))
+            bounds.append(first)
+            last = lastseq
+    bounds.append((last if last is not None else 0) + 1)
+    return chunk_paths, np.asarray(bounds, dtype=np.int64)
+
+
+# per-WORKER-process cache of winner-shard chunks (path -> (seqs, pids)):
+# consecutive batches of a phase-B route task hit the same 1-2 chunks
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_CAP = 4
+
+
+def _load_shard(path: str) -> tuple[np.ndarray, np.ndarray]:
+    hit = _SHARD_CACHE.pop(path, None)
+    if hit is None:
+        t = pq.read_table(path)
+        hit = (
+            t["seq"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+            t["pid"].to_numpy(zero_copy_only=False),
+        )
+    _SHARD_CACHE[path] = hit  # re-insert = move to MRU end (dicts are ordered)
+    while len(_SHARD_CACHE) > _SHARD_CACHE_CAP:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    return hit
 
 
 def _make_content_route_fn(
-    staging_dir: str, chunk_refs, chunk_bounds: np.ndarray, seq_col: str,
+    staging_dir: str, chunk_paths: list, chunk_bounds: np.ndarray, seq_col: str,
     content_col: str, group_size: int = 1,
 ):
     """Phase-B map: column-pruned scan routes (seq, content, pid) of WINNING
     rows to their partition-GROUP's content staging dir.  The winner
-    seq->pid map is seq-range-sharded (``_shard_winner_map``); a task
-    fetches only the chunks overlapping its batch's seq range."""
+    seq->pid map is seq-range-sharded into FILES (``_build_winner_shards``);
+    a task loads only the chunks overlapping its batch's seq range, via a
+    per-worker LRU."""
 
     def route(batch: pa.Table) -> pa.Table:
-        import ray
-
         s = batch[seq_col].to_numpy(zero_copy_only=False)
         hit = np.zeros(len(s), dtype=bool)
         sub_pids_all = np.empty(len(s), dtype=np.int32)
         if len(s):
             c0 = max(0, int(np.searchsorted(chunk_bounds, s.min(), "right")) - 1)
-            c1 = min(len(chunk_refs) - 1,
+            c1 = min(len(chunk_paths) - 1,
                      max(0, int(np.searchsorted(chunk_bounds, s.max(), "right")) - 1))
             for ci in range(c0, c1 + 1):
-                seqs = ray.get(chunk_refs[ci][0])
+                seqs, pids = _load_shard(chunk_paths[ci])
                 if len(seqs) == 0:
                     continue
                 pos = np.searchsorted(seqs, s)
                 pos_c = np.clip(pos, 0, len(seqs) - 1)
                 h = seqs[pos_c] == s
                 if np.any(h):
-                    pids = ray.get(chunk_refs[ci][1])
                     sub_pids_all[h] = pids[pos_c[h]]
                     hit |= h
         if not np.any(hit):
@@ -580,20 +702,6 @@ def _make_content_route_fn(
         )
 
     return route
-
-
-def _lookup_by_seq(seqs_sorted: np.ndarray, values: list, query: np.ndarray) -> list:
-    """values aligned to seqs_sorted; returns values for query seqs (None
-    where absent)."""
-    out = [None] * len(query)
-    if len(seqs_sorted) == 0:
-        return out
-    pos = np.searchsorted(seqs_sorted, query)
-    pos_c = np.clip(pos, 0, len(seqs_sorted) - 1)
-    hit = seqs_sorted[pos_c] == query
-    for i in np.flatnonzero(hit):
-        out[i] = values[pos_c[i]]
-    return out
 
 
 def _make_assemble_fn(
@@ -639,32 +747,42 @@ def _make_assemble_fn(
 
 
 def _assemble_one(lake, staging_dir, state_sch, epoch, pid, fetched):
+    """Join one partition's winner metadata with its fetched content —
+    Arrow-native (sort + ``searchsorted`` -> ``take`` with a null mask;
+    r2's per-row Python content list was the phase-B reduce hot spot)."""
     winners = pq.read_table(
         os.path.join(staging_dir, "winners", f"pid={pid:05d}.parquet")
     )
     wseq = winners["seq"].to_numpy(zero_copy_only=False)
     deleted = winners[DELETED_COLUMN].to_numpy(zero_copy_only=False)
-    content = [None] * len(winners)
+    n = len(winners)
+    indices = np.full(n, -1, dtype=np.int64)
     if fetched is not None and len(fetched):
         fs = fetched["seq"].to_numpy(zero_copy_only=False)
         order = np.argsort(fs, kind="stable")
-        fs = fs[order]
-        fvals = fetched["content"].take(pa.array(order)).to_pylist()
-        # dedup re-delivered seqs (identical payloads)
-        uniq = np.concatenate([[True], np.diff(fs) != 0]) if len(fs) else np.array([], bool)
-        fs, fvals = fs[uniq], [v for v, u in zip(fvals, uniq) if u]
-        need = ~deleted
-        got = _lookup_by_seq(fs, fvals, wseq[need])
-        for i, v in zip(np.flatnonzero(need), got):
-            content[i] = v
+        fs_sorted = fs[order]
+        # dedup re-delivered seqs (identical payloads): first occurrence
+        uniq = np.concatenate([[True], np.diff(fs_sorted) != 0])
+        sel = order[uniq]           # indices into `fetched`, one per seq
+        fs_u = fs_sorted[uniq]
+        pos = np.searchsorted(fs_u, wseq)
+        pos_c = np.clip(pos, 0, len(fs_u) - 1)
+        hit = (fs_u[pos_c] == wseq) & ~deleted
+        indices[hit] = sel[pos_c[hit]]
+        content_arr = fetched["content"].take(
+            pa.array(indices, mask=indices < 0)
+        )
+        if isinstance(content_arr, pa.ChunkedArray):
+            content_arr = content_arr.combine_chunks()
+    else:
+        content_arr = pa.nulls(n, type=pa.string())
     # late content-null validation: a non-delete winner with no
     # content (invalid event: content must be null iff delete) is
     # excluded from state here — losers with invalid content are
     # dropped unrecorded in late mode (documented divergence)
-    have = np.array([c is not None for c in content], dtype=bool)
-    bad = ~deleted & ~have
+    bad = ~deleted & (indices < 0)
     n_late_rejects = int(bad.sum())
-    final = winners.append_column("content", pa.array(content, type=pa.string()))
+    final = winners.append_column("content", content_arr)
     if n_late_rejects:
         final = final.filter(pa.array(~bad))
     # sha256 deferred from the map phase: hash winners only
@@ -829,30 +947,20 @@ def apply_epoch(
                 print(f"[phase] A-reduce {_t() - t0:.2f}s", file=__import__('sys').stderr)
                 t0 = _t()
             # seq-range-sharded winner seq -> pid map for the content scan,
-            # loaded COLUMNAR from the per-group fetchmap files
-            fmdir = os.path.join(staging, "fetchmap")
-            fm_files = sorted(os.listdir(fmdir)) if os.path.isdir(fmdir) else []
-            if fm_files:
-                fm = pa.concat_tables(
-                    [pq.read_table(os.path.join(fmdir, f)) for f in fm_files]
-                )
-                fetch_seqs = fm["seq"].to_numpy(zero_copy_only=False)
-                fetch_pids = fm["pid"].to_numpy(zero_copy_only=False)
-            else:
-                fetch_seqs = np.array([], dtype=np.int64)
-                fetch_pids = np.array([], dtype=np.int32)
+            # built ON WORKERS from the per-group fetchmap files — the
+            # driver holds only chunk filenames + int64 bounds
+            chunk_paths, chunk_bounds = _build_winner_shards(staging)
             # raw column names in the source (reverse of the rename map)
             rev = {v: k for k, v in (rename_map or {}).items()}
             seq_col, content_col = rev.get("seq", "seq"), rev.get("content", "content")
-            if len(fetch_seqs):
-                chunk_refs, chunk_bounds = _shard_winner_map(fetch_seqs, fetch_pids)
+            if chunk_paths:
                 route = _make_content_route_fn(
-                    staging, chunk_refs, chunk_bounds, seq_col, content_col,
+                    staging, chunk_paths, chunk_bounds, seq_col, content_col,
                     group_size=group_size,
                 )
                 # winners skew to high seqs (LWW): a row-group range filter
                 # on min(winner seq) prunes early row groups at the scan
-                min_fetch = int(fetch_seqs.min())
+                min_fetch = int(chunk_bounds[0])
                 b_mapped = _call_reader(
                     [seq_col, content_col], min_seq=min_fetch, seq_col=seq_col
                 ).map_batches(
