@@ -70,7 +70,10 @@ def dedup_exact(ds, text_column: str = "text", id_column: str = "doc_id",
 # ---------------------------------------------------------------------------
 # tokenization + shingling (vectorized; per-actor token-hash cache)
 # ---------------------------------------------------------------------------
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# Explicit ASCII class == RE2 "\w" — keeps shingling identical to the
+# DuckDB oracle twins on non-ASCII input (Python "\w" is Unicode-aware;
+# see textstats._WORD for the same convention)
+_TOKEN_RE = re.compile(r"[0-9A-Za-z_]+")
 
 
 def _avalanche(x: np.ndarray) -> np.ndarray:
@@ -149,7 +152,10 @@ class MinHasher:
     def __init__(self, num_perm: int = 128, k: int = 3, seed: int = 42,
                  text_column: str = "text", id_column: str = "doc_id"):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # force multipliers ODD: a*x+b mod 2^64 is a bijection iff a is odd
+        # (an even `a` loses trailing bits -> collisions that weaken
+        # min-wise independence; r2 ADVICE finding), free at hash time
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm, self.k = num_perm, k
         self.text_column, self.id_column = text_column, id_column
@@ -430,18 +436,40 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "
     round, O(component diameter) rounds — near-dup clusters are shallow).
     The driver union-find (:func:`connected_components`) is preferred when
     the pair set fits one machine; this variant never materializes the
-    graph driver-side.  Convergence detected via the monotone-decreasing
-    label sum."""
+    graph driver-side.  Works for integer AND string doc ids (r2 ADVICE:
+    the old int64 cast crashed on string ids only on the scale path):
+    labels propagate under ``min`` of the ids' natural order, and
+    convergence is detected by an order-independent XOR fingerprint of the
+    (node, label) assignment — exact when nothing changed, ~2^-64 false
+    convergence odds otherwise (labels are monotone non-increasing, so
+    convergence itself is guaranteed within component-diameter rounds)."""
     import ray.data as rd
 
     from cdm_data_loader_utils_ray.stages.keyed import hash_join
 
     def und(batch: pa.Table) -> pa.Table:
-        a = batch[id_a].cast(pa.int64()).combine_chunks()
-        b = batch[id_b].cast(pa.int64()).combine_chunks()
+        a = batch[id_a].combine_chunks()
+        b = batch[id_b].combine_chunks()
         return pa.table(
             {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
+
+    def _fingerprint(labels_ds) -> int:
+        """Order-independent assignment fingerprint: per-batch XOR of
+        (node, label) row hashes, XORed across batches driver-side (one
+        tiny row per block — never the label table itself)."""
+
+        def part(batch: pa.Table) -> pa.Table:
+            hn = pd.util.hash_array(batch["node"].to_pandas().to_numpy(), categorize=False)
+            hl = pd.util.hash_array(batch["label"].to_pandas().to_numpy(), categorize=False)
+            h = (hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl
+            v = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+            return pa.table({"h": pa.array([v], type=pa.uint64())})
+
+        fp = 0
+        for row in labels_ds.map_batches(part, batch_format="pyarrow").take_all():
+            fp ^= row["h"]
+        return fp
 
     edges = pairs_ds.map_batches(und, batch_format="pyarrow").materialize()
 
@@ -454,7 +482,7 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "
     ).min("label").map_batches(
         lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
     ).materialize()
-    prev_sum = labels.sum("label")
+    prev_fp = _fingerprint(labels)
     converged = False
     for _ in range(max_iter):
         neigh = hash_join(
@@ -471,14 +499,14 @@ def connected_components_distributed(pairs_ds, id_a: str = "id_a", id_b: str = "
         labels = labels.union(neigh).groupby("node").min("label").map_batches(
             lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
         ).materialize()
-        s = labels.sum("label")
-        if s == prev_sum:
+        fp = _fingerprint(labels)
+        if fp == prev_fp:
             converged = True
             break
-        prev_sum = s
+        prev_fp = fp
     if not converged:
-        # an unconverged result would silently SPLIT true clusters — the
-        # label sum is a strictly decreasing integer, so convergence is
+        # an unconverged result would silently SPLIT true clusters — labels
+        # are monotone non-increasing under min, so convergence is
         # guaranteed given enough rounds (one per component-diameter hop)
         raise RuntimeError(
             f"label propagation did not converge in {max_iter} rounds; "
@@ -754,10 +782,14 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
             }
         )
 
-    def _bucket_tile_pairs(t, ids, m, sigs, out, tile: int = 2048):
+    def _bucket_tile_pairs(t, ids, m, m64, sigs, out, tile: int = 2048):
         """All-pairs >= threshold within one bucket, computed in
         tile x tile blocks — a dup-saturated bucket must not build an
-        m x m cosine matrix (10 GB at m=50k)."""
+        m x m cosine matrix (10 GB at m=50k).  The tile scan runs in
+        float32 with a small threshold margin; SURVIVING pairs are
+        re-scored in float64 for the keep decision and the reported
+        value (the DuckDB twin computes cosine in float64, and f32 dot
+        error over 64+ dims reaches a few 1e-6 — r2 ADVICE finding)."""
         n = len(ids)
         for a0 in range(0, n, tile):
             a1 = min(n, a0 + tile)
@@ -771,23 +803,28 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                         np.arange(a1 - a0), np.arange(b1 - b0), indexing="ij"
                     )
                     iu, ju = iu.ravel(), ju.ravel()
-                keep = cos[iu, ju] >= threshold
+                # f32 prefilter with margin; final decision is f64 below
+                keep = cos[iu, ju] >= threshold - 1e-4
                 gi, gj = iu + a0, ju + b0
                 if t > 0:
                     for tp in range(int(t)):
                         keep &= sigs[gi, tp] != sigs[gj, tp]
                 if keep.any():
+                    gi, gj = gi[keep], gj[keep]
+                    cos64 = np.einsum("ij,ij->i", m64[gi], m64[gj])
+                    final = cos64 >= threshold
+                    if not final.any():
+                        continue
+                    gi, gj = gi[final], gj[final]
                     out.append(
                         pd.DataFrame(
                             {
-                                "id_a": ids[gi[keep]],
-                                "id_b": ids[gj[keep]],
+                                "id_a": ids[gi],
+                                "id_b": ids[gj],
                                 # half-up to match the DuckDB oracle twin
                                 # (np.round is half-even; CLAUDE.md: round
                                 # identically on both sides)
-                                "cos_sim": np.floor(
-                                    cos[iu, ju][keep].astype(np.float64) * 1e6 + 0.5
-                                ) / 1e6,
+                                "cos_sim": np.floor(cos64[final] * 1e6 + 0.5) / 1e6,
                             }
                         )
                     )
@@ -802,10 +839,11 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
             order = np.argsort(ids, kind="stable")
             grp = grp.iloc[order]
             ids = ids[order]
-            m = np.stack(grp[column].to_numpy()).astype(np.float32)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            m64 = np.stack(grp[column].to_numpy()).astype(np.float64)
+            m64 /= np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-12)
+            m = m64.astype(np.float32)
             sigs = np.stack(grp["sigs"].to_numpy()).astype(np.uint64)  # (m, T)
-            _bucket_tile_pairs(t, ids, m, sigs, out)
+            _bucket_tile_pairs(t, ids, m, m64, sigs, out)
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),

@@ -27,11 +27,21 @@ _LANG_PROFILES: dict[str, set[str]] = {
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para", "que", "de", "en"},
 }
 _CJK = re.compile(r"[一-鿿]")
-_WORD = re.compile(r"\w+", re.UNICODE)
+# Explicit ASCII classes, NOT "\w"/"\s": Python's "\w" is Unicode-aware
+# while DuckDB's RE2 "\w" is ASCII-only, so the shared patterns must spell
+# out the exact class to tokenize identically on non-ASCII input (the r2
+# ADVICE finding — parity previously held only because the test corpus was
+# pure ASCII).  [0-9A-Za-z_] == RE2 "\w"; [ \t\n\v\f\r] is the explicit
+# whitespace class both engines agree on.
+_WORD = re.compile(r"[0-9A-Za-z_]+")
+_WS = r" \t\n\v\f\r"
 # BPE-ish pre-tokenizer (GPT-2-style pattern, public).  Deliberately
 # lookahead-free so the EXACT same pattern runs under RE2 (DuckDB
 # regexp_extract_all) for the SQL oracle twin.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+"
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[0-9A-Za-z_]+| ?[^"
+    + _WS + r"0-9A-Za-z_]+|[" + _WS + r"]+"
+)
 _BPE = re.compile(BPE_PATTERN)
 
 

@@ -25,6 +25,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _round_away(x, decimals: int):
+    """Round HALF-AWAY-FROM-ZERO, the convention of DuckDB ``round()`` on
+    doubles — pandas/numpy ``.round`` is half-EVEN, so a value landing
+    exactly on a 5*10^-(d+1) boundary would hash-mismatch the oracle twin
+    (r2 ADVICE re-flagged this for the window sums).  Sign-aware:
+    ``sign(x) * floor(|x| * 10^d + 0.5) / 10^d``."""
+    m = 10.0 ** decimals
+    v = np.asarray(x, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * m + 0.5) / m
+
+
 # ---------------------------------------------------------------------------
 # 1. CDC last-writer-wins upsert (U1/O3): final state per user_id by event_id
 #    authority; a final 'error' event acts as a tombstone.
@@ -42,7 +53,7 @@ def cdc_lww_upsert(sf_dir: str):
                 "user_id": df["user_id"],
                 "last_event_id": df["event_id"],
                 "last_event_type": df["event_type"],
-                "last_value": df["value"].round(6),
+                "last_value": _round_away(df["value"], 6),
             }
         )
 
@@ -182,9 +193,9 @@ def q1_pricing(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["avg_qty"] = _round_away(df["sum_qty"] / df["count_order"], 4)
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = df[c].round(2)
+            df[c] = _round_away(df[c], 2)
         return df[
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
              "sum_disc_price", "avg_qty", "count_order"]
@@ -407,7 +418,7 @@ def top_customers(sf_dir: str):
     agg = grouped_partial_sums(ds, ["o_custkey"], {"total_spent": "o_totalprice"}, count_alias="n_orders")
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_spent"] = df["total_spent"].round(2)
+        df["total_spent"] = _round_away(df["total_spent"], 2)
         return df.nlargest(10, "total_spent")
 
     # per-block partial top-k, tiny final merge on the driver (a global
@@ -438,7 +449,7 @@ def knn_cosine(sf_dir: str):
     query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, query, k=10)
-    out["cos_sim"] = out["cos_sim"].round(4)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
 
@@ -558,7 +569,7 @@ def hash_join_orders(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["o_totalprice"] = df["o_totalprice"].round(2)
+        df["o_totalprice"] = _round_away(df["o_totalprice"], 2)
         # union null-padding floats the int columns; restore
         df["o_orderkey"] = df["o_orderkey"].astype("int64")
         df["o_custkey"] = df["o_custkey"].astype("int64")
@@ -588,7 +599,7 @@ def window_daily(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
+        df["sum_value"] = _round_away(df["sum_value"], 4)
         # timestamps as canonical strings: engines stringify timestamps
         # differently, a date string hashes identically everywhere
         df["window_start"] = df["window_start"].dt.strftime("%Y-%m-%d")
@@ -620,7 +631,7 @@ def session_windows(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
+        df["sum_value"] = _round_away(df["sum_value"], 4)
         df["session_start"] = df["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         df["session_end"] = df["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return df[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
@@ -666,7 +677,7 @@ def sliding_daily(sf_dir: str):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
+        df["sum_value"] = _round_away(df["sum_value"], 4)
         df["window_start"] = df["window_start"].dt.strftime("%Y-%m-%d")
         return df[["user_id", "window_start", "n_events", "sum_value"]]
 
@@ -1014,7 +1025,7 @@ def knn_lsh(sf_dir: str):
 
     query, aug = _planted_query_corpus(sf_dir)
     out = lsh_bucketed_topk(aug, query, k=10, n_planes=8)
-    out["cos_sim"] = out["cos_sim"].round(4)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
 
@@ -1066,7 +1077,7 @@ def knn_ivf(sf_dir: str):
     query, aug = _planted_query_corpus(sf_dir)
     centroids = train_ivf_centroids(aug, n_cells=16, sample_frac=0.5, seed=42)
     out = ivf_topk(aug, query, centroids, k=10, n_probe=2)
-    out["cos_sim"] = out["cos_sim"].round(4)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
 

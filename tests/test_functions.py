@@ -259,3 +259,56 @@ def test_minhash_dedup_string_ids():
     cl = dict(zip(clusters["doc_id"], clusters["cluster"]))
     assert cl.get("doc-a") == cl.get("doc-b") == "doc-a"
     assert "doc-z" not in cl
+
+
+def test_connected_components_distributed_string_ids():
+    """The distributed label-propagation path must accept STRING doc ids
+    (r2 ADVICE: the old int64 cast crashed string ids only on the scale
+    path).  Cluster label = lexicographically smallest id."""
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("c1", "c2"), ("c2", "c3")]
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    exp = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        connected_components_distributed(rd.from_pandas(pairs), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["cluster"]) == list(exp["cluster"])
+
+
+def test_tokenizer_parity_with_duckdb_on_non_ascii():
+    """The shared token patterns must tokenize NON-ASCII text identically
+    under Python re and DuckDB RE2 (r2 ADVICE: Python '\\w' is Unicode,
+    RE2 '\\w' is ASCII — parity used to hold only on pure-ASCII corpora)."""
+    import duckdb
+
+    from cdm_data_loader_utils_ray.functions.dedup import _TOKEN_RE
+    from cdm_data_loader_utils_ray.functions.textstats import BPE_PATTERN, _BPE, _WORD
+
+    texts = [
+        "héllo wörld naïve café — ASCII and beyond",
+        "日本語のテキスト mixed with english words",
+        "tab\tand nbsp and ümlauts über straße",
+        "plain ascii only text 123_abc",
+        "",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        esc = t.replace("'", "''")
+        duck_w = con.sql(
+            f"SELECT regexp_extract_all('{esc}', '\\w+') AS r"
+        ).fetchone()[0]
+        assert _WORD.findall(t) == duck_w, t
+        assert _TOKEN_RE.findall(t) == duck_w, t
+        bpe_esc = BPE_PATTERN.replace("'", "''")
+        duck_bpe = con.sql(
+            f"SELECT regexp_extract_all('{esc}', '{bpe_esc}') AS r"
+        ).fetchone()[0]
+        assert _BPE.findall(t) == duck_bpe, t
