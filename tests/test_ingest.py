@@ -106,3 +106,39 @@ def test_run_ingest_extra_validator(tmp_path):
     assert res.records_valid == 2
     assert res.records_invalid == 1
     assert res.distinct_errors == ["invalid_value: db"]
+
+
+def test_ingest_overwrite_is_atomic(tmp_path):
+    """A re-run that CRASHES mid-write must leave the previously committed
+    table intact and readable (r2 verdict: rmtree-then-write lost it); a
+    subsequent successful re-run replaces it completely."""
+    tsv = str(tmp_path / "x.tsv")
+    _write_tsv(tsv, ["a\tb\tc", "d\te\tf"])
+    out = str(tmp_path / "out")
+    ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
+    before = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert sorted(before["id"]) == ["a", "d"]
+
+    # crash mid-pipeline: a validator that raises an infrastructure error
+    def boom(batch):
+        raise RuntimeError("simulated crash")
+
+    try:
+        run_ingest(
+            rd.from_arrow(pa.table({"id": ["z"], "db": ["z"], "xref": ["z"]})),
+            out, SCHEMA, extra_validators=[boom],
+        )
+    except Exception:
+        pass
+    after_crash = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert sorted(after_crash["id"]) == ["a", "d"]  # old table survived
+
+    # successful re-run with DIFFERENT data fully replaces the table
+    tsv2 = str(tmp_path / "y.tsv")
+    _write_tsv(tsv2, ["g\th\ti"])
+    ingest_dsv(tsv2, out, SCHEMA, delimiter="\t", header=False)
+    after = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert sorted(after["id"]) == ["g"]
+    # exactly one live generation remains next to the symlink
+    gens = [d for d in os.listdir(out) if d.startswith("data-")]
+    assert len(gens) == 1
