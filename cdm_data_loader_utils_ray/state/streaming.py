@@ -5,10 +5,16 @@ RocksDB-style state for idempotent last-writer-wins apply)".
 
 Versus the epoch-batch path (``pipelines/cdc.apply_epoch``), shards keep
 state RESIDENT between micro-batches, so a long-running tailer doesn't
-re-read prior state every epoch.  Durability is by state snapshot: each
-``commit`` writes every dirty shard's state as the partition file of a new
-manifest epoch — the same exactly-once layout, so a killed tailer resumes
-from the last committed manifest.
+re-read prior state every epoch.  Durability is by CHURN-PROPORTIONAL
+delta snapshot (r2 verdict #3 — a full-state snapshot per commit made
+every streaming epoch O(table)): each ``commit`` writes only the rows
+dirtied since the last snapshot as a new file on the partition's
+delta-file chain — the same manifest chain layout as the batch path, so a
+killed tailer resumes from the last committed manifest and readers
+LWW-merge the chain.  Untouched shards carry their chain forward with no
+write at all.  When a shard's chain exceeds ``max_chain_len`` the shard
+folds it by writing its (already-resident) full state as a single base
+file — amortized O(table) like the batch path's ``fold_long_chains``.
 
 Routing: map tasks split prepped batches by ``_pid`` and push sub-tables to
 the owning shard; the per-batch ``ray.get`` barrier on those pushes is the
@@ -46,15 +52,25 @@ class UpsertShard:
     state every batch, O(S log S) per batch over a long-running tailer.
     LWW is order-independent, so deferring the merge is semantics-free."""
 
-    def __init__(self, table_dir: str, pid: int, prior_chain: list[str] | None,
-                 state_schema_bytes: bytes):
+    def __init__(self, table_dir: str, pid: int, prior_entry: dict | None,
+                 state_schema_bytes: bytes, max_chain_len: int = 16):
         self.lake = LakeTable(table_dir)
         self.pid = pid
         self.schema = pa.ipc.read_schema(pa.BufferReader(state_schema_bytes))
+        self.max_chain_len = max_chain_len
         self.state: pa.Table | None = None
-        if prior_chain:
+        # chain metadata carried from the prior manifest entry (same
+        # conventions as the batch path, pipelines/cdc.py:1045-1056)
+        self.chain: list[str] = list(prior_entry["files"]) if prior_entry else []
+        self.chain_rows = int(prior_entry["rows"]) if prior_entry else 0
+        self.chain_bytes = int(prior_entry.get("bytes", 0)) if prior_entry else 0
+        self.hwm = int(prior_entry["hwm_seq"]) if prior_entry else -1
+        self.live_keys = (
+            int(prior_entry["live_keys"]) if prior_entry else 0
+        )  # exact only for single-file chains (else -1), as in the manifest
+        if self.chain:
             chain = pa.concat_tables(
-                [pq.read_table(self.lake.abspath(f)) for f in prior_chain],
+                [pq.read_table(self.lake.abspath(f)) for f in self.chain],
                 promote_options="permissive",
             )
             self.state = merge_states(None, chain, self.schema)
@@ -63,6 +79,7 @@ class UpsertShard:
         self.pending: list[pa.Table] = []
         self.pending_rows = 0
         self.merges = 0  # full-state merges performed (observability)
+        self.since: list[pa.Table] = []  # deltas applied since last snapshot
 
     def _flush(self) -> None:
         if not self.pending:
@@ -76,6 +93,7 @@ class UpsertShard:
         """Idempotent LWW merge of prepped state rows into shard state
         (buffered; merged when the buffer reaches ~1/4 of resident state)."""
         self.pending.append(delta)
+        self.since.append(delta)
         self.pending_rows += len(delta)
         self.dirty = True
         self.applied += len(delta)
@@ -85,15 +103,57 @@ class UpsertShard:
         return len(delta)
 
     def snapshot(self, epoch: int) -> dict:
-        """Write the shard's state as this epoch's partition file."""
+        """Durability point for this epoch: write ONLY the rows dirtied
+        since the last snapshot as a new chain delta file (bytes ∝ churn,
+        not table size); fold the chain from resident state when it grows
+        past ``max_chain_len``; write nothing for a clean shard."""
         self._flush()
-        state = self.state if self.state is not None else self.schema.empty_table()
-        entry = self.lake.write_partition(state, self.pid, epoch)
+        wrote_bytes = 0
+        if self.since:
+            # LWW winners among the new rows only — a row that loses to
+            # resident state is harmless in the file (readers LWW-merge
+            # the whole chain; ties are exact re-deliveries)
+            delta = merge_states(
+                None,
+                pa.concat_tables(self.since, promote_options="permissive"),
+                self.schema,
+            )
+            self.since = []
+            if self.chain and len(self.chain) < self.max_chain_len:
+                entry = self.lake.write_partition(delta, self.pid, epoch)
+                self.chain.append(entry.file)
+                self.chain_rows += entry.rows
+                self.chain_bytes += entry.bytes
+                self.hwm = max(self.hwm, entry.hwm_seq)
+                self.live_keys = -1  # unknown without a merge (chain > 1)
+                wrote_bytes = entry.bytes
+            else:
+                # first snapshot, or chain at the fold bound: write the
+                # resident full state as a single base file
+                state = self.state if self.state is not None else self.schema.empty_table()
+                entry = self.lake.write_partition(state, self.pid, epoch)
+                self.chain = [entry.file]
+                self.chain_rows = entry.rows
+                self.chain_bytes = entry.bytes
+                self.hwm = max(self.hwm, entry.hwm_seq)
+                self.live_keys = entry.live_keys
+                wrote_bytes = entry.bytes
+        elif not self.chain:
+            # brand-new empty shard: commit an empty base so the manifest
+            # has a file for every partition
+            entry = self.lake.write_partition(self.schema.empty_table(), self.pid, epoch)
+            self.chain = [entry.file]
+            self.chain_rows = 0
+            self.chain_bytes = entry.bytes
+            self.live_keys = 0
+            wrote_bytes = entry.bytes
+        was_dirty = self.dirty
         self.dirty = False
         return {
-            "pid": entry.pid, "file": entry.file, "rows": entry.rows,
-            "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
-            "bytes": entry.bytes, "applied": self.applied, "dirty_was": True,
+            "pid": self.pid, "files": list(self.chain), "rows": self.chain_rows,
+            "hwm_seq": self.hwm, "live_keys": self.live_keys,
+            "bytes": self.chain_bytes, "applied": self.applied,
+            "dirty_was": was_dirty, "wrote_bytes": wrote_bytes,
         }
 
     def stats(self) -> dict:
@@ -111,20 +171,21 @@ class StreamingUpserter:
     """Driver-side controller for the shard pool."""
 
     def __init__(self, table_dir: str, num_partitions: int | None = None,
-                 event_schema: pa.Schema = EVENT_SCHEMA):
+                 event_schema: pa.Schema = EVENT_SCHEMA,
+                 max_chain_len: int = 16):
         self.table = LakeTable(table_dir)
         prior = self.table.latest_manifest()
         if prior is not None:
             self.P = prior.num_partitions
             self.state_schema = prior.schema
             self.epoch = prior.epoch
-            prior_files = {p.pid: list(p.files) for p in prior.partitions.values()}
+            prior_entries = {p.pid: p.to_json() for p in prior.partitions.values()}
             self.rename_history = prior.rename_history
         else:
             self.P = num_partitions or 32
             self.state_schema = make_state_schema(event_schema)
             self.epoch = 0
-            prior_files = {}
+            prior_entries = {}
             self.rename_history = {}
         self.event_schema = event_schema
         schema_bytes = self.state_schema.serialize().to_pybytes()
@@ -142,7 +203,8 @@ class StreamingUpserter:
         cpu_per_shard = min(0.25, max(0.01, (cluster_cpus / 2.0) / self.P))
         self.shards = [
             UpsertShard.options(num_cpus=cpu_per_shard).remote(
-                table_dir, pid, prior_files.get(pid), schema_bytes
+                table_dir, pid, prior_entries.get(pid), schema_bytes,
+                max_chain_len=max_chain_len,
             )
             for pid in range(self.P)
         ]
@@ -196,7 +258,7 @@ class StreamingUpserter:
         entries = ray.get([s.snapshot.remote(epoch) for s in self.shards])
         partitions = {
             e["pid"]: PartitionEntry(
-                pid=e["pid"], files=[e["file"]], rows=e["rows"],
+                pid=e["pid"], files=e["files"], rows=e["rows"],
                 hwm_seq=e["hwm_seq"], live_keys=e["live_keys"], bytes=e["bytes"],
             )
             for e in entries
@@ -209,7 +271,9 @@ class StreamingUpserter:
             parent_epoch=self.epoch if self.epoch else None,
             run_id=run.run_id,
             metrics={"mode": "streaming",
-                     "applied_total": sum(e["applied"] for e in entries)},
+                     "applied_total": sum(e["applied"] for e in entries),
+                     "snapshot_bytes": sum(e["wrote_bytes"] for e in entries),
+                     "dirty_shards": sum(1 for e in entries if e["dirty_was"])},
             rename_history=self.rename_history,
         )
         self.table.commit(manifest)
