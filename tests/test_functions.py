@@ -245,6 +245,29 @@ def test_connected_components_distributed_matches_union_find():
     assert list(got["cluster"]) == list(exp["cluster"])
 
 
+def test_minhash_dedup_distributed_path_matches_driver_path():
+    """r2 verdict #4: the fully distributed verify shape (Dataset pair
+    dedup + hash-joined shingles) must produce the identical cluster
+    assignment as the broadcast-dict driver path, for int AND string
+    ids."""
+    for tbl in (_docs(), _docs().set_column(
+        0, "doc_id",
+        pa.array([f"d{int(i):03d}" for i in _docs()["doc_id"].to_pylist()]),
+    )):
+        driver = (
+            minhash_dedup(rd.from_arrow(tbl), threshold=0.5, num_perm=64,
+                          bands=16, distributed=False)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        dist = (
+            minhash_dedup(rd.from_arrow(tbl), threshold=0.5, num_perm=64,
+                          bands=16, distributed=True)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(driver["doc_id"]) == list(dist["doc_id"])
+        assert list(driver["cluster"]) == list(dist["cluster"])
+
+
 def test_minhash_dedup_string_ids():
     """Non-integer doc ids survive the whole candidates->verify->components
     path (the verify stage must not coerce id types)."""
