@@ -862,26 +862,49 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # run-size-batched vectorization, same shape as minhash's
+        # bucket_pairs: sort so equal (chunk_id, chunk_val) rows are
+        # contiguous runs, then expand ALL runs of one size with a single
+        # triu_indices fancy-index — a dup-heavy corpus has 100k+
+        # non-singleton buckets per task and the per-group pandas loop
+        # dominated wall time there (VERDICT r2 #6)
         out = []
         df = df[df.duplicated(["chunk_id", "chunk_val"], keep=False)]
-        for (c, _v), grp in df.groupby(["chunk_id", "chunk_val"], sort=False):
-            ids = grp[id_column].to_numpy()
-            hs = grp["simhash"].to_numpy().astype(np.uint64)
-            order = np.argsort(ids, kind="stable")
-            ids, hs = ids[order], hs[order]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            x = hs[iu] ^ hs[ju]
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        df = df.sort_values(["chunk_id", "chunk_val", id_column], kind="stable")
+        cid = df["chunk_id"].to_numpy()
+        cv = df["chunk_val"].to_numpy()
+        ids = df[id_column].to_numpy()
+        hs = df["simhash"].to_numpy().astype(np.uint64)
+        newrun = np.concatenate([[True], (cid[1:] != cid[:-1]) | (cv[1:] != cv[:-1])])
+        run_id = np.cumsum(newrun) - 1
+        sizes = np.bincount(run_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            rows = sel[:, None] + np.arange(s)[None, :]      # (runs, s)
+            iu, ju = np.triu_indices(int(s), k=1)
+            gi = rows[:, iu].ravel()
+            gj = rows[:, ju].ravel()
+            x = hs[gi] ^ hs[gj]
             d = _popcount64(x)
             keep = d <= max_hamming
-            if c > 0:
-                # canonical-chunk: drop pairs already emitted by an earlier
-                # agreeing chunk (vectorized check on the carried hashes)
-                for cp in range(int(c)):
-                    keep &= ((x >> np.uint64(cp * width)) & mask) != 0
+            # canonical-chunk: drop pairs already emitted by an earlier
+            # agreeing chunk; each run's own chunk_id varies within a size
+            # class, so gate the check per pair on its run's chunk_id
+            c_pair = np.repeat(cid[sel], len(iu))
+            for cp in range(chunks - 1):
+                agree_cp = ((x >> np.uint64(cp * width)) & mask) == 0
+                keep &= ~((c_pair > cp) & agree_cp)
             if keep.any():
                 out.append(
                     pd.DataFrame(
-                        {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                        {"id_a": ids[gi[keep]], "id_b": ids[gj[keep]],
                          "hamming": d[keep]}
                     )
                 )
@@ -1007,20 +1030,74 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                     )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # run-size-batched like minhash/simhash bucket_pairs (VERDICT r2
+        # #6): runs of the SAME size share one batched einsum instead of a
+        # pandas-group Python loop; buckets larger than _RUN_BATCH_MAX fall
+        # back to the m x m-free tile scan (dup-saturated buckets)
+        _RUN_BATCH_MAX = 64
         out = []
         df = df[df.duplicated(["table_id", "bucket"], keep=False)]
-        for (t, _b), grp in df.groupby(["table_id", "bucket"], sort=False):
-            if len(grp) < 2:
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        df = df.sort_values(["table_id", "bucket", id_column], kind="stable")
+        tid = df["table_id"].to_numpy()
+        bk = df["bucket"].to_numpy()
+        ids = df[id_column].to_numpy()
+        M64 = np.stack(df[column].to_numpy()).astype(np.float64)
+        M64 /= np.maximum(np.linalg.norm(M64, axis=1, keepdims=True), 1e-12)
+        M32 = M64.astype(np.float32)
+        sig_m = np.stack(df["sigs"].to_numpy()).astype(np.uint64)   # (n, T)
+        newrun = np.concatenate([[True], (tid[1:] != tid[:-1]) | (bk[1:] != bk[:-1])])
+        run_id = np.cumsum(newrun) - 1
+        sizes = np.bincount(run_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            ids = grp[id_column].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            grp = grp.iloc[order]
-            ids = ids[order]
-            m64 = np.stack(grp[column].to_numpy()).astype(np.float64)
-            m64 /= np.maximum(np.linalg.norm(m64, axis=1, keepdims=True), 1e-12)
-            m = m64.astype(np.float32)
-            sigs = np.stack(grp["sigs"].to_numpy()).astype(np.uint64)  # (m, T)
-            _bucket_tile_pairs(t, ids, m, m64, sigs, out)
+            sel = starts[sizes == s]
+            if s > _RUN_BATCH_MAX:
+                for st in sel:
+                    sl = slice(int(st), int(st + s))
+                    _bucket_tile_pairs(int(tid[st]), ids[sl], M32[sl],
+                                       M64[sl], sig_m[sl], out)
+                continue
+            iu, ju = np.triu_indices(int(s), k=1)
+            # cap the (runs, s, s) cosine tensor at ~16M f32 entries per
+            # chunk so a million tiny runs can't blow worker heap
+            step = max(1, (16 << 20) // max(1, int(s) * int(s)))
+            for c0 in range(0, len(sel), step):
+                sub = sel[c0 : c0 + step]
+                rows = sub[:, None] + np.arange(s)[None, :]      # (r, s)
+                m = M32[rows]                                    # (r, s, d)
+                cos = np.einsum("rik,rjk->rij", m, m)
+                cvals = cos[:, iu, ju]                           # (r, p)
+                keep = cvals >= threshold - 1e-4
+                t_run = tid[sub]
+                sg = sig_m[rows]                                 # (r, s, T)
+                for tp in range(n_tables - 1):
+                    same = sg[:, iu, tp] == sg[:, ju, tp]
+                    keep &= ~((t_run[:, None] > tp) & same)
+                if not keep.any():
+                    continue
+                r_idx, p_idx = np.nonzero(keep)
+                gi = rows[r_idx, iu[p_idx]]
+                gj = rows[r_idx, ju[p_idx]]
+                cos64 = np.einsum("ij,ij->i", M64[gi], M64[gj])
+                final = cos64 >= threshold
+                if not final.any():
+                    continue
+                gi, gj = gi[final], gj[final]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi],
+                            "id_b": ids[gj],
+                            "cos_sim": np.floor(cos64[final] * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
