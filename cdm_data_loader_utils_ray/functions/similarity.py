@@ -15,6 +15,34 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _round_away(x, decimals: int) -> np.ndarray:
+    """Half-away-from-zero rounding (the DuckDB ``round()`` convention)."""
+    m = 10.0 ** decimals
+    v = np.asarray(x, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * m + 0.5) / m
+
+
+def _topk_frame(df: pd.DataFrame, k: int, id_column: str,
+                tie_ndigits: int | None) -> pd.DataFrame:
+    """Top-k under the TOTAL order (cos desc, id asc) — with ``tie_ndigits``
+    set, cos is compared at that (half-away-rounded) precision, so selection
+    is invariant to sub-round float noise.  Float32 matmul results for the
+    SAME row vary at ~1e-8 with the batch SHAPE (blocked BLAS kernels), so
+    exact-duplicate rows land in different batches with different unrounded
+    scores; an unrounded sort would tie-break on that noise instead of on
+    ``id`` and diverge from a float64 oracle.  Used for BOTH the per-batch
+    partial top-k and the final merge so the partial can never evict a row
+    the final order ranks higher."""
+    if tie_ndigits is not None:
+        key = _round_away(df["cos_sim"], tie_ndigits)
+    else:
+        key = df["cos_sim"]
+    order = df.assign(__key=key).sort_values(
+        ["__key", id_column], ascending=[False, True], kind="mergesort"
+    )
+    return order.head(k).drop(columns="__key")
+
+
 def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
     """(n, d) float32 matrix from a list<float> column, zero-copy-ish via
     the flattened values buffer."""
@@ -49,22 +77,18 @@ def cosine_scores_stage(query: np.ndarray, column: str = "embedding",
 
 
 def brute_force_topk(ds, query: np.ndarray, k: int = 10, column: str = "embedding",
-                     id_column: str = "vec_id", ndigits: int | None = None) -> pd.DataFrame:
+                     id_column: str = "vec_id", ndigits: int | None = None,
+                     tie_ndigits: int | None = None) -> pd.DataFrame:
     """Exact cosine top-k: per-batch scoring + per-batch partial top-k (only
     k rows per batch survive to the driver), final merge driver-side."""
     score = cosine_scores_stage(query, column, id_column, ndigits=ndigits)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        t = score(batch)
-        df = t.to_pandas().nlargest(k, "cos_sim")
+        df = _topk_frame(score(batch).to_pandas(), k, id_column, tie_ndigits)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    return (
-        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return _topk_frame(parts, k, id_column, tie_ndigits).reset_index(drop=True)
 
 
 class BruteForceTopK:
@@ -131,7 +155,7 @@ def train_ivf_centroids(ds, n_cells: int = 16, sample_frac: float = 0.25,
 
 def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10,
              n_probe: int = 2, column: str = "embedding",
-             id_column: str = "vec_id") -> pd.DataFrame:
+             id_column: str = "vec_id", tie_ndigits: int | None = None) -> pd.DataFrame:
     """IVF search: scan only rows whose nearest centroid is among the
     query's ``n_probe`` closest cells; exact cosine on the candidates.
     The scale path alternative to :func:`lsh_bucketed_topk` — centroids are
@@ -151,16 +175,11 @@ def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10,
         if len(cand) == 0:
             return pa.table({id_column: pa.array([], type=batch[id_column].type),
                              "cos_sim": pa.array([], type=pa.float64())})
-        t = score(cand)
-        df = t.to_pandas().nlargest(k, "cos_sim")
+        df = _topk_frame(score(cand).to_pandas(), k, id_column, tie_ndigits)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(filter_and_score, batch_format="pyarrow").to_pandas()
-    return (
-        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return _topk_frame(parts, k, id_column, tie_ndigits).reset_index(drop=True)
 
 
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -177,7 +196,8 @@ def lsh_signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
                       seed: int = 42, column: str = "embedding",
-                      id_column: str = "vec_id", probe_hamming: int = 1) -> pd.DataFrame:
+                      id_column: str = "vec_id", probe_hamming: int = 1,
+                      tie_ndigits: int | None = None) -> pd.DataFrame:
     """Approximate cosine top-k: scan only rows whose LSH bucket is within
     ``probe_hamming`` bit-flips of the query's bucket.  At 100 TB this turns
     a full scan into a targeted read of ~(1 + n_planes) / 2^n_planes of the
@@ -197,13 +217,8 @@ def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
         if len(cand) == 0:
             return pa.table({id_column: pa.array([], type=batch[id_column].type),
                              "cos_sim": pa.array([], type=pa.float64())})
-        t = score(cand)
-        df = t.to_pandas().nlargest(k, "cos_sim")
+        df = _topk_frame(score(cand).to_pandas(), k, id_column, tie_ndigits)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(filter_and_score, batch_format="pyarrow").to_pandas()
-    return (
-        parts.sort_values(["cos_sim", id_column], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return _topk_frame(parts, k, id_column, tie_ndigits).reset_index(drop=True)

@@ -448,7 +448,7 @@ def knn_cosine(sf_dir: str):
     q_tbl = pq.read_table(path, filters=[("vec_id", "=", 0)])
     query = np.asarray(q_tbl["embedding"].to_pylist()[0], dtype=np.float32)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, query, k=10)
+    out = brute_force_topk(ds, query, k=10, tie_ndigits=4)
     out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
@@ -1024,7 +1024,7 @@ def knn_lsh(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.similarity import lsh_bucketed_topk
 
     query, aug = _planted_query_corpus(sf_dir)
-    out = lsh_bucketed_topk(aug, query, k=10, n_planes=8)
+    out = lsh_bucketed_topk(aug, query, k=10, n_planes=8, tie_ndigits=4)
     out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
@@ -1039,7 +1039,7 @@ aug AS (
 SELECT vec_id,
        round(list_cosine_similarity(embedding, (SELECT embedding FROM q)), 4) AS cos_sim
 FROM aug
-ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM q)) DESC, vec_id
+ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """
 
@@ -1076,7 +1076,7 @@ def knn_ivf(sf_dir: str):
 
     query, aug = _planted_query_corpus(sf_dir)
     centroids = train_ivf_centroids(aug, n_cells=16, sample_frac=0.5, seed=42)
-    out = ivf_topk(aug, query, centroids, k=10, n_probe=2)
+    out = ivf_topk(aug, query, centroids, k=10, n_probe=2, tie_ndigits=4)
     out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
 
