@@ -2,10 +2,16 @@
 heuristic), quality scoring (length/punct/stopword ratios), token counting
 (whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
 
-All are actor-pool ``map_batches`` stages: models/regexes/profiles built
-once per actor in ``__init__`` (SURVEY §2.4), vectorized where the kernel
-allows (Arrow string compute for lengths/ratios, Python per row only inside
-the tokenizer loops).
+All are actor-pool ``map_batches`` stages.  The column kernels are
+vectorized end-to-end (r3): tokenization is ONE ``pc.split_pattern_regex``
+call per batch, per-row aggregates are cumsum-diffs over the flat token
+array, language scores are ``pc.is_in`` + segment sums, the BPE-ish token
+count is a byte-class transition count (exact regex fallback only for rows
+containing an apostrophe, where the contraction alternatives fire), and the
+fingerprint is the batched mod-(2^61-1) kernel in ``stages/hashing.py``.
+The per-row reference implementations are kept (``*_rowwise`` /
+``LangId.classify``) as the executable spec — a golden pytest asserts the
+vectorized kernels match them on an adversarial corpus.
 """
 
 from __future__ import annotations
@@ -13,11 +19,13 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cdm_data_loader_utils_ray.stages.hashing import rolling_fingerprint
+from cdm_data_loader_utils_ray.stages.hashing import (
+    rolling_fingerprint,
+    rolling_fingerprint_batch,
+)
 
 # Tiny per-language stopword / character profiles (public common words).
 _LANG_PROFILES: dict[str, set[str]] = {
@@ -27,6 +35,7 @@ _LANG_PROFILES: dict[str, set[str]] = {
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para", "que", "de", "en"},
 }
 _CJK = re.compile(r"[一-鿿]")
+_CJK_PATTERN = "[一-鿿]"
 # Explicit ASCII classes, NOT "\w"/"\s": Python's "\w" is Unicode-aware
 # while DuckDB's RE2 "\w" is ASCII-only, so the shared patterns must spell
 # out the exact class to tokenize identically on non-ASCII input (the r2
@@ -34,6 +43,7 @@ _CJK = re.compile(r"[一-鿿]")
 # pure ASCII).  [0-9A-Za-z_] == RE2 "\w"; [ \t\n\v\f\r] is the explicit
 # whitespace class both engines agree on.
 _WORD = re.compile(r"[0-9A-Za-z_]+")
+_NONWORD_SPLIT = "[^0-9A-Za-z_]+"
 _WS = r" \t\n\v\f\r"
 # BPE-ish pre-tokenizer (GPT-2-style pattern, public).  Deliberately
 # lookahead-free so the EXACT same pattern runs under RE2 (DuckDB
@@ -55,14 +65,78 @@ def round6_half_up(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Shared column kernels — the SINGLE definition of each metric.  Both the
-# standalone stages and the fused TextAnalyzer call these, so a convention
-# change (e.g. the half-up rounding migration) can never make them diverge
-# from each other or from the SQL oracle twin.
+# Flat-token machinery: ONE regex split per batch, then per-row aggregates
+# as cumsum-diffs over the flattened token array.  `re.findall(WORD, s)` ==
+# the non-empty pieces of `re.split(NONWORD, s)` in order, so segment sums
+# masked by `valid` reproduce the per-row findall loops exactly.
 # ---------------------------------------------------------------------------
+def _flat_tokens(texts: pa.Array):
+    """(flat_tokens, row_offsets, tok_len, valid) for a string array with
+    no nulls.  Empty pieces from edge delimiters are present but masked
+    out by ``valid``."""
+    lists = pc.split_pattern_regex(texts, pattern=_NONWORD_SPLIT)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    flat = lists.values
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, off, tok_len, tok_len > 0
+
+
+def _lower_exact(filled: pa.Array) -> pa.Array:
+    """Lowercase with exact ``str.lower`` semantics.  ``pc.utf8_lower``
+    diverges from Python on e.g. 'İ' (utf8proc: 'i'; Python: 'i' +
+    combining dot) and final sigma — and 'İ'→'i' CREATES a word char,
+    changing token boundaries.  Pure-ASCII batches (the common case) take
+    the C-speed ``ascii_lower`` path, which is exactly ``str.lower`` there."""
+    if pc.all(pc.string_is_ascii(filled)).as_py() is not False:
+        return pc.ascii_lower(filled)
+    return pa.array([t.lower() for t in filled.to_pylist()], type=pa.string())
+
+
+def _seg_sum(x: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat array under row offsets (safe for empty rows,
+    unlike ``np.add.reduceat``)."""
+    c = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=c[1:])
+    return c[off[1:]] - c[off[:-1]]
+
+
 def quality_columns(texts, stops) -> dict:
     """n_chars_f / space_ratio / stopword_ratio / mean_token_len /
-    quality_score arrays for a text column."""
+    quality_score arrays for a text column.  Vectorized; bit-identical to
+    :func:`quality_columns_rowwise` (segment int sums then one float64
+    division, exactly like the per-row ``sum()/len()``)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_chars = pc.utf8_length(texts).cast(pa.float64())
+    n_space = pc.count_substring(texts, " ").cast(pa.float64())
+    lowered = _lower_exact(pc.fill_null(texts, ""))
+    flat, off, tok_len, valid = _flat_tokens(lowered)
+    stop_mask = pc.is_in(flat, value_set=pa.array(sorted(stops))).to_numpy(
+        zero_copy_only=False
+    )
+    n_tok = _seg_sum(valid, off).astype(np.float64)
+    denom = np.maximum(n_tok, 1.0)
+    stop_arr = _seg_sum(stop_mask & valid, off) / denom
+    mt = _seg_sum(tok_len, off) / denom
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
+    len_score = np.clip(nc / 500.0, 0, 1)
+    tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
+    score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
+    return {
+        "n_chars_f": pa.array(nc),
+        "space_ratio": pa.array(round6_half_up(space_ratio)),
+        "stopword_ratio": pa.array(round6_half_up(stop_arr)),
+        "mean_token_len": pa.array(round6_half_up(mt)),
+        "quality_score": pa.array(round6_half_up(score)),
+    }
+
+
+def quality_columns_rowwise(texts, stops) -> dict:
+    """Per-row reference implementation of :func:`quality_columns` (the
+    executable spec for the golden equivalence test)."""
     n_chars = pc.utf8_length(texts).cast(pa.float64())
     n_space = pc.count_substring(texts, " ").cast(pa.float64())
     stop_ratio, mean_tok = [], []
@@ -79,7 +153,7 @@ def quality_columns(texts, stops) -> dict:
     nc = n_chars.to_numpy(zero_copy_only=False)
     space_ratio = n_space.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
     len_score = np.clip(nc / 500.0, 0, 1)
-    tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
+    tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)
     score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
     return {
         "n_chars_f": pa.array(nc),
@@ -90,21 +164,131 @@ def quality_columns(texts, stops) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish token count.  For apostrophe-free text no contraction alternative
+# can fire, and the leftmost-first scan reduces to maximal byte-class runs
+# (word / punct / whitespace) with ONE absorption rule: a whitespace run
+# that is exactly a single ' ' immediately followed by a word or punct char
+# merges into the following token (" ?...").  Runs ≥ 2 ws chars are eaten
+# whole by the greedy "[ws]+" (a trailing space does NOT detach).  Byte
+# classes suffice: every non-ASCII utf-8 byte (lead or continuation) is
+# punct-class, so class-run boundaries over bytes == over codepoints.
+# Rows containing "'" fall back to the exact regex scan.
+# ---------------------------------------------------------------------------
+_BYTE_CLASS = np.full(256, 2, dtype=np.uint8)  # 2 = punct
+for _b in b"0123456789_":
+    _BYTE_CLASS[_b] = 0
+for _b in range(ord("A"), ord("Z") + 1):
+    _BYTE_CLASS[_b] = 0
+for _b in range(ord("a"), ord("z") + 1):
+    _BYTE_CLASS[_b] = 0
+for _b in b" \t\n\v\f\r":
+    _BYTE_CLASS[_b] = 1  # ws
+
+
+def _bpe_counts_vectorized(texts: pa.Array) -> np.ndarray:
+    """Exact ``len(_BPE.findall(t))`` per row for a no-null, no-apostrophe
+    string array, via byte-class transition counting."""
+    n = len(texts)
+    off0 = texts.offset
+    odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offs = np.frombuffer(texts.buffers()[1], dtype=odt, count=n + 1 + off0)[off0:]
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = (offs - offs[0]).astype(np.int64)
+    total = len(data)
+    if total == 0:
+        return np.zeros(n, dtype=np.int64)
+    cls = _BYTE_CLASS[data]
+    start = np.empty(total, dtype=bool)
+    start[0] = True
+    np.not_equal(cls[1:], cls[:-1], out=start[1:])
+    start[offs[:-1][offs[:-1] < total]] = True  # row boundaries reset runs
+    runs = _seg_sum(start, offs)
+    # absorption: single ' ' run followed (same row) by a non-ws byte
+    row_last = np.zeros(total, dtype=bool)
+    ends = offs[1:] - 1
+    row_last[ends[ends >= 0]] = True
+    nxt_start = np.empty(total, dtype=bool)
+    nxt_start[:-1] = start[1:]
+    nxt_start[-1] = True
+    nxt_not_ws = np.zeros(total, dtype=bool)
+    nxt_not_ws[:-1] = cls[1:] != 1
+    absorbed = start & (data == ord(" ")) & nxt_start & ~row_last & nxt_not_ws
+    return runs - _seg_sum(absorbed, offs)
+
+
+def bpe_token_count(texts) -> pa.Array:
+    """``len(_BPE.findall(t or ''))`` per row; null -> 0 tokens.  Vectorized
+    transition counting for apostrophe-free rows, exact regex scan for the
+    rest (contractions make the scan genuinely sequential)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    filled = pc.fill_null(texts, "")
+    counts = _bpe_counts_vectorized(filled).astype(np.int64)
+    has_apos = pc.count_substring(filled, "'").to_numpy(zero_copy_only=False) > 0
+    if has_apos.any():
+        idx = np.where(has_apos)[0]
+        sub = filled.take(pa.array(idx)).to_pylist()
+        counts[idx] = [len(_BPE.findall(t)) for t in sub]
+    return pa.array(counts, type=pa.int64())
+
+
 def token_count_columns(texts) -> dict:
     """n_tokens_ws (whitespace) / n_tokens_bpe (RE2-safe BPE-ish) arrays."""
     return {
         "n_tokens_ws": pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64()),
-        "n_tokens_bpe": pa.array(
-            [len(_BPE.findall(t or "")) for t in texts.to_pylist()], type=pa.int64()
-        ),
+        "n_tokens_bpe": bpe_token_count(texts),
     }
 
 
 def fingerprint_column(texts, window: int = 64) -> pa.Array:
-    return pa.array(
-        [rolling_fingerprint(t or "", window) for t in texts.to_pylist()],
-        type=pa.uint64(),
-    )
+    """Rolling-hash fingerprint per row (vectorized; bit-identical to the
+    scalar :func:`stages.hashing.rolling_fingerprint`)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return rolling_fingerprint_batch(texts, window=window)
+
+
+# ---------------------------------------------------------------------------
+# Language ID.  `classify` is the per-row reference; `langid_array` is the
+# vectorized twin: tokens of the ORIGINAL text (findall-then-lower, like
+# classify — subtly different from lower-then-findall for chars like 'İ'),
+# capped at the first 200, scored per profile with is_in + segment sums,
+# first-max-wins across profiles in insertion order.
+# ---------------------------------------------------------------------------
+def langid_array(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    filled = pc.fill_null(texts, "")
+    flat, off, tok_len, valid = _flat_tokens(filled)
+    # tokens are runs of [0-9A-Za-z_] — pure ASCII — so ascii_lower IS
+    # str.lower here (findall-then-lower == lower each ASCII token)
+    flat_lower = pc.ascii_lower(flat)
+    # rank of each token among its row's VALID tokens (1-based)
+    cv = np.zeros(len(valid) + 1, dtype=np.int64)
+    np.cumsum(valid, out=cv[1:])
+    row_id = np.repeat(np.arange(n), np.diff(off))
+    rank = cv[1:] - cv[off[:-1]][row_id]
+    in200 = valid & (rank <= 200)
+    n200 = _seg_sum(in200, off).astype(np.float64)
+    langs = list(_LANG_PROFILES)
+    scores = np.empty((len(langs), n), dtype=np.float64)
+    denom = np.maximum(n200, 1.0)
+    for i, lang in enumerate(langs):
+        hit = pc.is_in(
+            flat_lower, value_set=pa.array(sorted(_LANG_PROFILES[lang]))
+        ).to_numpy(zero_copy_only=False)
+        scores[i] = _seg_sum(hit & in200, off) / denom
+    best_idx = np.argmax(scores, axis=0)  # first max wins == profile order
+    best_score = scores[best_idx, np.arange(n)]
+    preds = np.array(langs, dtype=object)[best_idx]
+    preds[(best_score <= 0.02) | (n200 == 0)] = "und"
+    cjk = pc.match_substring_regex(filled, _CJK_PATTERN).to_numpy(zero_copy_only=False)
+    preds[cjk] = "zh"
+    empty = pc.equal(pc.utf8_length(filled), 0).to_numpy(zero_copy_only=False)
+    preds[empty] = "und"
+    return pa.array(preds, type=pa.string())
 
 
 class LangId:
@@ -115,6 +299,7 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def classify(self, text: str) -> str:
+        """Per-row reference implementation (spec for `langid_array`)."""
         if not text:
             return "und"
         if _CJK.search(text):
@@ -130,11 +315,7 @@ class LangId:
         return best if best_score > 0.02 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = pa.array(
-            [self.classify(t) for t in batch[self.text_column].to_pylist()],
-            type=pa.string(),
-        )
-        return batch.append_column(self.out_column, preds)
+        return batch.append_column(self.out_column, langid_array(batch[self.text_column]))
 
 
 class QualityScore:
@@ -193,11 +374,9 @@ class TextAnalyzer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column]
-        preds = pa.array(
-            [self.langid.classify(t or "") for t in texts.to_pylist()],
-            type=pa.string(),
-        )
-        out = batch.append_column("lang_pred", preds)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        out = batch.append_column("lang_pred", langid_array(texts))
         for name, arr in quality_columns(texts, self.stops).items():
             out = out.append_column(name, arr)
         for name, arr in token_count_columns(texts).items():

@@ -113,6 +113,177 @@ def rolling_fingerprint(text: str, window: int = 64, base: int = 257, mod: int =
     return best
 
 
+# ---------------------------------------------------------------------------
+# Vectorized rolling fingerprint — bit-identical to `rolling_fingerprint`
+# above (golden-tested), but computed over a whole Arrow string array with
+# numpy mod-(2^61-1) limb arithmetic instead of a per-row Python byte loop.
+#
+# Math: the window hash H(i) = sum_j b[i+j] * B^(w-1-j)  (mod p) factors as
+#   H(i) = B^(w-1+i) * (P[i+w] - P[i])   where P[k] = sum_{t<k} b[t]*Binv^t,
+# so ONE prefix sum over the batch's concatenated utf-8 bytes yields every
+# window hash of every row with pure array ops (row boundaries only select
+# which windows are taken).  p = 2^61-1 keeps every product under 2^63 after
+# a 31-bit limb split, so the whole thing runs in native uint64.
+# ---------------------------------------------------------------------------
+_FP_P_INT = (1 << 61) - 1
+_FP_P = np.uint64(_FP_P_INT)
+
+
+_LO31 = np.uint64(0x7FFFFFFF)
+_LO30 = np.uint64(0x3FFFFFFF)
+_U1, _U30, _U31, _U61 = np.uint64(1), np.uint64(30), np.uint64(31), np.uint64(61)
+
+
+def _mod_p61_ip(x: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """In-place x mod (2^61-1); ``t`` is a same-length uint64 scratch.
+    Every op writes into an existing buffer — this VM pays heavily for
+    fresh large allocations (lazy page faults), so the whole p61 kernel
+    family works in a caller-provided arena."""
+    np.right_shift(x, _U61, out=t)
+    x &= _FP_P
+    x += t
+    np.right_shift(x, _U61, out=t)
+    x &= _FP_P
+    x += t
+    np.subtract(x, _FP_P, out=x, where=x >= _FP_P)
+    return x
+
+
+def _mulmod_p61_into(a: np.ndarray, b, out: np.ndarray, t1: np.ndarray,
+                     t2: np.ndarray, t3: np.ndarray) -> np.ndarray:
+    """(a * b) mod (2^61-1) into ``out`` (a, b < p; b array or Python int).
+    31-bit limb split: a*b = a1*b1*2^62 + m*2^31 + a0*b0 with
+    m = a1*b0 + a0*b1 < 2^62; 2^61 == 1 (mod p) so 2^62 == 2 and
+    m*2^31 == (m >> 30) + (m & (2^30-1)) << 31.  Peak partial < 2^63.2,
+    native uint64 throughout."""
+    np.right_shift(a, _U31, out=t1)        # t1 = a1 (< 2^30)
+    np.bitwise_and(a, _LO31, out=t2)       # t2 = a0
+    if isinstance(b, np.ndarray):
+        b1 = b >> _U31  # noqa — small, reused twice; kept simple
+        np.bitwise_and(b, _LO31, out=t3)   # t3 = b0
+        np.multiply(t1, t3, out=out)       # a1*b0
+        np.multiply(t2, t3, out=t3)        # a0*b0
+        t2 *= b1                           # a0*b1
+        out += t2                          # m
+        t1 *= b1                           # a1*b1
+    else:
+        s1, s0 = np.uint64(int(b) >> 31), np.uint64(int(b) & 0x7FFFFFFF)
+        np.multiply(t1, s0, out=out)       # a1*b0
+        np.multiply(t2, s0, out=t3)        # a0*b0
+        t2 *= s1                           # a0*b1
+        out += t2                          # m
+        t1 *= s1                           # a1*b1
+    t1 <<= _U1                             # 2*a1*b1
+    np.right_shift(out, _U30, out=t2)      # m >> 30
+    out &= _LO30
+    out <<= _U31                           # (m & lo30) << 31
+    out += t2
+    out += t1
+    out += t3                              # + a0*b0
+    return _mod_p61_ip(out, t1)
+
+
+def _pow_table_p61(base: int, n: int, out: np.ndarray | None = None) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod 2^61-1, log-doubling inside one buffer."""
+    if out is None:
+        out = np.empty(n, dtype=np.uint64)
+    t = np.empty((3, n), dtype=np.uint64)
+    out[:1] = 1
+    k = 1
+    while k < n:
+        m = min(k, n - k)
+        step = pow(base, k, _FP_P_INT)
+        _mulmod_p61_into(out[:m], step, out[k : k + m], t[0, :m], t[1, :m], t[2, :m])
+        k += m
+    return out
+
+
+def _mulmod_p61(a, b) -> np.ndarray:
+    """Convenience wrapper (allocates); hot paths use the ``_into`` form."""
+    a = np.asarray(a, dtype=np.uint64)
+    n = len(a)
+    t = np.empty((4, n), dtype=np.uint64)
+    b_arr = b if isinstance(b, np.ndarray) else int(b)
+    return _mulmod_p61_into(a, b_arr, t[0], t[1], t[2], t[3]).copy()
+
+
+def rolling_fingerprint_batch(
+    arr: pa.Array | pa.ChunkedArray, window: int = 64, base: int = 257
+) -> pa.Array:
+    """Vectorized `rolling_fingerprint` over an Arrow string array
+    (null -> fingerprint of "", i.e. 0 — matching the callers' ``t or ''``).
+    Bit-identical to the scalar version; see the block comment above."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.uint64())
+    arr = pc.fill_null(arr, "")
+    off0 = arr.offset
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt, count=n + 1 + off0)[off0:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = (offs - offs[0]).astype(np.int64)
+    total = len(data)
+
+    binv = pow(base, _FP_P_INT - 2, _FP_P_INT)
+    lens = np.diff(offs)
+    # Row-LOCAL powers: the prefix below is global, but every window span
+    # P[g+w]-P[g] stays inside one row, so other rows' terms cancel and the
+    # power tables only need max_row_len + window entries (cache-resident
+    # gathers instead of two total_bytes-long table builds).
+    tbl_n = int(lens.max() if n else 0) + window + 1
+    pow_b = _pow_table_p61(base, tbl_n)
+    pow_binv = _pow_table_p61(binv, tbl_n)
+    arena = np.empty((5, max(total, 1)), dtype=np.uint64)
+    w0, w1, w2, w3, w4 = arena
+    pos_local = np.arange(total, dtype=np.int64)
+    pos_local -= np.repeat(offs[:-1], lens)
+    v = w0[:total]
+    v[:] = pow_binv[pos_local]
+    _mulmod_p61_into(data.astype(np.uint64), v, v, w1[:total], w2[:total], w3[:total])
+    # P[k] = sum_{t<k} b[t]*Binv^t mod p, via 32-bit-limb cumsums (the raw
+    # terms are 61-bit so a direct uint64 cumsum would overflow).
+    np.bitwise_and(v, np.uint64(0xFFFFFFFF), out=w1[:total])
+    cs_lo = np.cumsum(w1[:total], out=w1[:total])
+    np.right_shift(v, np.uint64(32), out=w2[:total])
+    cs_hi = np.cumsum(w2[:total], out=w2[:total])
+    _mod_p61_ip(cs_hi, w3[:total])
+    _mod_p61_ip(cs_lo, w3[:total])
+    prefix = np.zeros(total + 1, dtype=np.uint64)
+    _mulmod_p61_into(cs_hi, (1 << 32) % _FP_P_INT, prefix[1:],
+                     w3[:total], w4[:total], v)
+    prefix[1:] += cs_lo
+    _mod_p61_ip(prefix[1:], w3[:total])
+
+    def _window_hash(g: np.ndarray, w, local) -> np.ndarray:
+        """Hash of the w-byte window at global start g, row-local index
+        ``local`` (g - row_start): H = B^(local+w-1) * (P[g+w] - P[g])."""
+        span = prefix[g + w]
+        span += _FP_P
+        span -= prefix[g]
+        m = len(span)
+        _mod_p61_ip(span, arena[0, :m])
+        return _mulmod_p61_into(pow_b[local + w - 1], span, span,
+                                arena[1, :m], arena[2, :m], arena[3, :m])
+
+    out = np.zeros(n, dtype=np.uint64)
+    short = (lens > 0) & (lens <= window)
+    if short.any():
+        out[short] = _window_hash(offs[:-1][short], lens[short], np.int64(0))
+    long_rows = np.where(lens > window)[0]
+    if len(long_rows):
+        nw = lens[long_rows] - window + 1
+        seg = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=seg[1:])
+        idx = np.arange(seg[-1], dtype=np.int64)
+        local = idx - np.repeat(seg[:-1], nw)
+        g = np.repeat(offs[long_rows], nw) + local
+        hashes = _window_hash(g, window, local)
+        out[long_rows] = np.minimum.reduceat(hashes, seg[:-1])
+    return pa.array(out, type=pa.uint64())
+
+
 def non_null_count(batch: pa.Table, column: str) -> int:
     """Vectorized non-null count helper (``pc.count``)."""
     return pc.count(batch[column], mode="only_valid").as_py()
