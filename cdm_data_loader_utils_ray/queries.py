@@ -926,6 +926,41 @@ SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n
 
 
 # ---------------------------------------------------------------------------
+# 20b. EXACT n-gram Jaccard near-dup pairs — the no-approximation member of
+#      the dedup family: inverted-index postings, one shingle-bucket
+#      shuffle with run-batched pair expansion + per-bucket partial counts,
+#      one partials-sized sum.  Same shingle kernel as minhash, so the
+#      DuckDB twin is the same list SQL with the pair value exposed.
+# ---------------------------------------------------------------------------
+def jaccard_pairs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import jaccard_ngram_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_ngram_pairs(ds, threshold=0.5, k=3)
+
+
+JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(a.s || b.s)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # 21. SimHash near-dup pairs.  Pigeonhole (4 exact 16-bit chunks) makes the
 #     pair set COMPLETE for hamming <= 3, and the md5-derived token hashes
 #     are recomputed bit-identically by the DuckDB twin, so the whole
@@ -1408,6 +1443,7 @@ def registry() -> dict:
         "explode_tokens": (explode_tokens, EXPLODE_SQL),
         "text_analysis": (text_analysis, _text_analysis_sql()),
         "minhash_dedup_clusters": (minhash_dedup_clusters, MINHASH_CLUSTERS_SQL),
+        "jaccard_pairs": (jaccard_pairs, JACCARD_PAIRS_SQL),
         "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
         "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
         "knn_lsh": (knn_lsh, KNN_LSH_SQL),

@@ -335,3 +335,42 @@ def test_tokenizer_parity_with_duckdb_on_non_ascii():
             f"SELECT regexp_extract_all('{esc}', '{bpe_esc}') AS r"
         ).fetchone()[0]
         assert _BPE.findall(t) == duck_bpe, t
+
+
+def test_jaccard_ngram_pairs_matches_brute_force():
+    """The distributed inverted-index path is EXACT: it must equal the
+    all-pairs ngram_jaccard kernel on every pair above threshold."""
+    from cdm_data_loader_utils_ray.functions.dedup import jaccard_ngram_pairs
+
+    tbl = _docs()
+    got = jaccard_ngram_pairs(rd.from_arrow(tbl), threshold=0.4, k=3)
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ids = sorted(texts)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = ngram_jaccard(texts[a], texts[b], k=3)
+            if j >= 0.4:
+                want.append((a, b, np.floor(j * 1e6 + 0.5) / 1e6))
+    want_df = (pd.DataFrame(want, columns=["id_a", "id_b", "jaccard"])
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_df)
+    # the planted exact dup is found at jaccard 1.0
+    hit = got[(got["id_a"] == 0) & (got["id_b"] == 101)]
+    assert len(hit) == 1 and hit["jaccard"].iloc[0] == 1.0
+
+
+def test_jaccard_ngram_pairs_string_ids_and_empty():
+    from cdm_data_loader_utils_ray.functions.dedup import jaccard_ngram_pairs
+
+    tbl = pa.table({
+        "doc_id": ["a", "b", "z"],
+        "text": ["one two three four five", "one two three four five six",
+                 "completely unrelated words here now"],
+    })
+    got = jaccard_ngram_pairs(rd.from_arrow(tbl), threshold=0.4, k=3)
+    assert list(got["id_a"]) == ["a"] and list(got["id_b"]) == ["b"]
+    # disjoint corpus -> empty result with stable schema
+    lone = pa.table({"doc_id": [1, 2], "text": ["aa bb cc dd", "xx yy zz ww"]})
+    out = jaccard_ngram_pairs(rd.from_arrow(lone), threshold=0.4, k=3)
+    assert out.empty and list(out.columns) == ["id_a", "id_b", "jaccard"]
