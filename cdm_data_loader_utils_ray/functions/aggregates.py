@@ -72,3 +72,136 @@ def global_counts(ds, predicates: Mapping[str, str], batch_size: int = 65536) ->
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size).to_pandas()
     return parts.sum().to_frame().T.astype("int64")
+
+
+def grouped_quantiles(
+    ds,
+    keys: Sequence[str],
+    value_column: str,
+    quantiles: Mapping[str, float],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Exact ``GROUP BY keys`` quantiles with linear interpolation — the
+    convention of SQL ``quantile_cont`` / ``percentile_cont`` (and numpy's
+    default), so a DuckDB twin reproduces the values bit-for-bit.
+
+    ``quantiles`` maps output column -> fraction (e.g. ``{"p50": 0.5}``).
+
+    Scale shape: exact quantiles need every value of a group in one place,
+    so this ships the PRUNED (keys, value) pairs through one hash-bucket
+    shuffle and computes all groups of a bucket with a single vectorized
+    pandas ``groupby().quantile()``.  Right for group-level quantiles where
+    the biggest single group fits a worker (the reference's analytics
+    shapes); for corpus-wide quantiles over 100 TB use a mergeable sketch
+    instead — exactness and single-pass-distribution can't both hold.
+    """
+    keys = list(keys)
+    qcols = list(quantiles)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch.select(keys + [value_column]), keys, num_buckets)
+
+    def q_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=["__bucket__"]).groupby(keys, sort=False, dropna=False)[
+            value_column
+        ]
+        series = [
+            g.quantile(q, interpolation="linear").rename(name)
+            for name, q in quantiles.items()
+        ]
+        return pd.concat(series, axis=1).reset_index()[keys + qcols]
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__bucket__")
+        .map_groups(q_bucket, batch_format="pandas")
+    )
+
+
+def pivot_counts(
+    ds,
+    keys: Sequence[str],
+    pivot_column: str,
+    categories: Sequence[str],
+    batch_size: int = 65536,
+    num_buckets: int = 64,
+):
+    """Pivoted conditional counts: ``GROUP BY keys`` with one ``n_<cat>``
+    column per category of ``pivot_column`` (SQL ``count(*) FILTER``).
+
+    Same combiner shape as :func:`grouped_partial_sums`: the pivot happens
+    INSIDE the per-batch partial (one indicator sum per category), so the
+    shuffle moves one partial row per (key, batch) — never the raw rows.
+    Categories must be the known closed set (pass the distinct values; an
+    unexpected category is counted by ``n_other``).
+    """
+    keys = list(keys)
+    cats = list(categories)
+    out_cols = [f"n_{c}" for c in cats] + ["n_other"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pv = df[pivot_column]
+        for c, out in zip(cats, out_cols):
+            df[out] = (pv == c).astype("int64")
+        df["n_other"] = (~pv.isin(cats)).astype("int64")
+        agg = df.groupby(keys, sort=False, dropna=False)[out_cols].sum().reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False)
+        return _add_bucket(t, keys, num_buckets).to_pandas()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=["__bucket__"]).groupby(keys, sort=False, dropna=False)[
+            out_cols
+        ].sum()
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby("__bucket__").map_groups(final, batch_format="pandas")
+
+
+def top_n_per_group(
+    ds,
+    keys: Sequence[str],
+    order_column: str,
+    n: int,
+    tiebreak: Sequence[str] = (),
+    ascending: bool = False,
+    rank_column: str = "rnk",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Ranking-window top-N per group: SQL ``row_number() OVER (PARTITION BY
+    keys ORDER BY order_column [DESC], tiebreak...) <= n`` with the rank
+    exposed as ``rank_column``.
+
+    Distributed with a true combiner: a group's global top-N is contained in
+    the union of its per-batch top-Ns, so each map batch keeps at most N
+    rows per key before the single hash-bucket shuffle — on skewed 100-TB
+    groups the exchange carries O(groups x N), not the raw rows.
+
+    ``tiebreak`` columns (ascending) must make the order total, or ranks
+    are nondeterministic across runs (same caveat as SQL row_number).
+    """
+    keys = list(keys)
+    sort_cols = [order_column] + list(tiebreak)
+    asc = [ascending] + [True] * len(tiebreak)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(sort_cols, ascending=asc, kind="stable")
+        d = d.groupby(keys, sort=False, dropna=False).head(n)
+        t = pa.Table.from_pandas(d, preserve_index=False)
+        return _add_bucket(t, keys, num_buckets).to_pandas()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=["__bucket__"]).sort_values(
+            sort_cols, ascending=asc, kind="stable"
+        )
+        d = d.groupby(keys, sort=False, dropna=False).head(n).copy()
+        d[rank_column] = d.groupby(keys, sort=False, dropna=False).cumcount() + 1
+        return d
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__bucket__")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1,0 +1,101 @@
+"""Distributed TF-IDF: per-document top-k salient terms.
+
+Training-data curation uses this for keyword extraction, topic-ish
+clustering features and boilerplate detection.  Pipeline shape (all
+Ray-Data-native, composed from this repo's primitives):
+
+1. ``map_batches``: tokenize every doc (the shared vectorized ASCII-word
+   kernel from :mod:`functions.textstats` — ONE regex split per batch) and
+   emit exact ``(doc_id, term, tf)`` rows.  A document is one row, so term
+   frequencies are complete within the batch — no combiner needed.
+2. document frequency: one partial+final bucket groupby over the (doc,term)
+   rows (``grouped_partial_sums`` shape) — the shuffle carries one partial
+   row per (term, batch).
+3. attach df to the term rows with the partitioned ``hash_join`` (both
+   sides can be huge; the vocabulary of a 100-TB corpus does not fit a
+   broadcast).
+4. per-doc top-k: ``top_n_per_group`` ranking window (per-batch top-k
+   combiner, one bucket shuffle).
+
+Scoring is the LINEAR-idf variant ``tf * N / df`` (double), NOT
+``tf * ln(N/df)``: integer-valued doubles through one IEEE multiply and one
+IEEE divide are bit-identical in every engine, so the DuckDB oracle can
+hash-match exact scores — libm ``log`` is not correctly rounded and may
+differ across builds.  Linear idf is order-equivalent to log idf WITHIN a
+term (monotone in tf, df) and a documented, deterministic choice across
+terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdm_data_loader_utils_ray.functions.aggregates import (
+    grouped_partial_sums,
+    top_n_per_group,
+)
+from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+
+def doc_term_counts(ds, id_column: str = "doc_id", text_column: str = "text",
+                    batch_size: int = 4096):
+    """Exact ``(doc_id, term, tf)`` rows, one per distinct term per doc."""
+
+    def terms(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_column: batch[id_column],
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        texts = batch[text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, off, _tok_len, valid = _flat_tokens(_lower_exact(pc.fill_null(texts, "")))
+        row_of_tok = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(off))
+        toks = flat.to_pandas()  # flat token strings
+        df = pd.DataFrame({"__row__": row_of_tok[valid], "term": toks[valid]})
+        agg = df.groupby(["__row__", "term"], sort=False).size().rename("tf").reset_index()
+        ids = batch[id_column].to_pandas()
+        return pa.table({
+            id_column: pa.array(ids.iloc[agg["__row__"]].to_numpy()),
+            "term": pa.array(agg["term"].to_numpy(), type=pa.string()),
+            "tf": pa.array(agg["tf"].to_numpy(), type=pa.int64()),
+        })
+
+    return ds.map_batches(terms, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
+                    top_k: int = 3, num_buckets: int = 64):
+    """Top-``top_k`` terms per document by ``score = tf * N / df``.
+
+    Returns a Dataset with columns ``(id, term, tf, df, score, rnk)``;
+    ties broken by term ascending (total order -> deterministic ranks).
+    """
+    n_docs = ds.count()
+    terms = doc_term_counts(ds, id_column, text_column)
+    # df per term: (doc,term) rows are distinct per doc, so df = row count.
+    # materialize ONCE — three consumers (join) would otherwise recompute
+    # the tokenization
+    terms = terms.materialize()
+    df_ds = grouped_partial_sums(terms, ["term"], {}, count_alias="df")
+    # hash_join reads declared Arrow schemas; the pandas-block output of
+    # grouped_partial_sums must be coerced to Arrow blocks first
+    df_ds = df_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    joined = hash_join(terms, df_ds, on=["term"], how="inner",
+                       num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.float64(n_docs) / dfv
+        return batch.append_column("score", pa.array(s, type=pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_n_per_group(
+        scored, [id_column], "score", top_k, tiebreak=["term"],
+        ascending=False, rank_column="rnk", num_buckets=num_buckets,
+    )

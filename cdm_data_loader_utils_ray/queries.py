@@ -1417,6 +1417,290 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# 33. Exact grouped quantiles (SQL quantile_cont / percentile_cont): one
+#     pruned-column bucket shuffle, vectorized per-bucket groupby.quantile.
+# ---------------------------------------------------------------------------
+def order_quantiles(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    q = grouped_quantiles(
+        ds, ["o_orderpriority"], "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("p25", "p50", "p90"):
+            df[c] = _round_away(df[c], 6)
+        return df
+
+    return q.map_batches(finish, batch_format="pandas")
+
+
+ORDER_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 6) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 34. Ranking-window top-N per group (row_number() <= N with the rank
+#     exposed): per-batch top-N combiner, one bucket shuffle.
+# ---------------------------------------------------------------------------
+def top_orders_per_priority(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import top_n_per_group
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    top = top_n_per_group(
+        ds, ["o_orderpriority"], "o_totalprice", 3,
+        tiebreak=["o_orderkey"], ascending=False, rank_column="rnk",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_orderpriority", "rnk", "o_orderkey", "o_totalprice"]].copy()
+        out["rnk"] = out["rnk"].astype("int64")
+        out["o_totalprice"] = _round_away(out["o_totalprice"], 6)
+        return out
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+TOP_ORDERS_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_orderpriority, rnk, o_orderkey, round(o_totalprice, 6) AS o_totalprice
+FROM r WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 35. Pivoted conditional counts (count(*) FILTER per category): the pivot
+#     happens inside the per-batch combiner, shuffle carries tiny partials.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_pivot_daily(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return batch.drop_columns(["ts"]).append_column("day", day)
+
+    p = pivot_counts(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["day"], "event_type", _EVENT_TYPES,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["day"] + [f"n_{c}" for c in _EVENT_TYPES] + ["n_other"]
+        out = df[cols].copy()
+        for c in cols[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return p.map_batches(finish, batch_format="pandas")
+
+
+EVENT_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type NOT IN
+         ('click','error','purchase','signup','view')) AS n_other
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 36. Deterministic stratified sampling: keep iff md5(id) < per-stratum
+#     threshold.  No shuffle, rerun-stable, engine-independent (the oracle
+#     recomputes the same digests).
+# ---------------------------------------------------------------------------
+def stratified_sample(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return hash_sample(
+        ds, "doc_id", stratum_column="lang", rates={"en": 0.5}, default_rate=0.25
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE WHEN lang = 'en' THEN '80000000000000000000000000000000'
+           ELSE '40000000000000000000000000000000' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# 37. Deterministic train/val/test split: md5 fraction of the id mapped to
+#     consecutive ranges.  Thresholds are embedded from the SAME floats the
+#     engine uses, so both engines cut at the identical 128-bit boundary.
+# ---------------------------------------------------------------------------
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def dataset_split(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return hash_split(ds, "doc_id", _SPLIT_FRACTIONS)
+
+
+def _dataset_split_sql() -> str:
+    from cdm_data_loader_utils_ray.functions.sampling import _hex_threshold
+
+    t_train = _hex_threshold(0.8)
+    t_val = _hex_threshold(0.8 + 0.1)
+    return f"""
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_train}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 38. TF-IDF top terms per document (linear idf tf*N/df — see
+#     functions/tfidf.py for why not ln): tokenize -> df groupby ->
+#     hash join -> ranking-window top-k, all distributed.
+# ---------------------------------------------------------------------------
+def tfidf_terms(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.tfidf import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, top_k=3)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[["doc_id", "rnk", "term", "tf", "df", "score"]].copy()
+        o["doc_id"] = o["doc_id"].astype("int64")
+        o["rnk"] = o["rnk"].astype("int64")
+        o["tf"] = o["tf"].astype("int64")
+        o["df"] = o["df"].astype("int64")
+        o["score"] = _round_away(o["score"], 6)
+        return o
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf::DOUBLE * (SELECT count(*) FROM documents) / d.df AS score
+  FROM tf t JOIN df d USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, rnk, term, tf, df,
+       floor(score * 1000000 + 0.5) / 1000000 AS score
+FROM r WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 39. Token-window chunking (context packing / passage extraction):
+#     embarrassingly parallel flat-map, no shuffle.
+# ---------------------------------------------------------------------------
+def doc_chunks(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, size=64, stride=48)
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CAST(ceil(n::DOUBLE / 48) AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       least(64, n - chunk_id * 48) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                  least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+FROM c WHERE chunk_id * 48 < n
+"""
+
+
+# ---------------------------------------------------------------------------
+# 40. Range (interval) join: attribute each purchase to the clicks of the
+#     same user in the preceding 30 minutes — point-in-interval with
+#     overlapping intervals, one bucket shuffle (stages/temporal.range_join).
+# ---------------------------------------------------------------------------
+def purchase_attribution(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({
+            "purchase_id": b["event_id"], "user_id": b["user_id"], "pts": b["ts"],
+        })
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "click"))
+        start = b["ts"]
+        end = pc.add(b["ts"], pa.scalar(1_800_000_000, type=pa.duration("us")))
+        return pa.table({
+            "click_id": b["event_id"], "user_id": b["user_id"],
+            "cstart": start, "cend": end,
+        })
+
+    left = ev.map_batches(purchases, batch_format="pyarrow")
+    right = ev.map_batches(clicks, batch_format="pyarrow")
+    joined = range_join(left, right, "pts", "cstart", "cend", by=["user_id"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["purchase_id", "click_id", "user_id"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+JOIN events c ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1453,4 +1737,12 @@ def registry() -> dict:
         "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
         "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),
         "gaf_normalize": (gaf_normalize, GAF_NORMALIZE_SQL),
+        "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
+        "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+        "event_pivot_daily": (event_pivot_daily, EVENT_PIVOT_SQL),
+        "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+        "dataset_split": (dataset_split, _dataset_split_sql()),
+        "tfidf_terms": (tfidf_terms, TFIDF_SQL),
+        "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+        "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     }

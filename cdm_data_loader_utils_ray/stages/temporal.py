@@ -112,8 +112,9 @@ def range_join(
         # side's columns entirely; reindex creates them as nulls
         l = df[df["__side__"] == "l"].reindex(columns=left_cols)
         r = df[df["__side__"] == "r"].reindex(columns=right_cols)
-        if l.empty or r.empty:
-            return pd.DataFrame()
+        # even when one side is empty, return the properly-columned empty
+        # merge — a column-less DataFrame would give this bucket's block a
+        # different schema from the others
         merged = l.merge(r, on=keys, how="inner")
         hit = (merged[left_point] >= merged[right_start]) & (
             merged[left_point] < merged[right_end]

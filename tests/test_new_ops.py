@@ -1,0 +1,220 @@
+"""Unit tests for the round-3 operator additions: grouped quantiles,
+pivoted counts, top-N ranking window, deterministic hash sampling/split,
+TF-IDF, and token-window chunking."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _ds(df: pd.DataFrame, blocks: int = 4):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles
+# ---------------------------------------------------------------------------
+def test_grouped_quantiles_matches_numpy_linear():
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 5, 1000).astype(str), "v": rng.normal(size=1000)}
+    )
+    out = (
+        grouped_quantiles(_ds(df), ["g"], "v", {"p50": 0.5, "p95": 0.95})
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        vals = df.loc[df["g"] == row["g"], "v"].to_numpy()
+        assert row["p50"] == pytest.approx(np.quantile(vals, 0.5), abs=0, rel=0)
+        assert row["p95"] == pytest.approx(np.quantile(vals, 0.95), abs=0, rel=0)
+
+
+# ---------------------------------------------------------------------------
+# pivot_counts
+# ---------------------------------------------------------------------------
+def test_pivot_counts_categories_and_other():
+    from cdm_data_loader_utils_ray.functions.aggregates import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "c": ["x", "y", "x", "zzz", None],
+        }
+    )
+    out = (
+        pivot_counts(_ds(df, blocks=2), ["k"], "c", ["x", "y"])
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc["a", "n_x"] == 1 and out.loc["a", "n_y"] == 1
+    assert out.loc["a", "n_other"] == 0
+    assert out.loc["b", "n_x"] == 1 and out.loc["b", "n_y"] == 0
+    assert out.loc["b", "n_other"] == 2  # 'zzz' and the null
+
+
+# ---------------------------------------------------------------------------
+# top_n_per_group: the per-batch combiner must not lose global winners
+# ---------------------------------------------------------------------------
+def test_top_n_per_group_across_batches():
+    from cdm_data_loader_utils_ray.functions.aggregates import top_n_per_group
+
+    # winners deliberately scattered so every batch's local top-2 differs
+    # from the global top-2
+    df = pd.DataFrame(
+        {
+            "g": ["g1"] * 50 + ["g2"] * 50,
+            "v": list(range(50)) + list(range(100, 150)),
+            "id": range(100),
+        }
+    )
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = (
+        top_n_per_group(
+            _ds(df, blocks=8), ["g"], "v", 2, tiebreak=["id"], rank_column="rnk",
+            batch_size=16,
+        )
+        .to_pandas()
+        .sort_values(["g", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert out["v"].tolist() == [49, 48, 149, 148]
+    assert out["rnk"].tolist() == [1, 2, 1, 2]
+
+
+def test_top_n_per_group_ties_break_by_tiebreak():
+    from cdm_data_loader_utils_ray.functions.aggregates import top_n_per_group
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [5, 5, 5, 5], "id": [3, 1, 2, 0]})
+    out = (
+        top_n_per_group(_ds(df, blocks=2), ["g"], "v", 3, tiebreak=["id"])
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    assert out["id"].tolist() == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# hash sampling / split
+# ---------------------------------------------------------------------------
+def test_hash_sample_matches_reference_digest_rule():
+    from cdm_data_loader_utils_ray.functions.sampling import hash_sample
+
+    df = pd.DataFrame({"id": range(500), "s": ["en" if i % 3 == 0 else "de" for i in range(500)]})
+    out = hash_sample(
+        _ds(df), "id", stratum_column="s", rates={"en": 0.5}, default_rate=0.25
+    ).to_pandas()
+
+    def keep(i, s):
+        thr = "8" + "0" * 31 if s == "en" else "4" + "0" * 31
+        return hashlib.md5(str(i).encode()).hexdigest() < thr
+
+    expected = {i for i, s in zip(df["id"], df["s"]) if keep(i, s)}
+    assert set(out["id"]) == expected
+
+
+def test_hash_split_fractions_and_stability():
+    from cdm_data_loader_utils_ray.functions.sampling import hash_split
+
+    df = pd.DataFrame({"id": range(2000)})
+    out = hash_split(_ds(df), "id", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    counts = out["split"].value_counts()
+    assert counts["train"] == pytest.approx(1600, abs=80)
+    assert counts["val"] == pytest.approx(200, abs=50)
+    # deterministic: same assignment on rerun and independent of other rows
+    again = hash_split(_ds(df.iloc[:100]), "id", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    merged = again.merge(out, on="id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_hash_sample_rate_edges():
+    from cdm_data_loader_utils_ray.functions.sampling import hash_sample
+
+    df = pd.DataFrame({"id": range(64)})
+    assert len(hash_sample(_ds(df), "id", rate=1.0).to_pandas()) == 64
+    assert len(hash_sample(_ds(df), "id", rate=0.0).to_pandas()) == 0
+
+
+def test_hash_split_rejects_bad_fractions():
+    from cdm_data_loader_utils_ray.functions.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(_ds(pd.DataFrame({"id": [1]})), "id", {"a": 0.5, "b": 0.6})
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+def test_chunk_documents_windows():
+    from cdm_data_loader_utils_ray.functions.chunking import chunk_documents
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),   # 10 tokens -> 2 chunks @ size 6 stride 4
+        2: "one",                                   # 1 token  -> 1 chunk
+        3: "",                                      # '' splits to [''] -> 1 chunk
+        4: " ".join(f"w{i}" for i in range(8)),    # exactly 2*stride
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = (
+        chunk_documents(_ds(df, blocks=2), size=6, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    by = {(r.doc_id, r.chunk_id): r for r in out.itertuples()}
+    # doc 1: starts 0,4,8 (8 < 10) -> 3 chunks of 6,6,2 tokens
+    assert [by[(1, i)].n_tokens for i in range(3)] == [6, 6, 2]
+    assert by[(1, 1)].chunk_text == "t4 t5 t6 t7 t8 t9"
+    assert by[(1, 2)].chunk_text == "t8 t9"
+    assert by[(2, 0)].n_tokens == 1 and by[(2, 0)].chunk_text == "one"
+    assert by[(3, 0)].n_tokens == 1 and by[(3, 0)].chunk_text == ""
+    # doc 4: 8 tokens, starts 0,4 -> 2 chunks (start 8 is not < 8)
+    assert len([k for k in by if k[0] == 4]) == 2
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+def test_tfidf_top_terms_small_corpus():
+    from cdm_data_loader_utils_ray.functions.tfidf import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple apple banana",
+                "banana cherry",
+                "cherry cherry cherry common",
+                "common common",
+            ],
+        }
+    )
+    out = tfidf_top_terms(_ds(df, blocks=2), top_k=2).to_pandas()
+    # doc 1: apple tf=2 df=1 -> score 8; banana tf=1 df=2 -> 2
+    d1 = out[out["doc_id"] == 1].sort_values("rnk")
+    assert d1["term"].tolist() == ["apple", "banana"]
+    assert d1["score"].tolist() == [8.0, 2.0]
+    # doc 3: cherry tf=3 df=2 -> 6; common tf=1 df=2 -> 2
+    d3 = out[out["doc_id"] == 3].sort_values("rnk")
+    assert d3["term"].tolist() == ["cherry", "common"]
+    assert d3["score"].tolist() == [6.0, 2.0]
+    # ranks dense per doc, max 2 rows per doc
+    assert (out.groupby("doc_id")["rnk"].max() <= 2).all()
+
+
+def test_tfidf_tokenization_matches_textstats_ascii_rule():
+    from cdm_data_loader_utils_ray.functions.tfidf import doc_term_counts
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["Héllo wörld foo_bar FOO_bar 42x"]})
+    out = doc_term_counts(_ds(df, blocks=1)).to_pandas()
+    terms = dict(zip(out["term"], out["tf"]))
+    # ASCII word class splits on the accented chars; lowercase folds FOO_bar
+    assert terms == {"h": 1, "llo": 1, "w": 1, "rld": 1, "foo_bar": 2, "42x": 1}
