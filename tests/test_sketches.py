@@ -1,0 +1,58 @@
+"""Accuracy and mergeability of the streaming sketches (no SQL oracle by
+nature — asserted against exact answers)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_hll_accuracy_and_insensitivity_to_duplication():
+    from cdm_data_loader_utils_ray.functions.sketches import approx_distinct
+
+    rng = np.random.default_rng(11)
+    uniq = rng.integers(0, 1 << 60, 200_000)
+    # duplicate heavily: 600k rows, 200k distinct
+    vals = np.concatenate([uniq, rng.choice(uniq, 400_000)])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    est = approx_distinct(ds, "x", p=14)
+    assert abs(est - 200_000) / 200_000 < 0.03
+
+
+def test_hll_strings_and_small_range_linear_counting():
+    from cdm_data_loader_utils_ray.functions.sketches import approx_distinct
+
+    df = pd.DataFrame({"s": [f"key-{i % 50}" for i in range(5000)]})
+    est = approx_distinct(rd.from_pandas(df).repartition(4), "s", p=12)
+    assert est == 50  # linear-counting regime is exact this small
+
+
+def test_hll_partials_merge_like_union():
+    from cdm_data_loader_utils_ray.functions.sketches import (
+        _hll_estimate,
+        _hll_partial,
+    )
+
+    a = pd.Series(np.arange(0, 60_000))
+    b = pd.Series(np.arange(30_000, 90_000))  # overlap -> union = 90k
+    merged = np.maximum(_hll_partial(a, 14), _hll_partial(b, 14))
+    assert abs(_hll_estimate(merged) - 90_000) / 90_000 < 0.03
+
+
+def test_approx_quantiles_heavy_tail():
+    from cdm_data_loader_utils_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(mean=1.0, sigma=2.0, size=500_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": x})).repartition(8)
+    got = approx_quantiles(ds, "v", [0.5, 0.95, 0.99], k=4096)
+    for q in (0.5, 0.95, 0.99):
+        exact = float(np.quantile(x, q))
+        assert abs(got[q] - exact) / exact < 0.01, (q, got[q], exact)
+
+
+def test_approx_quantiles_empty_and_nulls():
+    from cdm_data_loader_utils_ray.functions.sketches import approx_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [None, None]}, dtype="float64"))
+    out = approx_quantiles(ds, "v", [0.5])
+    assert np.isnan(out[0.5])
