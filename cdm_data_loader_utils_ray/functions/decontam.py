@@ -1,0 +1,145 @@
+"""Benchmark decontamination: flag training documents that share any word
+k-gram with a held-out / benchmark set — the standard guard against test
+leakage in training corpora.
+
+Shape (all Ray-Data-native, one shuffle):
+
+1. both sides are shingled to DISTINCT string k-grams per document with
+   the shared vectorized flat-token kernel (shifted pandas concat; the
+   same tokenizer and the same short-doc convention as the minhash family:
+   fewer than k tokens -> one whole-doc gram);
+2. tagged union, ONE hash-bucket shuffle on the gram: each bucket does a
+   vectorized semi-join (train grams ∩ bench grams) and emits per-doc hit
+   partials;
+3. a tiny second groupby sums partials per doc — exact, because a gram
+   lives in exactly one bucket and grams are distinct within a doc.
+
+String grams keep the operator SQL-oracle-checkable bit-for-bit; for a
+100-TB corpus swap in the hashed-shingle kernel from
+:mod:`functions.dedup` (``shingle_hashes``) — same pipeline shape, 8-byte
+grams instead of strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+
+def _doc_grams(ids, texts, k: int) -> pd.DataFrame:
+    """(id, gram) rows, grams DISTINCT per doc.  Vectorized: one tokenize
+    kernel + (k-1) shifted concats; only the short-doc fallback (< k
+    tokens -> whole-doc join) touches a per-row path, on those rows only."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    flat, off, _l, valid = _flat_tokens(_lower_exact(pc.fill_null(texts, "")))
+    keep = np.flatnonzero(valid)
+    toks = flat.to_pandas().iloc[keep].reset_index(drop=True)
+    row_of = np.repeat(np.arange(len(off) - 1), np.diff(off))[keep]
+    n_tok = np.bincount(row_of, minlength=len(off) - 1)
+    ids_pd = ids.to_pandas()
+
+    frames = []
+    long_rows = n_tok >= k
+    if long_rows.any() and len(toks) >= k:
+        g = toks.copy()
+        for j in range(1, k):
+            g = g + " " + toks.shift(-j)
+        ok = row_of == np.roll(row_of, -(k - 1))
+        if k > 1:
+            ok[len(ok) - (k - 1):] = False
+        sel = ok[: len(g)]
+        frames.append(
+            pd.DataFrame({"__row__": row_of[sel], "gram": g[sel].to_numpy()})
+        )
+    short = np.flatnonzero(~long_rows)
+    if len(short):
+        joined = (
+            pd.DataFrame({"__row__": row_of, "tok": toks.to_numpy()})
+            .loc[np.isin(row_of, short)]
+            .groupby("__row__", sort=False)["tok"]
+            .agg(" ".join)
+        )
+        sf = joined.rename("gram").reset_index()
+        # rows with zero valid tokens produce the empty gram, matching
+        # array_to_string([], ' ') = ''
+        empty = np.setdiff1d(short, sf["__row__"].to_numpy())
+        frames.append(sf)
+        if len(empty):
+            frames.append(pd.DataFrame({"__row__": empty, "gram": ""}))
+    if not frames:
+        return pd.DataFrame({"id": [], "gram": []})
+    out = pd.concat(frames, ignore_index=True).drop_duplicates(["__row__", "gram"])
+    return pd.DataFrame(
+        {"id": ids_pd.iloc[out["__row__"]].to_numpy(), "gram": out["gram"].to_numpy()}
+    )
+
+
+def contaminated_docs(
+    train_ds,
+    bench_ds,
+    k: int = 8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+):
+    """Training docs sharing >= 1 word-``k``-gram with any benchmark doc.
+    Returns a Dataset of ``(id_column, n_hits)`` — n_hits = number of
+    distinct contaminated grams in the doc."""
+
+    def grams_of(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            df = _doc_grams(batch[id_column], batch[text_column], k)
+            if side == "b":
+                df = df[["gram"]].drop_duplicates()
+                df["id"] = -1  # schema-stable; bench ids never surface
+            df["__side__"] = side
+            t = pa.Table.from_pandas(df[["id", "gram", "__side__"]],
+                                     preserve_index=False)
+            return _add_bucket(t, ["gram"], num_buckets)
+
+        return f
+
+    tagged = train_ds.map_batches(
+        grams_of("t"), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        bench_ds.map_batches(grams_of("b"), batch_format="pyarrow",
+                             batch_size=batch_size)
+    )
+
+    def bucket_hits(df: pd.DataFrame) -> pd.DataFrame:
+        bench = df.loc[df["__side__"] == "b", ["gram"]].drop_duplicates()
+        tr = df[df["__side__"] == "t"]
+        m = tr.merge(bench.assign(__hit__=1), on="gram", how="inner")
+        if m.empty:
+            return pd.DataFrame({"id": pd.Series([], dtype=tr["id"].dtype),
+                                 "n_hits": pd.Series([], dtype="int64")})
+        out = m.groupby("id", sort=False).size().rename("n_hits").reset_index()
+        return out
+
+    partials = tagged.groupby("__bucket__").map_groups(
+        bucket_hits, batch_format="pandas"
+    )
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["id"], num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=["__bucket__"]).groupby("id", sort=False)["n_hits"].sum()
+        out = g.reset_index().rename(columns={"id": id_column})
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    return (
+        partials.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1701,6 +1701,139 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# ---------------------------------------------------------------------------
+# 41. Global top-k word n-grams (corpus vocabulary stats): per-batch partial
+#     counts -> one gram-bucket shuffle -> per-bucket top-k -> tiny merge.
+# ---------------------------------------------------------------------------
+def top_bigrams(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.vocab import top_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = top_ngrams(ds, n=2, k=20)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# 42. PII redaction (RE2 kernels, bit-identical to the SQL twin's RE2).
+#     The test corpus carries no real PII, so the entry INJECTS synthetic
+#     emails/URLs deterministically from doc_id — both engines construct
+#     the identical dirty text, then redact it (planted-fixture pattern,
+#     like the embedding_dups entry).
+# ---------------------------------------------------------------------------
+def pii_redaction(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.redact import (
+        DEFAULT_PATTERNS,
+        redact_text,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        df["text"] = (
+            df["text"] + " contact user" + i.astype(str)
+            + "@mail" + (i % 5).astype(str) + ".example.com or https://site"
+            + (i % 7).astype(str) + ".org/p/" + i.astype(str)
+        )
+        return df
+
+    out = redact_text(ds.map_batches(inject, batch_format="pandas"), "text",
+                      DEFAULT_PATTERNS)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[["doc_id", "n_email", "n_url", "text_redacted"]].copy()
+        o["doc_id"] = o["doc_id"].astype("int64")
+        return o.rename(columns={"text_redacted": "clean"})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def _pii_redaction_sql() -> str:
+    from cdm_data_loader_utils_ray.functions.redact import DEFAULT_PATTERNS
+
+    email, url = DEFAULT_PATTERNS["email"], DEFAULT_PATTERNS["url"]
+    # counts and replacements mirror redact_text's sequential order:
+    # count emails on dirty text, redact, count urls on the email-redacted
+    # text, redact
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.com or https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.org/p/' || CAST(doc_id AS VARCHAR) AS pii
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(pii, '{email}'))::BIGINT AS n_email,
+         regexp_replace(pii, '{email}', '[EMAIL]', 'g') AS r1
+  FROM dirty
+)
+SELECT doc_id, n_email,
+       len(regexp_extract_all(r1, '{url}'))::BIGINT AS n_url,
+       regexp_replace(r1, '{url}', '[URL]', 'g') AS clean
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# 43. Benchmark decontamination: train docs sharing any word-8-gram with
+#     the benchmark slice (source='src0').  One gram-bucket semi-join
+#     shuffle + a tiny per-doc count merge; same tokenizer and short-doc
+#     convention as the minhash family, so the SQL twin is the same
+#     list-CTE shape.
+# ---------------------------------------------------------------------------
+def decontaminate(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    train = docs.filter(expr="source != 'src0'")
+    out = contaminated_docs(train, bench, k=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df[["doc_id", "n_hits"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 6),
+                            i -> array_to_string(t[i:i+7], ' ')))
+    END AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+train AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0')
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+FROM train WHERE g IN (SELECT g FROM bench)
+GROUP BY doc_id
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1745,4 +1878,7 @@ def registry() -> dict:
         "tfidf_terms": (tfidf_terms, TFIDF_SQL),
         "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
         "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+        "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
+        "pii_redaction": (pii_redaction, _pii_redaction_sql()),
+        "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     }

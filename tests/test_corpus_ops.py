@@ -1,0 +1,96 @@
+"""Unit tests for the corpus-statistics / scrubbing operators: top n-grams,
+PII redaction, benchmark decontamination."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_top_ngrams_counts_and_ties():
+    from cdm_data_loader_utils_ray.functions.vocab import top_ngrams
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "a b c a b",      # bigrams: a b, b c, c a, a b
+                "a b x",          # a b, b x
+                "z z",            # z z
+                "",               # nothing
+                "solo",           # no bigram
+            ]
+        }
+    )
+    out = top_ngrams(_ds(df), n=2, k=3)
+    assert out.iloc[0].tolist() == ["a b", 3]
+    # ties (all count 1) break by gram ascending
+    assert out["gram"].tolist() == ["a b", "b c", "b x"]
+
+
+def test_top_ngrams_does_not_cross_document_boundaries():
+    from cdm_data_loader_utils_ray.functions.vocab import top_ngrams
+
+    df = pd.DataFrame({"text": ["end token", "token start"]})
+    out = top_ngrams(_ds(df, blocks=1), n=2, k=10)
+    grams = set(out["gram"])
+    assert "token token" not in grams
+    assert {"end token", "token start"} == grams
+
+
+def test_redact_text_patterns_and_counts():
+    from cdm_data_loader_utils_ray.functions.redact import redact_text
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "mail me at a.b+c@x-y.co and see https://ex.org/p?q=1 now",
+                "no pii here",
+                None,
+            ]
+        }
+    )
+    out = redact_text(_ds(df, blocks=2), "text").to_pandas()
+    out = out.sort_values("n_email", ascending=False).reset_index(drop=True)
+    assert out.loc[0, "text_redacted"] == "mail me at [EMAIL] and see [URL] now"
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_url"] == 1
+    assert (out.loc[1:, "n_email"] == 0).all()
+    assert out.loc[out["text_redacted"] == "", "n_url"].tolist() == [0]  # null -> ''
+
+
+def test_decontaminate_flags_only_overlapping_docs():
+    from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over the lazy dog"]}
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "xx the quick brown fox jumps over yy",  # shares 5-grams
+                "completely different words entirely here now",
+                "quick brown fox",  # < k tokens -> whole-doc gram, no match
+            ],
+        }
+    )
+    out = (
+        contaminated_docs(_ds(train), _ds(bench, blocks=1), k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1]
+    # doc 1 valid windows: 4 five-grams, of which 'the quick brown fox
+    # jumps' and 'quick brown fox jumps over' are in the bench doc
+    assert out["n_hits"].tolist() == [2]
+
+
+def test_decontaminate_short_doc_exact_match():
+    from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
+
+    bench = pd.DataFrame({"doc_id": [9], "text": ["tiny doc"]})
+    train = pd.DataFrame({"doc_id": [1, 2], "text": ["tiny doc", "tiny dog"]})
+    out = contaminated_docs(_ds(train, blocks=2), _ds(bench, blocks=1), k=5).to_pandas()
+    assert out["doc_id"].tolist() == [1] and out["n_hits"].tolist() == [1]
