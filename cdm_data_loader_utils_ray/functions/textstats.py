@@ -394,3 +394,80 @@ def analyze_documents(ds, text_column: str = "text", concurrency: int = 4,
         TextAnalyzer(text_column), batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (the Gopher-rules family): fraction of the
+# doc's word-3-gram occurrences held by the single most frequent gram,
+# fraction of occurrences whose gram repeats at all, and fraction of
+# duplicate lines.  High values flag boilerplate / degenerate generations.
+# Embarrassingly parallel; vectorized (one tokenize kernel + shifted
+# concats per batch); SQL-oracle-checkable bit-for-bit.
+# ---------------------------------------------------------------------------
+def repetition_columns(texts, n: int = 3) -> dict:
+    """Per-row ``top_ngram_frac`` / ``dup_ngram_frac`` / ``dup_line_frac``
+    float64 arrays (unrounded; callers round per catalog convention)."""
+    import pandas as pd
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    filled = pc.fill_null(texts, "")
+    nrows = len(filled)
+
+    # --- word-n-gram occurrence counts per row -----------------------------
+    flat, off, _l, valid = _flat_tokens(_lower_exact(filled))
+    keep = np.flatnonzero(valid)
+    toks = flat.to_pandas().iloc[keep].reset_index(drop=True)
+    row_of = np.repeat(np.arange(nrows), np.diff(off))[keep]
+    top = np.zeros(nrows, dtype=np.float64)
+    dup = np.zeros(nrows, dtype=np.float64)
+    if len(toks) >= n:
+        g = toks.copy()
+        for j in range(1, n):
+            g = g + " " + toks.shift(-j)
+        ok = row_of == np.roll(row_of, -(n - 1))
+        if n > 1:
+            ok[len(ok) - (n - 1):] = False
+        sel = ok[: len(g)]
+        occ = pd.DataFrame({"r": row_of[sel], "g": g[sel].to_numpy()})
+        if len(occ):
+            c = occ.groupby(["r", "g"], sort=False).size()
+            per = c.groupby(level=0)
+            total = per.sum()
+            top_c = per.max()
+            dup_c = c[c > 1].groupby(level=0).sum()
+            rows = total.index.to_numpy()
+            top[rows] = top_c.to_numpy() / total.to_numpy()
+            if len(dup_c):
+                dup[dup_c.index.to_numpy()] = dup_c.to_numpy() / total.reindex(
+                    dup_c.index
+                ).to_numpy()
+
+    # --- duplicate-line fraction -------------------------------------------
+    lines = pc.split_pattern(filled, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    loff = lines.offsets.to_numpy().astype(np.int64)
+    lrow = np.repeat(np.arange(nrows), np.diff(loff))
+    ldf = pd.DataFrame({"r": lrow, "l": lines.values.to_pandas().to_numpy()})
+    nl = np.maximum(np.diff(loff), 1).astype(np.float64)
+    dl = ldf.drop_duplicates().groupby("r", sort=False).size()
+    distinct = np.ones(nrows, dtype=np.float64)
+    distinct[dl.index.to_numpy()] = dl.to_numpy()
+    dup_line = (np.diff(loff) - distinct) / nl
+
+    return {"top_ngram_frac": top, "dup_ngram_frac": dup, "dup_line_frac": dup_line}
+
+
+def repetition_stats(ds, id_column: str = "doc_id", text_column: str = "text",
+                     n: int = 3, batch_size: int = 4096):
+    """Dataset of ``(id, top_ngram_frac, dup_ngram_frac, dup_line_frac)``."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        cols = repetition_columns(batch[text_column], n)
+        return pa.table({
+            id_column: batch[id_column],
+            **{k: pa.array(v, type=pa.float64()) for k, v in cols.items()},
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=batch_size)

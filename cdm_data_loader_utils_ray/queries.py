@@ -1834,6 +1834,58 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 44. Repetition quality signals (Gopher-rules family): most-frequent-3-gram
+#     fraction, repeated-3-gram fraction, duplicate-line fraction per doc.
+#     Embarrassingly parallel vectorized map; no shuffle.
+# ---------------------------------------------------------------------------
+def repetition_quality(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(ds, n=3)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.copy()
+        o["doc_id"] = o["doc_id"].astype("int64")
+        for c in ("top_ngram_frac", "dup_ngram_frac", "dup_line_frac"):
+            o[c] = _round_away(o[c], 6)
+        return o
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+a AS (
+  SELECT doc_id, sum(c)::DOUBLE AS total, max(c)::DOUBLE AS top,
+         coalesce(sum(c) FILTER (c > 1), 0)::DOUBLE AS dupc
+  FROM c GROUP BY doc_id
+),
+l AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10)))::DOUBLE AS nl,
+         len(list_distinct(string_split(text, chr(10))))::DOUBLE AS dl
+  FROM documents
+)
+SELECT l.doc_id,
+       floor(coalesce(a.top / a.total, 0) * 1000000 + 0.5) / 1000000 AS top_ngram_frac,
+       floor(coalesce(a.dupc / a.total, 0) * 1000000 + 0.5) / 1000000 AS dup_ngram_frac,
+       floor((l.nl - l.dl) / greatest(l.nl, 1) * 1000000 + 0.5) / 1000000 AS dup_line_frac
+FROM l LEFT JOIN a ON a.doc_id = l.doc_id
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1881,4 +1933,5 @@ def registry() -> dict:
         "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
         "pii_redaction": (pii_redaction, _pii_redaction_sql()),
         "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+        "repetition_quality": (repetition_quality, REPETITION_SQL),
     }

@@ -87,6 +87,39 @@ def test_decontaminate_flags_only_overlapping_docs():
     assert out["n_hits"].tolist() == [2]
 
 
+def test_repetition_stats_signals():
+    from cdm_data_loader_utils_ray.functions.textstats import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam spam",          # one 3-gram repeated 3x
+                "all words here are different ones",  # no repetition
+                "line\nline\nother",                  # 1 duplicate line of 3
+                "ab",                                 # < 3 tokens -> zeros
+            ],
+        }
+    )
+    out = (
+        repetition_stats(_ds(df, blocks=2), n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: 3 occurrences, all of the same gram
+    assert out.loc[1, "top_ngram_frac"] == 1.0
+    assert out.loc[1, "dup_ngram_frac"] == 1.0
+    # doc 2: 4 distinct grams
+    assert out.loc[2, "top_ngram_frac"] == 0.25
+    assert out.loc[2, "dup_ngram_frac"] == 0.0
+    # doc 3: 3 lines, 2 distinct
+    assert abs(out.loc[3, "dup_line_frac"] - 1 / 3) < 1e-12
+    # doc 4: no 3-grams at all
+    assert out.loc[4, "top_ngram_frac"] == 0.0
+    assert out.loc[4, "dup_line_frac"] == 0.0
+
+
 def test_decontaminate_short_doc_exact_match():
     from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
 
