@@ -7,6 +7,10 @@
     python -m cdm_data_loader_utils_ray.cli vacuum  --lake L [--keep 2]
     python -m cdm_data_loader_utils_ray.cli preview --lake L [-n 10]
     python -m cdm_data_loader_utils_ray.cli stream  --events E --lake L
+    python -m cdm_data_loader_utils_ray.cli dedup   --input D --out O [--method exact]
+    python -m cdm_data_loader_utils_ray.cli sample  --input D --out O [--split train=0.8 val=0.1 test=0.1]
+    python -m cdm_data_loader_utils_ray.cli chunk   --input D --out O [--size 512 --stride 384]
+    python -m cdm_data_loader_utils_ray.cli textstats --input D --out O
 
 Owns its Ray session (scripts init/shutdown; library code never does).
 """
@@ -138,6 +142,98 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-duplicate clustering of a document Parquet table (MinHash+LSH
+    or exact sha256), cluster ids written as Parquet."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.method == "exact":
+        from cdm_data_loader_utils_ray.functions.dedup import dedup_exact
+
+        out = dedup_exact(ds, text_column=args.text_col, id_column=args.id_col)
+        out.write_parquet(args.out)
+        n = "unknown (streamed)"
+    else:
+        from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
+
+        clusters = minhash_dedup(
+            ds, threshold=args.threshold, num_perm=128, bands=32,
+            text_column=args.text_col, id_column=args.id_col,
+        )
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        os.makedirs(args.out, exist_ok=True)
+        t = pa.Table.from_pandas(clusters, preserve_index=False)
+        pq.write_table(t, os.path.join(args.out, "clusters.parquet"))
+        n = len(clusters)
+    print(json.dumps({"method": args.method, "rows": str(n), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic hash sample (or train/val/test split) of a Parquet
+    table — rerun-stable, no shuffle."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.input)
+    if args.split:
+        from cdm_data_loader_utils_ray.functions.sampling import hash_split
+
+        fr = dict(kv.split("=", 1) for kv in args.split)
+        out = hash_split(ds, args.id_col, {k: float(v) for k, v in fr.items()})
+    else:
+        from cdm_data_loader_utils_ray.functions.sampling import hash_sample
+
+        out = hash_sample(ds, args.id_col, rate=args.rate)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    """Token-window chunking of a document table (context packing prep)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.chunking import chunk_documents
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    chunk_documents(ds, id_column=args.id_col, text_column=args.text_col,
+                    size=args.size, stride=args.stride).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "size": args.size, "stride": args.stride}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_textstats(args) -> int:
+    """Language-ID / quality / token-count / fingerprint / repetition
+    signals for every document, written as Parquet."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.textstats import (
+        analyze_documents,
+        repetition_stats,
+    )
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    analyze_documents(ds, text_column=args.text_col).write_parquet(
+        os.path.join(args.out, "analysis")
+    )
+    repetition_stats(ds, id_column=args.id_col, text_column=args.text_col).write_parquet(
+        os.path.join(args.out, "repetition")
+    )
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cdm-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -187,6 +283,40 @@ def main(argv=None) -> int:
     st.add_argument("--lake", required=True)
     st.add_argument("--partitions", type=int, default=32)
     st.set_defaults(fn=cmd_stream)
+
+    dd = sub.add_parser("dedup", help="near-dup clustering (minhash) or exact dedup")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", default="minhash", choices=["minhash", "exact"])
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.set_defaults(fn=cmd_dedup)
+
+    sm = sub.add_parser("sample", help="deterministic hash sample / split")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--rate", type=float, default=0.1)
+    sm.add_argument("--split", nargs="*",
+                    help="label=frac pairs (e.g. train=0.8 val=0.1 test=0.1)")
+    sm.set_defaults(fn=cmd_sample)
+
+    ch = sub.add_parser("chunk", help="token-window document chunking")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--out", required=True)
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--size", type=int, default=512)
+    ch.add_argument("--stride", type=int, default=384)
+    ch.set_defaults(fn=cmd_chunk)
+
+    ts = sub.add_parser("textstats", help="langid/quality/tokens + repetition signals")
+    ts.add_argument("--input", required=True)
+    ts.add_argument("--out", required=True)
+    ts.add_argument("--id-col", default="doc_id")
+    ts.add_argument("--text-col", default="text")
+    ts.set_defaults(fn=cmd_textstats)
 
     args = p.parse_args(argv)
     return args.fn(args)
