@@ -134,7 +134,9 @@ def pivot_counts(
     INSIDE the per-batch partial (one indicator sum per category), so the
     shuffle moves one partial row per (key, batch) — never the raw rows.
     Categories must be the known closed set (pass the distinct values; an
-    unexpected category is counted by ``n_other``).
+    unexpected category — including NULL — is counted by ``n_other``; a
+    SQL twin must spell that as ``x IS NULL OR x NOT IN (...)``, since
+    bare ``NOT IN`` silently drops nulls).
     """
     keys = list(keys)
     cats = list(categories)

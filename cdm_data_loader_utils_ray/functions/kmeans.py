@@ -104,8 +104,21 @@ def assign_clusters(ds, centroids: np.ndarray, vector_column: str = "vec",
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
 
 
-def _sample_matrix(ds, vector_column: str, n: int) -> np.ndarray:
-    t = pa.Table.from_pandas(ds.limit(n).to_pandas(), preserve_index=False)
+def _sample_matrix(ds, vector_column: str, n: int, per_block: int = 64) -> np.ndarray:
+    """Seed sample spread ACROSS blocks: the head of every block, capped at
+    ``n`` total.  ``limit(n)`` alone reads only the first block(s), which
+    biases k-means++ badly on inputs written clustered/sorted — every seed
+    would come from one region."""
+
+    def head(batch: pa.Table) -> pa.Table:
+        return batch.select([vector_column]).slice(0, per_block)
+
+    t = pa.Table.from_pandas(
+        ds.map_batches(head, batch_format="pyarrow", batch_size=None)
+        .limit(n)
+        .to_pandas(),
+        preserve_index=False,
+    )
     col = t[vector_column]
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) or \
             pa.types.is_fixed_size_list(col.type):

@@ -36,11 +36,19 @@ def _hex_threshold(rate: float) -> str:
     return format(v, "032x")
 
 
-def _digests(ids: pa.Array) -> np.ndarray:
-    """Lowercase hex md5 of ``str(id)`` per row (C-speed hashlib calls —
-    the per-row cost is one short md5, the same work any engine does)."""
+def _digests(ids: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lowercase hex md5 of ``str(id)``, valid-mask) per row — C-speed
+    hashlib calls, the same work any engine does.  Null ids get a dummy
+    digest and ``valid=False``: SQL's ``md5(CAST(id AS VARCHAR))`` is NULL
+    there, so a WHERE drops the row and a CASE falls to its ELSE — callers
+    must reproduce exactly that."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    valid = np.asarray(ids.is_valid())
     s = ids.cast(pa.string()).to_pylist()
-    return np.array([hashlib.md5(v.encode()).hexdigest() for v in s])
+    hx = np.array([hashlib.md5(v.encode()).hexdigest() if v is not None else ""
+                   for v in s])
+    return hx, valid
 
 
 def hash_sample(
@@ -64,7 +72,7 @@ def hash_sample(
     def keep(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        hx = _digests(batch[id_column])
+        hx, valid = _digests(batch[id_column])
         if stratum_column is None:
             mask = hx < _hex_threshold(rate)
         else:
@@ -72,7 +80,9 @@ def hash_sample(
             thr = {k: _hex_threshold(v) for k, v in (rates or {}).items()}
             dflt = _hex_threshold(default_rate if rate is None else rate)
             mask = hx < np.array([thr.get(s, dflt) for s in strata])
-        return batch.filter(pa.array(mask))
+        # null ids never sample in (SQL: NULL < threshold is NULL -> WHERE
+        # drops the row)
+        return batch.filter(pa.array(mask & valid))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
@@ -102,9 +112,11 @@ def hash_split(
     def assign(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch.append_column(split_column, pa.array([], type=pa.string()))
-        hx = _digests(batch[id_column])
+        hx, valid = _digests(batch[id_column])
+        # null ids land in the LAST label (SQL: every CASE WHEN md5(NULL) <
+        # edge compares NULL -> not true -> falls to ELSE)
         out = np.full(len(hx), labels[-1], dtype=object)
-        remaining = np.ones(len(hx), dtype=bool)
+        remaining = valid.copy()
         for lbl, edge in zip(labels[:-1], edges):
             hit = remaining & (hx < edge)
             out[hit] = lbl

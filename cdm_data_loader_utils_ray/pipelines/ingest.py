@@ -98,9 +98,13 @@ def _swap_data_pointer(out_dir: str, data_dir: str, new_dir: str) -> None:
     """Point ``<out_dir>/data`` at the fully-written ``new_dir`` with one
     atomic rename of a fresh symlink, then best-effort-delete the previous
     generation.  The committed table is never deleted before its
-    replacement is complete; a crash at any point leaves either the old or
-    the new generation reachable (a pre-symlink legacy REAL ``data`` dir is
-    moved aside by rename — never rmtree'd — before the swap)."""
+    replacement is complete.  One documented exception to full atomicity:
+    the FIRST run over a pre-symlink lake must convert the real ``data``
+    dir into a generation + symlink, and POSIX cannot rename a symlink
+    over a directory — between the two renames ``data`` briefly does not
+    exist.  A crash in that window is repaired by
+    :func:`_recover_data_pointer` (the old generation survives at
+    ``data.legacy``; nothing is ever rmtree'd before the swap)."""
     import shutil
 
     old_target = None
@@ -120,6 +124,21 @@ def _swap_data_pointer(out_dir: str, data_dir: str, new_dir: str) -> None:
     os.rename(tmp, data_dir)  # atomic POSIX pointer swap
     if old_target and os.path.realpath(old_target) != os.path.realpath(new_dir):
         shutil.rmtree(old_target, ignore_errors=True)  # post-commit cleanup
+
+
+def _recover_data_pointer(out_dir: str, data_dir: str) -> None:
+    """Repair the one non-atomic window: a crash during the legacy-dir
+    migration leaves ``data`` missing while the committed generation sits
+    at ``data.legacy``.  Re-point the symlink before doing anything else."""
+    legacy = data_dir + ".legacy"
+    if not os.path.lexists(data_dir) and os.path.isdir(legacy):
+        tmp = data_dir + ".recover"
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+        os.symlink(os.path.basename(legacy), tmp)
+        os.rename(tmp, data_dir)
 
 
 def run_ingest(
@@ -144,12 +163,25 @@ def run_ingest(
     rejects_dir = os.path.join(audit_dir, "rejects")
     log = AuditLog(audit_dir)
     log.start_run(run)
+    data_dir = os.path.join(out_dir, "data")
+    _recover_data_pointer(out_dir, data_dir)
+    # Pick a generation dir that is NOT the live target: a retry after a
+    # post-swap crash reuses the run_id, and deleting data-<run_id> then
+    # would destroy the committed table the symlink points at.
     new_dir = os.path.join(out_dir, f"data-{run.run_id}")
+    attempt = 1
+    while (
+        os.path.lexists(data_dir)
+        and os.path.exists(new_dir)
+        and os.path.realpath(data_dir) == os.path.realpath(new_dir)
+    ):
+        attempt += 1
+        new_dir = os.path.join(out_dir, f"data-{run.run_id}-r{attempt}")
+    committed = False
     try:
         validators = [check_parse_errors(), check_non_nullable(schema),
                       *extra_validators]
         stage = ValidateQuarantineProject(validators, rejects_dir, run, project)
-        data_dir = os.path.join(out_dir, "data")
         # ATOMIC overwrite (r2 verdict: rmtree-then-write deleted the
         # committed table BEFORE the new one existed, so a mid-write crash
         # lost the previous data): the new table is written to a per-run
@@ -159,12 +191,15 @@ def run_ingest(
         # would silently duplicate rows on re-run instead.
         import shutil
 
-        shutil.rmtree(new_dir, ignore_errors=True)  # retried run's leftovers
+        # non-live leftovers of a FAILED earlier attempt only (the live
+        # generation is excluded by the name selection above)
+        shutil.rmtree(new_dir, ignore_errors=True)
         ds.map_batches(
             stage, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,
         ).write_parquet(new_dir)
         _swap_data_pointer(out_dir, data_dir, new_dir)
+        committed = True
         # counts from sink/quarantine Parquet metadata — no extra data scan
         records_valid = sum(
             pq.read_metadata(os.path.join(data_dir, f)).num_rows
@@ -195,12 +230,14 @@ def run_ingest(
         )
         log.complete_run(run, records_read)
     except Exception as exc:
-        # the failed run's staging generation was never committed (the
-        # pointer swap is the last step) — remove the partial write so a
-        # crashed run leaves only the previous committed generation
-        import shutil
+        # remove the staging generation ONLY if the pointer swap never
+        # happened — metrics/audit steps run AFTER the swap, and deleting
+        # a committed generation would destroy the live table while the
+        # previous one is already gone (post-commit cleanup)
+        if not committed:
+            import shutil
 
-        shutil.rmtree(new_dir, ignore_errors=True)
+            shutil.rmtree(new_dir, ignore_errors=True)
         log.fail_run(run, str(exc))
         raise
     return IngestResult(

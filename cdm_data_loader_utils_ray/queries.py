@@ -25,15 +25,9 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-def _round_away(x, decimals: int):
-    """Round HALF-AWAY-FROM-ZERO, the convention of DuckDB ``round()`` on
-    doubles — pandas/numpy ``.round`` is half-EVEN, so a value landing
-    exactly on a 5*10^-(d+1) boundary would hash-mismatch the oracle twin
-    (r2 ADVICE re-flagged this for the window sums).  Sign-aware:
-    ``sign(x) * floor(|x| * 10^d + 0.5) / 10^d``."""
-    m = 10.0 ** decimals
-    v = np.asarray(x, dtype=np.float64)
-    return np.sign(v) * np.floor(np.abs(v) * m + 0.5) / m
+# single source of truth for the oracle rounding conventions (r3 review:
+# inline copies drift) — see core/rounding.py
+from cdm_data_loader_utils_ray.core.rounding import round_half_away as _round_away
 
 
 # ---------------------------------------------------------------------------
@@ -1519,7 +1513,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        count(*) FILTER (event_type = 'purchase') AS n_purchase,
        count(*) FILTER (event_type = 'signup')   AS n_signup,
        count(*) FILTER (event_type = 'view')     AS n_view,
-       count(*) FILTER (event_type NOT IN
+       count(*) FILTER (event_type IS NULL OR event_type NOT IN
          ('click','error','purchase','signup','view')) AS n_other
 FROM events GROUP BY 1
 """

@@ -142,3 +142,84 @@ def test_ingest_overwrite_is_atomic(tmp_path):
     # exactly one live generation remains next to the symlink
     gens = [d for d in os.listdir(out) if d.startswith("data-")]
     assert len(gens) == 1
+
+
+def test_ingest_post_commit_failure_keeps_committed_table(tmp_path, monkeypatch):
+    """An exception AFTER the pointer swap (audit/metrics steps) must not
+    delete the just-committed generation — the previous one is already
+    gone, so deleting the new one would lose everything (review finding)."""
+    tsv = str(tmp_path / "x.tsv")
+    _write_tsv(tsv, ["a\tb\tc", "d\te\tf"])
+    out = str(tmp_path / "out")
+
+    import cdm_data_loader_utils_ray.audit.tables as audit_tables
+
+    def boom(self, run, n):
+        raise RuntimeError("post-commit audit failure")
+
+    monkeypatch.setattr(audit_tables.AuditLog, "complete_run", boom)
+    try:
+        ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # the swap happened before the failure: table must be committed+readable
+    got = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert sorted(got["id"]) == ["a", "d"]
+
+
+def test_ingest_retry_with_same_run_id_never_deletes_live_generation(tmp_path):
+    """Retrying a run whose previous attempt already committed (same
+    run_id) must not rmtree the live generation it is about to replace."""
+    from cdm_data_loader_utils_ray.audit.tables import PipelineRun
+
+    tsv = str(tmp_path / "x.tsv")
+    _write_tsv(tsv, ["a\tb\tc"])
+    out = str(tmp_path / "out")
+    run = PipelineRun.new("validated_ingest", "ingest")
+    from cdm_data_loader_utils_ray.sources.dsv import read_dsv
+
+    ds = read_dsv(tsv, SCHEMA, delimiter="\t", header=False)
+    run_ingest(ds, out, SCHEMA, run=run)
+    live = os.path.realpath(os.path.join(out, "data"))
+
+    # retry with the SAME run object (post-swap crash scenario)
+    res = run_ingest(read_dsv(tsv, SCHEMA, delimiter="\t", header=False),
+                     out, SCHEMA, run=run)
+    got = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert sorted(got["id"]) == ["a"]
+    assert res.records_valid == 1
+    # the retried attempt wrote a DIFFERENT generation dir and swapped to it
+    assert os.path.realpath(os.path.join(out, "data")) != live
+
+
+def test_recover_data_pointer_after_migration_crash(tmp_path):
+    """A crash between the legacy-dir rename and the symlink creation
+    leaves data missing + data.legacy present; the next run repairs it."""
+    import pandas as pd
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "data.legacy"), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": ["old"], "db": ["x"], "xref": ["y"]}),
+        os.path.join(out, "data.legacy", "part-0.parquet"),
+    )
+    from cdm_data_loader_utils_ray.pipelines.ingest import _recover_data_pointer
+
+    _recover_data_pointer(out, os.path.join(out, "data"))
+    got = pq.read_table(os.path.join(out, "data")).to_pandas()
+    assert got["id"].tolist() == ["old"]
+
+
+def test_hash_sample_and_split_null_ids_match_sql_semantics():
+    """Null ids: WHERE drops them (sample); CASE falls to ELSE (split)."""
+    import pandas as pd
+    from cdm_data_loader_utils_ray.functions.sampling import hash_sample, hash_split
+
+    df = pd.DataFrame({"id": pd.array([1, 2, None, 4], dtype="Int64")})
+    ds = rd.from_pandas(df)
+    sampled = hash_sample(ds, "id", rate=1.0).to_pandas()
+    assert sampled["id"].notna().all() and len(sampled) == 3
+    split = hash_split(ds, "id", {"train": 0.9, "test": 0.1}).to_pandas()
+    null_rows = split[split["id"].isna()]
+    assert (null_rows["split"] == "test").all() and len(null_rows) == 1
