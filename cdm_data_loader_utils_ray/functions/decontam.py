@@ -27,7 +27,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+from cdm_data_loader_utils_ray.functions.textstats import (
+    _flat_tokens,
+    _lower_exact,
+    shifted_word_ngrams,
+)
 from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
 
 
@@ -49,13 +53,7 @@ def _doc_grams(ids, texts, k: int) -> pd.DataFrame:
     frames = []
     long_rows = n_tok >= k
     if long_rows.any() and len(toks) >= k:
-        g = toks.copy()
-        for j in range(1, k):
-            g = g + " " + toks.shift(-j)
-        ok = row_of == np.roll(row_of, -(k - 1))
-        if k > 1:
-            ok[len(ok) - (k - 1):] = False
-        sel = ok[: len(g)]
+        g, sel = shifted_word_ngrams(toks, row_of, k)
         frames.append(
             pd.DataFrame({"__row__": row_of[sel], "gram": g[sel].to_numpy()})
         )

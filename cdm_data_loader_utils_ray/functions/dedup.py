@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdm_data_loader_utils_ray.core.rounding import round_half_up
 from cdm_data_loader_utils_ray.stages.hashing import sha256_array
 
 _MERSENNE = (1 << 61) - 1
@@ -74,6 +75,29 @@ def dedup_exact(ds, text_column: str = "text", id_column: str = "doc_id",
 # DuckDB oracle twins on non-ASCII input (Python "\w" is Unicode-aware;
 # see textstats._WORD for the same convention)
 _TOKEN_RE = re.compile(r"[0-9A-Za-z_]+")
+
+
+def _run_size_classes(*key_arrays: np.ndarray):
+    """Shared run-size-batch prelude (r3 review: four drifting copies).
+
+    Over PRE-SORTED parallel key arrays, detect runs of equal keys and
+    group them by size so each size class can be processed with ONE
+    vectorized gather + ``triu_indices`` pair expansion instead of a
+    Python loop per bucket.  Yields ``(s, sel)`` pairs: run size ``s >= 2``
+    and the array of run-start indices of that size."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return
+    newrun = np.zeros(n, dtype=bool)
+    newrun[0] = True
+    for k in key_arrays:
+        newrun[1:] |= k[1:] != k[:-1]
+    run_id = np.cumsum(newrun) - 1
+    sizes = np.bincount(run_id)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    for s in np.unique(sizes):
+        if s >= 2:
+            yield int(s), starts[sizes == s]
 
 
 def _avalanche(x: np.ndarray) -> np.ndarray:
@@ -286,15 +310,8 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
         bid = df["band_id"].to_numpy()
         bh = df["band_hash"].to_numpy()
         ids = df[id_column].to_numpy()
-        newrun = np.concatenate([[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
-        run_id = np.cumsum(newrun) - 1
-        sizes = np.bincount(run_id)
-        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         out_a, out_b = [], []
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
+        for s, sel in _run_size_classes(bid, bh):
             mat = ids[sel[:, None] + np.arange(s)[None, :]]  # (runs, s)
             iu, ju = np.triu_indices(int(s), k=1)
             a = mat[:, iu].ravel()
@@ -383,15 +400,8 @@ def jaccard_ngram_pairs(ds, threshold: float = 0.6, k: int = 3,
         sh = df["shingle"].to_numpy()
         ids = df["doc"].to_numpy()
         nsh = df["n_sh"].to_numpy()
-        newrun = np.concatenate([[True], sh[1:] != sh[:-1]])
-        run_id = np.cumsum(newrun) - 1
-        sizes = np.bincount(run_id)
-        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         outs = []
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
+        for s, sel in _run_size_classes(sh):
             grid = sel[:, None] + np.arange(s)[None, :]
             mat, nm = ids[grid], nsh[grid]
             iu, ju = np.triu_indices(int(s), k=1)
@@ -422,7 +432,7 @@ def jaccard_ngram_pairs(ds, threshold: float = 0.6, k: int = 3,
         j = inter / union  # union >= 1: every doc has >= 1 shingle
         keep = j >= threshold
         out = g.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
-        out["jaccard"] = np.floor(j[keep] * 1e6 + 0.5) / 1e6
+        out["jaccard"] = round_half_up(j[keep], 6)
         return out
 
     pairs = (
@@ -999,14 +1009,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
         cv = df["chunk_val"].to_numpy()
         ids = df[id_column].to_numpy()
         hs = df["simhash"].to_numpy().astype(np.uint64)
-        newrun = np.concatenate([[True], (cid[1:] != cid[:-1]) | (cv[1:] != cv[:-1])])
-        run_id = np.cumsum(newrun) - 1
-        sizes = np.bincount(run_id)
-        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
+        for s, sel in _run_size_classes(cid, cv):
             rows = sel[:, None] + np.arange(s)[None, :]      # (runs, s)
             iu, ju = np.triu_indices(int(s), k=1)
             gi = rows[:, iu].ravel()
@@ -1144,7 +1147,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                                 # half-up to match the DuckDB oracle twin
                                 # (np.round is half-even; CLAUDE.md: round
                                 # identically on both sides)
-                                "cos_sim": np.floor(cos64[final] * 1e6 + 0.5) / 1e6,
+                                "cos_sim": round_half_up(cos64[final], 6),
                             }
                         )
                     )
@@ -1169,14 +1172,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
         M64 /= np.maximum(np.linalg.norm(M64, axis=1, keepdims=True), 1e-12)
         M32 = M64.astype(np.float32)
         sig_m = np.stack(df["sigs"].to_numpy()).astype(np.uint64)   # (n, T)
-        newrun = np.concatenate([[True], (tid[1:] != tid[:-1]) | (bk[1:] != bk[:-1])])
-        run_id = np.cumsum(newrun) - 1
-        sizes = np.bincount(run_id)
-        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-        for s in np.unique(sizes):
-            if s < 2:
-                continue
-            sel = starts[sizes == s]
+        for s, sel in _run_size_classes(tid, bk):
             if s > _RUN_BATCH_MAX:
                 for st in sel:
                     sl = slice(int(st), int(st + s))
@@ -1214,7 +1210,7 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
                         {
                             "id_a": ids[gi],
                             "id_b": ids[gj],
-                            "cos_sim": np.floor(cos64[final] * 1e6 + 0.5) / 1e6,
+                            "cos_sim": round_half_up(cos64[final], 6),
                         }
                     )
                 )

@@ -15,11 +15,9 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _round_away(x, decimals: int) -> np.ndarray:
-    """Half-away-from-zero rounding (the DuckDB ``round()`` convention)."""
-    m = 10.0 ** decimals
-    v = np.asarray(x, dtype=np.float64)
-    return np.sign(v) * np.floor(np.abs(v) * m + 0.5) / m
+# shared oracle rounding convention (core/rounding.py — r3 review: inline
+# copies drift)
+from cdm_data_loader_utils_ray.core.rounding import round_half_away as _round_away
 
 
 def _topk_frame(df: pd.DataFrame, k: int, id_column: str,

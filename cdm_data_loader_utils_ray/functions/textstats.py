@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdm_data_loader_utils_ray.core.rounding import round_half_up
 from cdm_data_loader_utils_ray.stages.hashing import (
     rolling_fingerprint,
     rolling_fingerprint_batch,
@@ -59,9 +60,9 @@ def round6_half_up(x: np.ndarray) -> np.ndarray:
     """Round to 6 decimals with HALF-UP ties — ``np.round`` is half-even
     while DuckDB ``round()`` is half-away; rational ratios (stopword
     counts / token counts) can land exactly on the 5e-7 boundary, so both
-    engines must use the same explicit convention:
-    ``floor(x * 1e6 + 0.5) / 1e6``."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+    engines must use the same explicit convention.  Thin alias of the
+    shared :func:`core.rounding.round_half_up` (single source of truth)."""
+    return round_half_up(x, 6)
 
 
 # ---------------------------------------------------------------------------
@@ -92,6 +93,23 @@ def _lower_exact(filled: pa.Array) -> pa.Array:
     if pc.all(pc.string_is_ascii(filled)).as_py() is not False:
         return pc.ascii_lower(filled)
     return pa.array([t.lower() for t in filled.to_pylist()], type=pa.string())
+
+
+def shifted_word_ngrams(toks, row_of: np.ndarray, n: int):
+    """Word n-grams over a flat VALID-token Series via (n-1) shifted string
+    concats — the shared builder for vocab/decontam/repetition (r3 review:
+    three drifting copies).  ``row_of`` is the row id per token
+    (nondecreasing); returns ``(grams, sel)`` where ``grams`` is aligned to
+    window-START positions and ``sel`` masks starts whose whole window
+    stays inside one row (tail windows that would run off the end or cross
+    a document boundary are False)."""
+    g = toks.copy()
+    for j in range(1, n):
+        g = g + " " + toks.shift(-j)
+    ok = row_of == np.roll(row_of, -(n - 1))
+    if n > 1:
+        ok[len(ok) - (n - 1):] = False
+    return g, ok
 
 
 def _seg_sum(x: np.ndarray, off: np.ndarray) -> np.ndarray:
@@ -422,13 +440,7 @@ def repetition_columns(texts, n: int = 3) -> dict:
     top = np.zeros(nrows, dtype=np.float64)
     dup = np.zeros(nrows, dtype=np.float64)
     if len(toks) >= n:
-        g = toks.copy()
-        for j in range(1, n):
-            g = g + " " + toks.shift(-j)
-        ok = row_of == np.roll(row_of, -(n - 1))
-        if n > 1:
-            ok[len(ok) - (n - 1):] = False
-        sel = ok[: len(g)]
+        g, sel = shifted_word_ngrams(toks, row_of, n)
         occ = pd.DataFrame({"r": row_of[sel], "g": g[sel].to_numpy()})
         if len(occ):
             c = occ.groupby(["r", "g"], sort=False).size()

@@ -22,7 +22,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+from cdm_data_loader_utils_ray.functions.textstats import (
+    _flat_tokens,
+    _lower_exact,
+    shifted_word_ngrams,
+)
 from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
 
 
@@ -42,12 +46,8 @@ def _batch_grams(texts: pa.Array, n: int) -> pd.Series:
     row_of = np.repeat(np.arange(len(off) - 1), np.diff(off))[keep]
     if len(toks) < n:
         return pd.Series([], dtype=object)
-    g = toks.copy()
-    for j in range(1, n):
-        g = g + " " + toks.shift(-j)
-    ok = row_of == np.roll(row_of, -(n - 1))
-    ok[len(ok) - (n - 1):] = False  # windows running off the end
-    return g[ok[: len(g)]]
+    g, sel = shifted_word_ngrams(toks, row_of, n)
+    return g[sel]
 
 
 def top_ngrams(ds, text_column: str = "text", n: int = 2, k: int = 20,
