@@ -108,7 +108,10 @@ def shifted_word_ngrams(toks, row_of: np.ndarray, n: int):
         g = g + " " + toks.shift(-j)
     ok = row_of == np.roll(row_of, -(n - 1))
     if n > 1:
-        ok[len(ok) - (n - 1):] = False
+        # max(0, ...): when n-1 >= len the naive negative slice start would
+        # wrap and mask only its last few positions, letting a NaN window
+        # through (hypothesis-found edge; call sites used to guard it away)
+        ok[max(0, len(ok) - (n - 1)):] = False
     return g, ok
 
 
