@@ -1880,6 +1880,58 @@ FROM l LEFT JOIN a ON a.doc_id = l.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 45. Sequence packing: next-fit assignment of documents into 512-token
+#     bins per language (context-window packing).  One group-key shuffle;
+#     the per-group walk is sequential by definition of the operator.
+# ---------------------------------------------------------------------------
+def pack_documents(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.packing import next_fit_pack
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        # whitespace token count = spaces + 1, exactly len(string_split(text, ' '))
+        n = pc.add(pc.count_substring(pc.fill_null(batch["text"], ""), " "), 1)
+        return batch.drop_columns(["text"]).append_column(
+            "n_tokens_ws", n.cast(pa.int64())
+        )
+
+    packed = next_fit_pack(
+        ds.map_batches(add_tokens, batch_format="pyarrow"),
+        "lang", ["doc_id"], "n_tokens_ws", budget=512,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[["lang", "doc_id", "n_tokens_ws", "bin_id"]].copy()
+        for c in ("doc_id", "n_tokens_ws", "bin_id"):
+            o[c] = o[c].astype("int64")
+        return o
+
+    return packed.map_batches(finish, batch_format="pandas")
+
+
+PACK_DOCUMENTS_SQL = """
+WITH RECURSIVE c AS (
+  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens_ws,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk(lang, rn, doc_id, n_tokens_ws, acc, bin_id) AS (
+  SELECT lang, rn, doc_id, n_tokens_ws, n_tokens_ws, 0::BIGINT
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.lang, c.rn, c.doc_id, c.n_tokens_ws,
+         CASE WHEN w.acc + c.n_tokens_ws > 512
+              THEN c.n_tokens_ws ELSE w.acc + c.n_tokens_ws END,
+         CASE WHEN w.acc + c.n_tokens_ws > 512
+              THEN w.bin_id + 1 ELSE w.bin_id END
+  FROM c JOIN walk w ON c.lang = w.lang AND c.rn = w.rn + 1
+)
+SELECT lang, doc_id, n_tokens_ws, bin_id FROM walk
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1928,4 +1980,5 @@ def registry() -> dict:
         "pii_redaction": (pii_redaction, _pii_redaction_sql()),
         "decontaminate": (decontaminate, DECONTAMINATE_SQL),
         "repetition_quality": (repetition_quality, REPETITION_SQL),
+        "pack_documents": (pack_documents, PACK_DOCUMENTS_SQL),
     }

@@ -120,6 +120,36 @@ def test_repetition_stats_signals():
     assert out.loc[4, "dup_line_frac"] == 0.0
 
 
+def test_next_fit_pack_rule_and_group_isolation():
+    from cdm_data_loader_utils_ray.functions.packing import next_fit_pack
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 2,
+            "i": [1, 2, 3, 4, 5, 1, 2],
+            "w": [300, 300, 900, 100, 100, 512, 1],
+        }
+    )
+    out = (
+        next_fit_pack(_ds(df), "g", ["i"], "w", budget=512)
+        .to_pandas()
+        .sort_values(["g", "i"])
+        .reset_index(drop=True)
+    )
+    # group a: 300 | 300 | 900 (oversized -> own bin) | 100+100
+    assert out.loc[out["g"] == "a", "bin_id"].tolist() == [0, 1, 2, 3, 3]
+    # group b restarts at bin 0; 512 exactly fills, 1 opens the next
+    assert out.loc[out["g"] == "b", "bin_id"].tolist() == [0, 1]
+
+
+def test_next_fit_pack_first_item_oversized():
+    from cdm_data_loader_utils_ray.functions.packing import _next_fit
+
+    import numpy as np
+
+    assert _next_fit(np.array([999, 1, 1]), 512).tolist() == [0, 1, 1]
+
+
 def test_decontaminate_short_doc_exact_match():
     from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
 
