@@ -15,9 +15,14 @@ Shape (all Ray-Data-native, one shuffle):
    lives in exactly one bucket and grams are distinct within a doc.
 
 String grams keep the operator SQL-oracle-checkable bit-for-bit; for a
-100-TB corpus swap in the hashed-shingle kernel from
-:mod:`functions.dedup` (``shingle_hashes``) — same pipeline shape, 8-byte
-grams instead of strings.
+100-TB corpus pass ``hashed=True`` to swap in the hashed-shingle kernel
+from :mod:`functions.dedup` — the identical pipeline shape over 8-byte
+uint64 grams instead of strings, so the shuffle carries ~an order of
+magnitude fewer bytes per gram.  The hashed path is exact up to 64-bit
+hash collisions (same tokenizer, same short-/empty-doc conventions:
+whole-doc gram below ``k`` tokens, sentinel gram for zero-token docs);
+a pytest asserts row-identical output vs the string path on mixed-length
+fixtures.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdm_data_loader_utils_ray.functions.dedup import _batch_shingles
 from cdm_data_loader_utils_ray.functions.textstats import (
     _flat_tokens,
     _lower_exact,
@@ -80,6 +86,24 @@ def _doc_grams(ids, texts, k: int) -> pd.DataFrame:
     )
 
 
+def _doc_gram_hashes(ids, texts, k: int) -> pd.DataFrame:
+    """(id, gram) rows with DISTINCT uint64 hashed grams per doc — the
+    100-TB variant of :func:`_doc_grams`, built on the dedup family's
+    vectorized rolling-FNV shingle kernel.  Same conventions: fewer than
+    ``k`` tokens -> one whole-doc gram; zero tokens -> one sentinel gram
+    (empty docs match each other, like the ``''`` string gram)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    flat, off = _batch_shingles(texts.to_pylist(), cache={}, k=k)
+    row_of = np.repeat(np.arange(len(off) - 1), np.diff(off))
+    ids_pd = ids.to_pandas()
+    return pd.DataFrame(
+        {"id": ids_pd.iloc[row_of].to_numpy(), "gram": flat}
+    )
+
+
 def contaminated_docs(
     train_ds,
     bench_ds,
@@ -88,20 +112,32 @@ def contaminated_docs(
     text_column: str = "text",
     num_buckets: int = 64,
     batch_size: int = 4096,
+    hashed: bool = False,
 ):
     """Training docs sharing >= 1 word-``k``-gram with any benchmark doc.
     Returns a Dataset of ``(id_column, n_hits)`` — n_hits = number of
-    distinct contaminated grams in the doc."""
+    distinct contaminated grams in the doc.  ``hashed=True`` selects the
+    8-byte-gram scale path (see module docstring)."""
 
     def grams_of(side: str):
         def f(batch: pa.Table) -> pa.Table:
-            df = _doc_grams(batch[id_column], batch[text_column], k)
+            if hashed:
+                df = _doc_gram_hashes(batch[id_column], batch[text_column], k)
+            else:
+                df = _doc_grams(batch[id_column], batch[text_column], k)
             if side == "b":
                 df = df[["gram"]].drop_duplicates()
                 df["id"] = -1  # schema-stable; bench ids never surface
             df["__side__"] = side
             t = pa.Table.from_pandas(df[["id", "gram", "__side__"]],
                                      preserve_index=False)
+            if hashed:
+                # avalanched uint64 grams are already uniform — bucket by
+                # modulo instead of re-hashing the key column
+                b = (df["gram"].to_numpy() % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+                return t.append_column("__bucket__", pa.array(b))
             return _add_bucket(t, ["gram"], num_buckets)
 
         return f

@@ -28,6 +28,9 @@ terms.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -69,18 +72,42 @@ def doc_term_counts(ds, id_column: str = "doc_id", text_column: str = "text",
 
 
 def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
-                    top_k: int = 3, num_buckets: int = 64):
+                    top_k: int = 3, num_buckets: int = 64,
+                    spill_dir: str | None = None,
+                    spill_threshold_docs: int = 2_000_000):
     """Top-``top_k`` terms per document by ``score = tf * N / df``.
 
     Returns a Dataset with columns ``(id, term, tf, df, score, rnk)``;
     ties broken by term ascending (total order -> deterministic ranks).
+
+    The ``(doc, term, tf)`` intermediate has two consumers (the df
+    aggregate and the join probe side), so it must be computed once.  For
+    small corpora it is pinned in the object store (``materialize()``);
+    above ``spill_threshold_docs`` documents — or whenever ``spill_dir`` /
+    ``$CDM_TFIDF_SPILL_DIR`` is set — it is written once to Parquet and
+    each consumer re-reads it as an independent *streaming* scan, so the
+    term table (larger than the corpus itself at 100 TB) is never resident
+    in the object store.  The spill directory outlives this call (the
+    returned Dataset is lazy and both consumers read it at execution
+    time); an auto-created temp spill is the caller's to clean after
+    consuming the result.
     """
     n_docs = ds.count()
     terms = doc_term_counts(ds, id_column, text_column)
-    # df per term: (doc,term) rows are distinct per doc, so df = row count.
-    # materialize ONCE — three consumers (join) would otherwise recompute
-    # the tokenization
-    terms = terms.materialize()
+    spill = spill_dir or os.environ.get("CDM_TFIDF_SPILL_DIR")
+    if spill is None and n_docs > spill_threshold_docs:
+        spill = tempfile.mkdtemp(prefix="cdm_tfidf_terms_")
+    if spill is not None:
+        import ray.data as rd
+
+        os.makedirs(spill, exist_ok=True)
+        terms.write_parquet(spill)
+        terms = rd.read_parquet(spill)
+    else:
+        # df per term: (doc,term) rows are distinct per doc, so df = row
+        # count.  materialize ONCE — two consumers (aggregate + join)
+        # would otherwise recompute the tokenization
+        terms = terms.materialize()
     df_ds = grouped_partial_sums(terms, ["term"], {}, count_alias="df")
     # hash_join reads declared Arrow schemas; the pandas-block output of
     # grouped_partial_sums must be coerced to Arrow blocks first

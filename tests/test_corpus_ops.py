@@ -157,3 +157,53 @@ def test_decontaminate_short_doc_exact_match():
     train = pd.DataFrame({"doc_id": [1, 2], "text": ["tiny doc", "tiny dog"]})
     out = contaminated_docs(_ds(train, blocks=2), _ds(bench, blocks=1), k=5).to_pandas()
     assert out["doc_id"].tolist() == [1] and out["n_hits"].tolist() == [1]
+
+
+def test_decontaminate_hashed_path_matches_string_path():
+    """hashed=True (8-byte uint64 grams, the 100-TB shuffle payload) must
+    reproduce the string-gram result row-for-row on mixed-length docs:
+    long docs (rolling k-grams), short docs (whole-doc gram), empty docs
+    (sentinel gram), duplicate windows (per-doc distinctness)."""
+    from cdm_data_loader_utils_ray.functions.decontam import contaminated_docs
+
+    bench = pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "tiny doc",
+                "",  # empty bench doc: matches empty train docs only
+            ],
+        }
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "xx the quick brown fox jumps over yy",
+                "completely different words entirely here now",
+                "quick brown fox",  # < k tokens, no whole-doc match
+                "tiny doc",  # short exact match
+                "",  # empty -> matches bench 102
+                # repeated window: distinctness keeps n_hits at 1
+                "a the quick brown fox jumps b the quick brown fox jumps c",
+            ],
+        }
+    )
+    kw = dict(k=5, num_buckets=8)
+    s = (
+        contaminated_docs(_ds(train, blocks=3), _ds(bench, blocks=2), **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    h = (
+        contaminated_docs(
+            _ds(train, blocks=3), _ds(bench, blocks=2), hashed=True, **kw
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s, h, check_dtype=False)
+    assert s["doc_id"].tolist() == [1, 4, 5, 6]

@@ -210,6 +210,47 @@ def test_tfidf_top_terms_small_corpus():
     assert (out.groupby("doc_id")["rnk"].max() <= 2).all()
 
 
+def test_tfidf_spill_path_matches_materialize_path(tmp_path):
+    """The Parquet-spill scale path (terms written once, each consumer
+    streaming from disk) must produce identical rows to the small-corpus
+    materialize path."""
+    from cdm_data_loader_utils_ray.functions.tfidf import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [
+                "apple apple banana",
+                "banana cherry",
+                "cherry cherry cherry common",
+                "common common",
+                "delta echo foxtrot",
+                "echo echo delta",
+                "foxtrot apple",
+                "",
+            ],
+        }
+    )
+    cols = ["doc_id", "term", "tf", "df", "score", "rnk"]
+    base = (
+        tfidf_top_terms(_ds(df, blocks=3), top_k=2)
+        .to_pandas()[cols]
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    spilled = (
+        tfidf_top_terms(_ds(df, blocks=3), top_k=2, spill_dir=str(tmp_path / "sp"))
+        .to_pandas()[cols]
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, spilled, check_dtype=False)
+    # the spill actually happened (parquet files on disk)
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(tmp_path / "sp"))
+
+
 def test_tfidf_tokenization_matches_textstats_ascii_rule():
     from cdm_data_loader_utils_ray.functions.tfidf import doc_term_counts
 
