@@ -1932,6 +1932,314 @@ SELECT lang, doc_id, n_tokens_ws, bin_id FROM walk
 """
 
 
+# ---------------------------------------------------------------------------
+# 47. Running totals (§2.8 ordered-window family): per-order prefix sum of
+#     quantity in line-number order — sum() OVER (PARTITION BY ... ORDER BY
+#     ... ROWS UNBOUNDED PRECEDING).  l_quantity is integer-valued, so the
+#     running sum is exact; cast to BIGINT on both sides.
+# ---------------------------------------------------------------------------
+def running_totals_lineitem(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.windows import running_totals
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # l_quantity joins the order to make it total over the carried columns:
+    # rows identical in all three yield the same output multiset either way
+    out = running_totals(
+        ds, ["l_orderkey"], ["l_linenumber", "l_quantity"], {"l_quantity": "run_qty"},
+        row_number_alias="row_n", num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "l_linenumber": df["l_linenumber"].astype("int64"),
+                "row_n": df["row_n"].astype("int64"),
+                "run_qty": df["run_qty"].astype("int64"),
+            }
+        )
+        return o
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+RUNNING_TOTALS_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       row_number() OVER w AS row_n,
+       CAST(sum(l_quantity) OVER w AS BIGINT) AS run_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 48. Lag deltas (§2.8): per-user previous event id, inter-event gap in
+#     microseconds, and value delta — lag() OVER (PARTITION BY user ORDER BY
+#     ts, event_id).  Gaps are exact int64 microsecond arithmetic; the value
+#     delta is one IEEE subtraction, rounded identically on both sides.
+# ---------------------------------------------------------------------------
+def lag_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.windows import lag_shift
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = lag_shift(
+        ds, ["user_id"], ["ts", "event_id"],
+        {"event_id": "prev_event_id", "ts": "prev_ts", "value": "prev_value"},
+        num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # timedelta -> exact microsecond count (values << 2^53, so the
+        # float division is exact); NaT -> NaN -> the -1 sentinel
+        gap = (df["ts"] - df["prev_ts"]) / pd.Timedelta(microseconds=1)
+        delta = pd.Series(
+            np.asarray(_round_away(df["value"] - df["prev_value"], 6)),
+            index=df.index,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "prev_event_id": df["prev_event_id"].fillna(-1).astype("int64"),
+                "gap_us": gap.fillna(-1).astype("int64"),
+                "value_delta": delta.fillna(0.0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+LAG_EVENTS_SQL = """
+SELECT user_id, event_id,
+       coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+       coalesce(round(value - lag(value) OVER w, 6), 0.0) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 49. Fixed-width histogram (A-family): exact bin counts + per-bin min/max of
+#     events.value — the partial+final combiner shape (one tiny shuffle over
+#     ~n_bins partial rows per batch, never the raw rows).
+# ---------------------------------------------------------------------------
+_HIST_WIDTH = 10.0
+
+
+def value_histogram(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        b = np.floor(v / _HIST_WIDTH).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "v": v}).groupby("bin", sort=False)["v"]
+        out = pd.DataFrame(
+            {"n": g.size(), "mn": g.min(), "mx": g.max()}
+        ).reset_index()
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=False)
+        return pd.DataFrame(
+            {
+                "bin": g.size().index.astype("int64"),
+                "n": g["n"].sum().astype("int64").to_numpy(),
+                "min_value": np.asarray(_round_away(g["mn"].min(), 6)),
+                "max_value": np.asarray(_round_away(g["mx"].max(), 6)),
+            }
+        )
+
+    # bin cardinality is tiny (~max/width): grouping by the raw bin id is
+    # safe for map_groups' once-per-group dispatch
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bin")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 50. Rollup with exact distincts (A-family): per-event-type event count and
+#     EXACT distinct-user count, plus the grand-total 'ALL' row — COUNT
+#     (DISTINCT) distributed as a two-stage distinct-pair shuffle (dedup the
+#     (type,user) pairs, then count), never a driver set.
+# ---------------------------------------------------------------------------
+def rollup_counts(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+    def distinct_rows(ds, cols, num_buckets=32):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.Table.from_pandas(
+                batch.select(cols).to_pandas().drop_duplicates(),
+                preserve_index=False,
+            )
+            return _add_bucket(t, cols, num_buckets)
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop(columns=["__bucket__"]).drop_duplicates()
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("__bucket__")
+            .map_groups(final, batch_format="pandas")
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    # all three consumers are one-pass aggregates over the same pruned
+    # 2-column read; their results are aggregate-sized (rows ~ #types)
+    per_type_events = grouped_partial_sums(ev, ["event_type"], {}, count_alias="n_events").to_pandas()
+    pairs = distinct_rows(ev, ["event_type", "user_id"])
+    per_type_users = grouped_partial_sums(pairs, ["event_type"], {}, count_alias="n_users").to_pandas()
+    total_users = int(distinct_rows(ev, ["user_id"]).count())
+
+    out = per_type_events.merge(per_type_users, on="event_type", how="outer")
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "n_events": [int(out["n_events"].sum())],
+            "n_users": [total_users],
+        }
+    )
+    out = pd.concat([out, total], ignore_index=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["event_type", "n_events", "n_users"]]
+
+
+ROLLUP_COUNTS_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 51. Mode per key (O-family): each user's most frequent event type,
+#     deterministic tiebreak (count DESC, type ASC) — partial counts
+#     combiner + the ranking-window top-1.
+# ---------------------------------------------------------------------------
+def mode_per_user(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import (
+        grouped_partial_sums,
+        top_n_per_group,
+    )
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_partial_sums(ev, ["user_id", "event_type"], {}, count_alias="n")
+    top = top_n_per_group(
+        counts, ["user_id"], "n", 1, tiebreak=["event_type"],
+        ascending=False, num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "mode_event_type": df["event_type"],
+                "n": df["n"].astype("int64"),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+MODE_PER_USER_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 52. Ordered funnel (§2.11 sessionization family): users reaching each
+#     stage of signup -> click -> purchase with strictly increasing
+#     timestamps.  One key-bucket shuffle on user; per-bucket the stage
+#     times resolve via vectorized merges (min signup ts, min click ts
+#     after it, min purchase ts after that); per-bucket stage counts are
+#     partials summed by a 3-group final.
+# ---------------------------------------------------------------------------
+_FUNNEL = ("signup", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(
+        path, columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(list(_FUNNEL)),
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["user_id"], 32)
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t_prev = None
+        counts = []
+        for stage in _FUNNEL:
+            rows = df[df["event_type"] == stage]
+            if t_prev is not None:
+                rows = rows.merge(t_prev, on="user_id")
+                rows = rows[rows["ts"] > rows["t_prev"]]
+            t_cur = rows.groupby("user_id", sort=False)["ts"].min().rename("t_prev").reset_index()
+            counts.append(len(t_cur))
+            t_prev = t_cur
+        return pd.DataFrame({"stage": list(_FUNNEL), "n_users": counts})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("stage", sort=False)["n_users"].sum()
+        out = g.reset_index()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("stage")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, count(*) AS n_users FROM s1
+UNION ALL SELECT 'click', count(*) FROM s2
+UNION ALL SELECT 'purchase', count(*) FROM s3
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1981,4 +2289,10 @@ def registry() -> dict:
         "decontaminate": (decontaminate, DECONTAMINATE_SQL),
         "repetition_quality": (repetition_quality, REPETITION_SQL),
         "pack_documents": (pack_documents, PACK_DOCUMENTS_SQL),
+        "running_totals": (running_totals_lineitem, RUNNING_TOTALS_SQL),
+        "lag_events": (lag_events, LAG_EVENTS_SQL),
+        "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+        "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
+        "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
+        "funnel_stages": (funnel_stages, FUNNEL_SQL),
     }

@@ -1,0 +1,114 @@
+"""Per-key ORDERED window functions: running (prefix) aggregates and
+lag/lead shifts — the ``sum(x) OVER (PARTITION BY k ORDER BY o ROWS
+UNBOUNDED PRECEDING)`` / ``lag(x) OVER (...)`` family the reference's
+Spark pipelines get from ``pyspark.sql.window`` (SURVEY §2.8; e.g. the
+ranking-window dedup in the loader utilities).
+
+Shape (one shuffle, Ray-Data-native):
+
+1. ``map_batches``: append a key-hash bucket column (``stable_key_hash %
+   num_buckets`` — the engine-wide frozen partitioner);
+2. ONE ``groupby(bucket).map_groups``: every row of a key lands in exactly
+   one bucket, so a vectorized ``sort_values`` + pandas ``groupby``
+   cumsum/cumcount/shift inside the bucket is exact.
+
+Partitioning assumption (documented per the custom-operator rule): a KEY
+must fit in one bucket's memory.  Buckets hold ``n_keys / num_buckets``
+keys each — size ``num_buckets`` so the largest bucket fits a worker
+heap; hot single keys can't be split (window semantics are inherently
+per-key-ordered), they are the same limit every engine has.
+
+Unlike sliding/tumbling windows (:mod:`stages.temporal`), these are ROW
+windows: no pre-aggregation is possible because every input row produces
+an output row carrying its own prefix state.  The shuffle therefore moves
+only the needed columns — project upstream (``columns=[...]`` at the
+read) so the exchange carries keys + order + value columns, nothing else.
+
+Determinism: callers must pass ``order_columns`` forming a TOTAL order
+within each key (e.g. a unique sequence/line number, or a timestamp plus
+a unique id as tiebreak); otherwise prefix sums are layout-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+
+def _bucketed_ordered(ds, key_columns: Sequence[str], num_buckets: int,
+                      batch_size: int, per_bucket):
+    keys = list(key_columns)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, keys, num_buckets)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(df.drop(columns=[_BUCKET]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def running_totals(
+    ds,
+    key_columns: Sequence[str],
+    order_columns: Sequence[str],
+    sum_columns: Mapping[str, str],
+    row_number_alias: str | None = "row_n",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Prefix aggregates per key in ``order_columns`` order: appends
+    ``row_number()`` (1-based, as ``row_number_alias``) and, for each
+    ``{source: alias}`` in ``sum_columns``, the running ``sum(source)``
+    over ``ROWS UNBOUNDED PRECEDING``.
+
+    Sums accumulate strictly left-to-right per key (pandas ``cumsum`` over
+    the sorted frame), matching SQL streaming running totals; on
+    integer(-valued) columns the result is exact, on floats it is the
+    sequential IEEE sum in key order."""
+    keys, order = list(key_columns), list(order_columns)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(keys, sort=False)
+        if row_number_alias is not None:
+            df[row_number_alias] = (g.cumcount() + 1).astype("int64")
+            g = df.groupby(keys, sort=False)  # re-bind after column insert
+        for src, alias in sum_columns.items():
+            df[alias] = g[src].cumsum()
+        return df
+
+    return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)
+
+
+def lag_shift(
+    ds,
+    key_columns: Sequence[str],
+    order_columns: Sequence[str],
+    shift_columns: Mapping[str, str],
+    periods: int = 1,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """``lag(source, periods)`` per key in ``order_columns`` order: for
+    each ``{source: alias}`` appends the value ``periods`` rows earlier
+    within the key (null on the first ``periods`` rows — callers coalesce
+    to their sentinel).  ``periods < 0`` gives ``lead``."""
+    keys, order = list(key_columns), list(order_columns)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(keys, sort=False)
+        for src, alias in shift_columns.items():
+            df[alias] = g[src].shift(periods)
+        return df
+
+    return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)
