@@ -2195,7 +2195,14 @@ def funnel_stages(sf_dir: str):
     def tag(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, ["user_id"], 32)
 
+    _empty_funnel = pd.DataFrame(
+        {"stage": pd.Series([], dtype="object"),
+         "n_users": pd.Series([], dtype="int64")}
+    )
+
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_funnel.copy()
         t_prev = None
         counts = []
         for stage in _FUNNEL:
@@ -2209,6 +2216,8 @@ def funnel_stages(sf_dir: str):
         return pd.DataFrame({"stage": list(_FUNNEL), "n_users": counts})
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_funnel.copy()
         g = df.groupby("stage", sort=False)["n_users"].sum()
         out = g.reset_index()
         out["n_users"] = out["n_users"].astype("int64")
@@ -2237,6 +2246,65 @@ WITH s1 AS (
 SELECT 'signup' AS stage, count(*) AS n_users FROM s1
 UNION ALL SELECT 'click', count(*) FROM s2
 UNION ALL SELECT 'purchase', count(*) FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 53. Fuzzy (edit-distance) near-dup pairs with suffix blocking + planted
+#     typo copies (doc_id % 50 == 0 copied to doc_id + 1000000 with the
+#     first character replaced by 'x') — catches the typo-level dups the
+#     shingle family misses.  One block-bucket shuffle; banded vectorized
+#     Levenshtein inside the bucket.  Oracle: DuckDB levenshtein() over
+#     the identical block self-join.
+# ---------------------------------------------------------------------------
+def fuzzy_near_dups(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = batch.filter(pa.array(ids % 50 == 0))
+        texts = hit["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        mutated = pc.binary_join_element_wise(
+            pa.array(["x"] * len(hit), type=pa.string()),
+            pc.utf8_slice_codeunits(texts, start=1),
+            "",
+        )
+        planted = pa.Table.from_arrays(
+            [
+                pc.add(hit["doc_id"], pa.scalar(1000000, type=pa.int64())).cast(
+                    hit.schema.field("doc_id").type
+                ),
+                mutated,
+            ],
+            schema=hit.schema,
+        )
+        return pa.concat_tables([batch, planted])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    return fuzzy_pairs(
+        aug, id_column="doc_id", text_column="text", max_dist=2, block_width=16
+    )
+
+
+FUZZY_PAIRS_SQL = """
+WITH aug AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'x' || substr(coalesce(text, ''), 2)
+  FROM documents WHERE doc_id % 50 = 0
+),
+blk AS (
+  SELECT doc_id, text, right(text, 16) AS blk FROM aug
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 2
 """
 
 
@@ -2295,4 +2363,5 @@ def registry() -> dict:
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
         "funnel_stages": (funnel_stages, FUNNEL_SQL),
+        "fuzzy_near_dups": (fuzzy_near_dups, FUZZY_PAIRS_SQL),
     }
