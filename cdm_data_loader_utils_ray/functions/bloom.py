@@ -1,0 +1,140 @@
+"""Bloom-prefiltered anti-join — the 100-TB path for "subtract this
+keyset" (reference ``snapshot_utils.py:16-31`` left-anti semantics at a
+scale where shuffling the whole left side is the bottleneck).
+
+:func:`stages.keyed.anti_join_keys` is exact but ships EVERY left row
+through the keyed shuffle.  Here the right side's keys are folded into a
+fixed-size Bloom bitset first (per-batch partial bitsets OR-merged — the
+combiner discipline; bytes moved are O(batches x bitset), independent of
+row count), the bitset is broadcast once via ``ray.put``, and the left
+scan probes it in ``map_batches``:
+
+* definite non-members (any probe bit clear — Bloom has NO false
+  negatives) are final output the moment the map stage sees them; they
+  never enter a shuffle.  The provided ``partial``/``final`` aggregation
+  hooks let them collapse to per-batch partials in the same pass.
+* maybe-members (all bits set: true matches + false positives) fall back
+  to the exact keyed anti-join, so the END RESULT IS EXACT — the Bloom
+  filter only routes, never decides.  Shuffle volume is
+  O(matches + eps * |left|) instead of O(|left|).
+
+The composed :func:`anti_join_bloom_agg` reads the left input twice (one
+streaming scan per branch) — two column-pruned scans are cheaper at scale
+than materializing the probe output or shuffling the full left side.
+
+Hashing: ``pandas.util.hash_pandas_object`` (deterministic, vectorized,
+process-stable) mixed into ``num_hashes`` double-hashing probes — the
+same hasher :mod:`functions.sketches` uses; a filter needs uniformity and
+build/probe agreement, not cross-engine stability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.functions.sketches import _hash64
+
+
+def _probe_positions(hashes: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, num_hashes) bit positions via double hashing: h1 + i*h2 mod m."""
+    h1 = hashes
+    # splitmix-style remix for the stride; forced odd so strides cycle
+    h2 = hashes ^ (hashes >> np.uint64(33))
+    h2 = (h2 * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(
+        np.int64
+    )
+
+
+def _fold_bits(words_list, num_words: int) -> np.ndarray:
+    acc = np.zeros(num_words, dtype=np.uint64)
+    for w in words_list:
+        np.bitwise_or(acc, w, out=acc)
+    return acc
+
+
+def build_bloom(ds, key_column: str, num_bits: int = 1 << 23, num_hashes: int = 5):
+    """uint64 bitset words (``num_bits / 64``) covering every value of
+    ``key_column`` in ``ds``.  One streaming pass; each block contributes
+    one fixed-size partial row; the driver OR-folds partials incrementally
+    (never more than one in flight)."""
+    num_words = num_bits // 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(num_words, dtype=np.uint64)
+        if len(df):
+            pos = _probe_positions(_hash64(df[key_column]), num_bits, num_hashes)
+            np.bitwise_or.at(
+                words, pos.ravel() >> 6, np.uint64(1) << (pos.ravel() & 63).astype(np.uint64)
+            )
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    acc = np.zeros(num_words, dtype=np.uint64)
+    for batch in ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).iter_batches(batch_format="pandas"):
+        for raw in batch["words"]:
+            np.bitwise_or(acc, np.frombuffer(raw, dtype=np.uint64), out=acc)
+    return acc
+
+
+def bloom_contains(
+    words: np.ndarray, values: pd.Series, num_hashes: int = 5
+) -> np.ndarray:
+    """Boolean maybe-member mask; guaranteed True for every inserted key."""
+    num_bits = len(words) * 64
+    if not len(values):
+        return np.zeros(0, dtype=bool)
+    pos = _probe_positions(_hash64(values), num_bits, num_hashes)
+    bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return (bits != 0).all(axis=1)
+
+
+def anti_join_bloom_agg(
+    left_ds_factory,
+    right_ds,
+    key_column: str,
+    partial,
+    final,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    num_buckets: int = 64,
+):
+    """Exact ``left ANTI JOIN right ON key`` immediately reduced by the
+    caller's aggregation: ``partial(df) -> df`` collapses a batch of
+    surviving left rows to combiner rows, ``final(concat_of_partials) ->
+    df`` produces the driver-side result (aggregate-sized by contract).
+
+    ``left_ds_factory`` is a zero-arg callable returning a fresh left
+    Dataset — called once per branch (definite non-members / candidate
+    fallback), so each branch is its own streaming scan.
+    """
+    import ray
+
+    from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys
+
+    words_ref = ray.put(build_bloom(right_ds, key_column, num_bits, num_hashes))
+
+    def split(maybe: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            words = ray.get(words_ref)
+            mask = bloom_contains(words, df[key_column], num_hashes)
+            kept = df[mask] if maybe else df[~mask]
+            return kept if maybe else partial(kept)
+
+        return _f
+
+    # branch 1: definite non-members collapse to partials inside the scan
+    non_members = left_ds_factory().map_batches(split(False), batch_format="pandas")
+    # branch 2: maybe-members (matches + FPs) -> exact keyed anti-join
+    cand = left_ds_factory().map_batches(split(True), batch_format="pandas")
+    survivors = anti_join_keys(cand, right_ds, [key_column], num_buckets=num_buckets)
+    sur_partials = survivors.map_batches(partial, batch_format="pandas")
+
+    parts = pd.concat(
+        [non_members.to_pandas(), sur_partials.to_pandas()], ignore_index=True
+    )
+    return final(parts)

@@ -2308,6 +2308,72 @@ WHERE levenshtein(a.text, b.text) <= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 54. Bloom-prefiltered exact anti-join (D4/J-family scale path): lineitems
+#     whose order is NOT urgent, aggregated per returnflag.  Definite
+#     non-members (no false negatives) collapse to combiner partials inside
+#     the probe scan and never shuffle; only maybe-members take the exact
+#     keyed anti-join.  Result is exact — oracle is a plain NOT IN.
+# ---------------------------------------------------------------------------
+def anti_join_bloom(sf_dir: str):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.bloom import anti_join_bloom_agg
+
+    def left():
+        return _read(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+        )
+
+    right = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda b: b.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype="object"),
+                    "n_items": pd.Series([], dtype="int64"),
+                    "sum_qty": pd.Series([], dtype="float64"),
+                }
+            )
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+        return g.reset_index()
+
+    def final(parts: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            parts.groupby("l_returnflag", sort=False)
+            .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+            .reset_index()
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        g["sum_qty"] = round_half_away(g["sum_qty"].to_numpy(), 2)
+        return g
+
+    return anti_join_bloom_agg(left, right, "l_orderkey", partial, final)
+
+
+ANTI_JOIN_BLOOM_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2364,4 +2430,5 @@ def registry() -> dict:
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
         "funnel_stages": (funnel_stages, FUNNEL_SQL),
         "fuzzy_near_dups": (fuzzy_near_dups, FUZZY_PAIRS_SQL),
+        "anti_join_bloom": (anti_join_bloom, ANTI_JOIN_BLOOM_SQL),
     }

@@ -1,0 +1,96 @@
+"""Bloom bitset kernels + the prefiltered exact anti-join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdm_data_loader_utils_ray.functions.bloom import (
+    _probe_positions,
+    anti_join_bloom_agg,
+    bloom_contains,
+    build_bloom,
+)
+from cdm_data_loader_utils_ray.functions.sketches import _hash64
+
+
+def _insert(values: pd.Series, num_bits=1 << 16, num_hashes=5) -> np.ndarray:
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    pos = _probe_positions(_hash64(values), num_bits, num_hashes)
+    np.bitwise_or.at(
+        words, pos.ravel() >> 6, np.uint64(1) << (pos.ravel() & 63).astype(np.uint64)
+    )
+    return words
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200))
+def test_no_false_negatives_ints(vals):
+    s = pd.Series(vals, dtype="int64")
+    words = _insert(s)
+    assert bloom_contains(words, s).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=12), max_size=100))
+def test_no_false_negatives_strings(vals):
+    s = pd.Series(vals, dtype="object")
+    words = _insert(s)
+    assert bloom_contains(words, s).all()
+
+
+def test_false_positive_rate_sane():
+    rng = np.random.default_rng(7)
+    members = pd.Series(rng.integers(0, 2**62, 5000), dtype="int64")
+    others = pd.Series(rng.integers(-(2**62), -1, 20000), dtype="int64")
+    words = _insert(members, num_bits=1 << 17, num_hashes=5)  # ~2.6 bits/key... m/n≈26
+    fp = bloom_contains(words, others).mean()
+    assert fp < 0.01, fp
+
+
+def test_anti_join_bloom_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, 5000),
+            "grp": rng.choice(["a", "b"], 5000),
+            "v": rng.random(5000),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(0, 300, 3)})  # every third key
+
+    def partial(df):
+        if df.empty:
+            return pd.DataFrame(
+                {"grp": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64")}
+            )
+        g = df.groupby("grp", sort=False).agg(n=("v", "size"), s=("v", "sum"))
+        return g.reset_index()
+
+    def final(parts):
+        g = parts.groupby("grp", sort=False).agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values("grp").reset_index(drop=True)
+
+    # tiny filter => real false positives => exercises the exact fallback
+    got = anti_join_bloom_agg(
+        lambda: rd.from_pandas(left),
+        rd.from_pandas(right),
+        "k",
+        partial,
+        final,
+        num_bits=1 << 10,
+        num_hashes=3,
+        num_buckets=8,
+    )
+    keep = ~left["k"].isin(right["k"])
+    exp = final(partial(left[keep]))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
+    )
