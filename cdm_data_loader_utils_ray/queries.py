@@ -2374,6 +2374,74 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# 55. Token-budget corpus selection (training-data curation): take docs in
+#     (n_chars DESC, doc_id) order until a global whitespace-token budget is
+#     exhausted, emitting the inclusive running total.  Global ordered
+#     prefix sum WITHOUT a global sort: quantile-sketch range buckets ->
+#     exact per-bucket offsets (driver holds #buckets rows) -> one bucket
+#     shuffle for the within-bucket prefix + cutoff.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 10000.0
+
+
+def budget_select(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.global_order import prefix_budget_select
+
+    def factory():
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def feat(batch: pa.Table) -> pa.Table:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            filled = pc.fill_null(texts, "")
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_chars": pc.utf8_length(filled).cast(pa.int64()),
+                    "n_tokens": pc.list_value_length(
+                        pc.split_pattern(filled, " ")
+                    ).cast(pa.int64()),
+                }
+            )
+
+        return ds.map_batches(feat, batch_format="pyarrow")
+
+    out = prefix_budget_select(
+        factory, "n_chars", "doc_id", "n_tokens", _BUDGET_TOKENS,
+        num_buckets=16, cum_alias="cum_tokens",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "cum_tokens": df["cum_tokens"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+BUDGET_SELECT_SQL = """
+WITH t AS (
+  SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+         len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, n_chars, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM w WHERE cum_tokens <= 10000
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2431,4 +2499,5 @@ def registry() -> dict:
         "funnel_stages": (funnel_stages, FUNNEL_SQL),
         "fuzzy_near_dups": (fuzzy_near_dups, FUZZY_PAIRS_SQL),
         "anti_join_bloom": (anti_join_bloom, ANTI_JOIN_BLOOM_SQL),
+        "budget_select": (budget_select, BUDGET_SELECT_SQL),
     }

@@ -1,0 +1,141 @@
+"""Global ordered prefix sums without a global sort — the scale shape for
+"take documents in quality order until a token budget is exhausted"
+(training-corpus selection) and any other ORDER BY ... ROWS UNBOUNDED
+PRECEDING window over the WHOLE dataset.
+
+A naive implementation sorts the corpus globally and runs a driver-side
+cumulative scan.  Here the total order is decomposed into order-monotone
+range buckets instead:
+
+1. boundary pass — a fixed-size quantile sketch of the order column
+   (:func:`functions.sketches.approx_quantiles`) picks ``num_buckets``
+   range boundaries; approximation only affects bucket BALANCE, never
+   correctness, because bucket assignment is a deterministic monotone
+   function of the order key;
+2. offset pass — one streaming scan emits per-batch (bucket, sum, count)
+   partials; the driver folds them into exact per-bucket totals and
+   cumulative offsets (#buckets rows — tiny).  Buckets whose offset
+   already exceeds the budget are pruned wholesale (values must be
+   non-negative, which token/char counts are);
+3. prefix pass — ONE keyed shuffle of only the surviving buckets; inside
+   each bucket the rows sort locally, prefix-sum, add the bucket offset,
+   and cut at the budget.
+
+Bytes shuffled are O(selected + one bucket), not O(corpus); driver state
+is O(num_buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.functions.sketches import approx_quantiles
+
+
+def _bucket_of(scores: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Order-monotone bucket id: bucket 0 holds the HIGHEST scores.
+    Equal scores always map to the same bucket (searchsorted is
+    deterministic), so ties never straddle a boundary."""
+    return (len(bounds) - np.searchsorted(bounds, scores, side="left")).astype(
+        np.int64
+    )
+
+
+def _empty_proto(ds, cum_alias: str):
+    """Zero-row Dataset carrying the input schema + the ``cum_alias``
+    float64 column — unioned onto the result so an all-filtered run still
+    has a stable schema (a zero-block ``map_groups`` output loses its
+    schema entirely otherwise)."""
+    import ray.data as rd
+
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, pa.Schema):
+        tbl = base.empty_table().append_column(
+            cum_alias, pa.array([], type=pa.float64())
+        )
+        return rd.from_arrow(tbl)
+    df = pd.DataFrame(
+        {n: pd.Series([], dtype=t) for n, t in zip(base.names, base.types)}
+    )
+    df[cum_alias] = pd.Series([], dtype="float64")
+    return rd.from_pandas(df)
+
+
+def prefix_budget_select(
+    ds_factory,
+    score_column: str,
+    id_column: str,
+    value_column: str,
+    budget: float,
+    num_buckets: int = 32,
+    cum_alias: str = "cum_value",
+):
+    """Rows of the dataset, ordered by (``score_column`` DESC,
+    ``id_column`` ASC), kept while the running total of ``value_column``
+    (inclusive) stays ``<= budget``; the running total is emitted as
+    ``cum_alias``.  ``value_column`` must be non-negative.
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset (one
+    streaming scan per pass)."""
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    qmap = approx_quantiles(ds_factory(), score_column, qs)
+    bounds = np.unique(
+        np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        scores = batch[score_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "__obucket__", pa.array(_bucket_of(scores, bounds), type=pa.int64())
+        )
+
+    # offset pass: per-batch (bucket, sum) partials -> exact driver fold
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("__obucket__", sort=False)[value_column].sum()
+        return pd.DataFrame({"__obucket__": g.index.to_numpy(), "s": g.to_numpy()})
+
+    parts = (
+        ds_factory()
+        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return _empty_proto(ds_factory(), cum_alias)
+    totals = parts.groupby("__obucket__", sort=True)["s"].sum()
+    offsets = totals.cumsum().shift(fill_value=0.0)
+    # prune buckets that start past the budget (values are non-negative,
+    # so no row inside can come back under it)
+    alive = offsets[offsets <= budget]
+    offset_map = {int(b): float(o) for b, o in alive.items()}
+    alive_ids = set(offset_map)
+
+    def keep_alive(batch: pa.Table) -> pa.Table:
+        b = batch["__obucket__"].to_numpy(zero_copy_only=False)
+        mask = np.isin(b, np.fromiter(alive_ids, dtype=np.int64, count=len(alive_ids)))
+        return batch.filter(pa.array(mask))
+
+    def bucket_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=["__obucket__"]).assign(
+                **{cum_alias: pd.Series([], dtype="float64")}
+            )
+        off = offset_map[int(df["__obucket__"].iloc[0])]
+        df = df.sort_values(
+            [score_column, id_column], ascending=[False, True], kind="mergesort"
+        )
+        cum = df[value_column].to_numpy(dtype=np.float64).cumsum() + off
+        df = df.assign(**{cum_alias: cum})
+        df = df[df[cum_alias] <= budget]
+        return df.drop(columns=["__obucket__"])
+
+    selected = (
+        ds_factory()
+        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(keep_alive, batch_format="pyarrow")
+        .groupby("__obucket__")
+        .map_groups(bucket_prefix, batch_format="pandas")
+    )
+    return _empty_proto(ds_factory(), cum_alias).union(selected)
