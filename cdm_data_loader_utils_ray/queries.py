@@ -2442,6 +2442,68 @@ FROM w WHERE cum_tokens <= 10000
 """
 
 
+# ---------------------------------------------------------------------------
+# 56. Grouped z-score normalization (feature prep, A/J-family): per-event
+#     standardized value against its event_type's population mean/stddev.
+#     Group stats come from ONE combiner aggregate (sum, sum-of-squares,
+#     count — aggregate-sized), broadcast via ray.put; the fact table never
+#     shuffles, each batch normalizes against the looked-up stats.
+# ---------------------------------------------------------------------------
+def zscore_events(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    stats = grouped_partial_sums(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        ["event_type"],
+        {"s": "value", "ss": "value * value"},
+        count_alias="n",
+    ).to_pandas()
+    mean = stats["s"] / stats["n"]
+    var = (stats["ss"] / stats["n"] - mean * mean).clip(lower=0.0)
+    lut_ref = ray.put(
+        {
+            t: (m, v ** 0.5)
+            for t, m, v in zip(stats["event_type"], mean, var)
+        }
+    )
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        # factorize + take: the Python loop runs once per DISTINCT type
+        codes, uniques = pd.factorize(df["event_type"], sort=False)
+        m_arr = np.array([lut[u][0] for u in uniques], dtype=np.float64)
+        s_arr = np.array([lut[u][1] for u in uniques], dtype=np.float64)
+        ms, sd = m_arr[codes], s_arr[codes]
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v - ms) / sd, 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "z": round_half_away(z, 4),
+            }
+        )
+
+    return _read(sf_dir, "events", columns=["event_id", "event_type", "value"]).map_batches(
+        normalize, batch_format="pandas"
+    )
+
+
+ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(coalesce((e.value - s.m) / nullif(s.sd, 0), 0), 4) AS z
+FROM events e JOIN s USING (event_type)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2500,4 +2562,5 @@ def registry() -> dict:
         "fuzzy_near_dups": (fuzzy_near_dups, FUZZY_PAIRS_SQL),
         "anti_join_bloom": (anti_join_bloom, ANTI_JOIN_BLOOM_SQL),
         "budget_select": (budget_select, BUDGET_SELECT_SQL),
+        "zscore_events": (zscore_events, ZSCORE_SQL),
     }

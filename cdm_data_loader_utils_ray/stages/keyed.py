@@ -138,6 +138,16 @@ def outer_diff(
     return tagged.groupby(_BUCKET).map_groups(classify, batch_format="pandas")
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """The dataset's schema as a ``pyarrow.Schema`` — pandas-backed
+    datasets (``from_pandas`` lineages) report a PandasBlockSchema, so
+    fall back to materializing one row."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.Table.from_pandas(ds.limit(1).to_pandas(), preserve_index=False).schema
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -152,8 +162,8 @@ def hash_join(
     Skewed keys: salt upstream; a single key's rows must fit one bucket.
     Null join keys never match (Arrow join semantics, same as SQL)."""
     keys = list(on)
-    left_sch = left_ds.schema().base_schema
-    right_sch = right_ds.schema().base_schema
+    left_sch = _arrow_schema(left_ds)
+    right_sch = _arrow_schema(right_ds)
     left_cols = list(left_sch.names)
     right_cols = list(right_sch.names)
     left_types = {f.name: f.type for f in left_sch}
@@ -223,3 +233,87 @@ def anti_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: i
         return out
 
     return tagged.groupby(_BUCKET).map_groups(keep_left_only, batch_format="pandas")
+
+
+def hot_keys(ds, key_column: str, hot_frac: float = 0.01, per_batch_top: int = 200):
+    """Keys carrying more than ``hot_frac`` of the dataset's rows, found
+    with one combiner pass: each batch emits its top ``per_batch_top``
+    key counts plus its row count; the driver folds (aggregate-sized).
+    Heuristic by design — a key hot globally is hot in its batches too;
+    misses only affect balance downstream, never correctness."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key_column].value_counts().head(per_batch_top)
+        out = pd.DataFrame({key_column: vc.index, "c": vc.to_numpy()})
+        return pd.concat(
+            [out, pd.DataFrame({key_column: [None], "c": [len(df)]})],
+            ignore_index=True,
+        )
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    total = int(parts.loc[parts[key_column].isna(), "c"].sum())
+    counts = parts.dropna(subset=[key_column]).groupby(key_column, sort=False)["c"].sum()
+    if total == 0:
+        return counts.index[:0]
+    return counts.index[counts >= hot_frac * total]
+
+
+def hash_join_salted(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    num_salts: int = 8,
+    hot_frac: float = 0.01,
+    num_buckets: int = 64,
+    suffix: str = "_right",
+):
+    """:func:`hash_join` for a SKEWED left side: keys above ``hot_frac``
+    of left rows are salted into ``num_salts`` sub-keys (left rows get a
+    round-robin salt; the matching right rows are replicated once per
+    salt), so no single bucket receives a hot key's full row set.  The
+    join key is extended with the salt and stripped after the join —
+    results are row-identical to the unsalted join.  Inner and left joins
+    only (replication would duplicate unmatched right rows under
+    right/full outer).  Single-column key by design."""
+    if how not in ("inner", "left"):
+        raise ValueError("hash_join_salted supports inner/left joins only")
+    import ray
+
+    hot = np.asarray(hot_keys(left_ds, on, hot_frac=hot_frac))
+    hot_ref = ray.put(hot)
+    salt_t = pa.int32()
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, ray.get(hot_ref))
+        salt = np.where(mask, np.arange(len(keys), dtype=np.int64) % num_salts, 0)
+        return batch.append_column("__salt__", pa.array(salt.astype(np.int32), type=salt_t))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, ray.get(hot_ref))
+        cold = batch.filter(pa.array(~mask))
+        cold = cold.append_column(
+            "__salt__", pa.array(np.zeros(len(cold), dtype=np.int32), type=salt_t)
+        )
+        hot_rows = batch.filter(pa.array(mask))
+        reps = [
+            hot_rows.append_column(
+                "__salt__", pa.array(np.full(len(hot_rows), s, dtype=np.int32), type=salt_t)
+            )
+            for s in range(num_salts)
+        ]
+        return pa.concat_tables([cold, *reps])
+
+    joined = hash_join(
+        left_ds.map_batches(salt_left, batch_format="pyarrow"),
+        right_ds.map_batches(salt_right, batch_format="pyarrow"),
+        on=[on, "__salt__"],
+        how=how,
+        num_buckets=num_buckets,
+        suffix=suffix,
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(["__salt__"]), batch_format="pyarrow"
+    )

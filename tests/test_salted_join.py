@@ -1,0 +1,60 @@
+"""Skew-salted hash join: identical results to the unsalted join on a
+90%-one-key fixture; hot-key detection finds the heavy hitter."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cdm_data_loader_utils_ray.stages.keyed import (
+    hash_join,
+    hash_join_salted,
+    hot_keys,
+)
+
+
+def _fixture():
+    rng = np.random.default_rng(5)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": keys.astype("int64"), "v": rng.random(n)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 500, 2, dtype="int64"), "name": [f"n{i}" for i in range(250)]}
+    )
+    return left, right
+
+
+def test_hot_keys_detects_heavy_hitter(ray_session):
+    import ray.data as rd
+
+    left, _ = _fixture()
+    hot = hot_keys(rd.from_pandas(left), "k", hot_frac=0.05)
+    assert list(hot) == [7]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_matches_unsalted(ray_session, how):
+    import ray.data as rd
+
+    left, right = _fixture()
+    a = hash_join_salted(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+        num_salts=4, hot_frac=0.05, num_buckets=8,
+    ).to_pandas()
+    b = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how=how, num_buckets=8
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a[sorted(a.columns)]), _canon(b[sorted(b.columns)]))
+
+
+def test_salted_rejects_outer(ray_session):
+    import ray.data as rd
+
+    left, right = _fixture()
+    with pytest.raises(ValueError):
+        hash_join_salted(rd.from_pandas(left), rd.from_pandas(right), on="k", how="outer")
