@@ -2504,6 +2504,87 @@ FROM events e JOIN s USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# 57. Fuzzy entity-resolution clusters: the typo-pair graph (entry 53's
+#     blocked Levenshtein pairs, planted copies included) collapsed to
+#     connected components, min-id canonical label — the curation composite
+#     (block -> pair -> union).  Components auto-switch to distributed
+#     label propagation above the pair bound (dedup.connected_components*).
+# ---------------------------------------------------------------------------
+def fuzzy_clusters(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import connected_components
+
+    pairs = fuzzy_near_dups(sf_dir).to_pandas()
+    out = connected_components(pairs, id_a="id_a", id_b="id_b")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out
+
+
+FUZZY_CLUSTERS_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'x' || substr(coalesce(text, ''), 2)
+  FROM documents WHERE doc_id % 50 = 0
+),
+blk AS (
+  SELECT doc_id, text, right(text, 16) AS blk FROM aug
+),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.text, b.text) <= 2
+),
+nodes AS (SELECT ia AS n FROM edges UNION SELECT ib FROM edges),
+und AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+walk(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.a, w.l FROM und u JOIN walk w ON w.n = u.b
+)
+SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# 58. Distributed percent_rank over LOW-cardinality groups (event_type):
+#     the window shape the per-key bucket family can't do — a group's rows
+#     are far too many for one map_groups call, so rank = per-(group,
+#     value-bucket) histogram offsets (driver holds #groups x #buckets)
+#     + within-bucket sort/searchsorted.  Exact, ties share rank.
+# ---------------------------------------------------------------------------
+def percent_rank_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.stages.global_order import grouped_percent_rank
+
+    out = grouped_percent_rank(
+        lambda: _read(sf_dir, "events", columns=["event_id", "event_type", "value"]),
+        "event_type",
+        "value",
+        out_alias="pr",
+        num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "pr": round_half_away(df["pr"].to_numpy(dtype=np.float64), 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pr
+FROM events
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2563,4 +2644,6 @@ def registry() -> dict:
         "anti_join_bloom": (anti_join_bloom, ANTI_JOIN_BLOOM_SQL),
         "budget_select": (budget_select, BUDGET_SELECT_SQL),
         "zscore_events": (zscore_events, ZSCORE_SQL),
+        "fuzzy_clusters": (fuzzy_clusters, FUZZY_CLUSTERS_SQL),
+        "percent_rank_events": (percent_rank_events, PERCENT_RANK_SQL),
     }

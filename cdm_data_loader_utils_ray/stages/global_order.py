@@ -139,3 +139,101 @@ def prefix_budget_select(
         .map_groups(bucket_prefix, batch_format="pandas")
     )
     return _empty_proto(ds_factory(), cum_alias).union(selected)
+
+
+def grouped_percent_rank(
+    ds_factory,
+    group_column: str,
+    value_column: str,
+    out_alias: str = "pr",
+    num_buckets: int = 32,
+):
+    """``percent_rank() OVER (PARTITION BY group ORDER BY value)`` for
+    LOW-cardinality groups whose members are far too many to collect —
+    the complement of the per-key window family (which buckets by key and
+    assumes each key's rows fit one group call).
+
+    Same two-pass range-bucket decomposition as
+    :func:`prefix_budget_select`, with COUNTS instead of sums:
+
+    1. global value-quantile boundaries (balance only, never correctness —
+       ties always co-locate because bucketing is a deterministic function
+       of the value);
+    2. one scan -> per-(group, bucket) counts; the driver folds them into
+       per-group bucket offsets and totals (#groups x #buckets — tiny by
+       the low-cardinality contract);
+    3. one bucket shuffle; within a bucket each group's rows rank
+       against their own values (sort + searchsorted = count of strictly
+       smaller), plus the group's offset for earlier buckets.
+
+    percent_rank = rank / (n_group - 1), 0 for singleton groups (SQL
+    convention).  Appends ``out_alias`` (float64), preserves all columns.
+    """
+    import ray
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    qmap = approx_quantiles(ds_factory(), value_column, qs)
+    bounds = np.unique(
+        np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[value_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        # ASCENDING buckets (unlike _bucket_of): a bucket's offset must
+        # count rows with SMALLER values, i.e. numerically earlier buckets
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return batch.append_column("__obucket__", pa.array(b, type=pa.int64()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_column, "__obucket__"], sort=False).size()
+        out = g.reset_index()
+        out.columns = [group_column, "__obucket__", "c"]
+        return out
+
+    parts = (
+        ds_factory()
+        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return _empty_proto(ds_factory(), out_alias)
+    counts = (
+        parts.groupby([group_column, "__obucket__"], sort=True)["c"].sum().reset_index()
+    )
+    counts["offset"] = (
+        counts.groupby(group_column, sort=False)["c"].cumsum() - counts["c"]
+    )
+    totals = counts.groupby(group_column, sort=False)["c"].sum()
+    offset_map = {
+        (g, int(b)): int(o)
+        for g, b, o in zip(counts[group_column], counts["__obucket__"], counts["offset"])
+    }
+    total_map = {g: int(n) for g, n in totals.items()}
+    maps_ref = ray.put((offset_map, total_map))
+
+    def bucket_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=["__obucket__"]).assign(
+                **{out_alias: pd.Series([], dtype="float64")}
+            )
+        offsets, tot = ray.get(maps_ref)
+        b = int(df["__obucket__"].iloc[0])
+        pr = np.empty(len(df), dtype=np.float64)
+        pos = np.arange(len(df))
+        for g, sub in df.groupby(group_column, sort=False):
+            v = sub[value_column].to_numpy(dtype=np.float64)
+            sv = np.sort(v)
+            rank = np.searchsorted(sv, v, side="left") + offsets[(g, b)]
+            n = tot[g]
+            pr[pos[df[group_column].to_numpy() == g]] = rank / max(n - 1, 1)
+        df = df.drop(columns=["__obucket__"])
+        return df.assign(**{out_alias: pr})
+
+    ranked = (
+        ds_factory()
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__obucket__")
+        .map_groups(bucket_rank, batch_format="pandas")
+    )
+    return _empty_proto(ds_factory(), out_alias).union(ranked)

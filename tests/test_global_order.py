@@ -66,3 +66,37 @@ def test_empty_input(ray_session):
         lambda: rd.from_pandas(df), "score", "id", "val", 100.0, num_buckets=4
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_grouped_percent_rank_matches_window(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.stages.global_order import grouped_percent_rank
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3000),
+            "g": rng.choice(["a", "b", "c"], 3000),
+            # integer values -> heavy ties, including across bucket bounds
+            "v": rng.integers(0, 40, 3000).astype(float),
+        }
+    )
+    # one singleton group for the n=1 -> 0 convention
+    df = pd.concat(
+        [df, pd.DataFrame({"id": [99999], "g": ["solo"], "v": [1.0]})],
+        ignore_index=True,
+    )
+    out = grouped_percent_rank(
+        lambda: rd.from_pandas(df), "g", "v", out_alias="pr", num_buckets=8
+    ).to_pandas()
+
+    def oracle(sub):
+        n = len(sub)
+        rank = sub["v"].rank(method="min").to_numpy() - 1
+        return pd.Series(rank / max(n - 1, 1), index=sub.index)
+
+    exp = df.assign(pr=df.groupby("g", group_keys=False).apply(oracle))
+    merged = out.merge(exp, on="id", suffixes=("", "_exp"))
+    assert len(merged) == len(df)
+    np.testing.assert_allclose(merged["pr"], merged["pr_exp"], rtol=0, atol=1e-12)
