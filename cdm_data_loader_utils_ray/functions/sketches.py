@@ -149,3 +149,102 @@ def approx_quantiles(
         i = int(np.searchsorted(cw, pos, side="left").clip(0, len(v) - 1))
         out[float(q)] = float(v[i])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries / frequent-items) — mergeable
+# ---------------------------------------------------------------------------
+def _mg_compress(counts: pd.Series, k: int) -> pd.Series:
+    """Keep <= k counters the Misra-Gries way: subtract the (k+1)-largest
+    count from everything and drop the non-positive — the classic summary
+    whose per-key undercount is bounded by n/(k+1)."""
+    if len(counts) <= k:
+        return counts
+    kth = counts.nlargest(k + 1).iloc[-1]
+    out = counts - kth
+    return out[out > 0]
+
+
+def heavy_hitters(ds, column: str, k: int = 64, batch_size: int = 65536) -> pd.DataFrame:
+    """Approximate top frequent values of ``column`` in ONE streaming pass.
+
+    Each batch emits its Misra-Gries summary (<= k rows); the driver sums
+    summaries (MG summaries merge by adding counters then re-compressing)
+    and re-compresses once.  Guarantees, with n = total rows:
+
+    * every value with true frequency > n/(k+1) appears in the result;
+    * each reported count undercounts by at most n/(k+1).
+
+    Returns (value, count_lower_bound) sorted by count desc — the exact
+    top-N should be confirmed with one grouped count over the candidate
+    set when exactness matters (the candidates are guaranteed complete at
+    the n/(k+1) threshold).
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].value_counts()
+        mg = _mg_compress(vc, k)
+        return pd.DataFrame({column: mg.index, "c": mg.to_numpy()})
+
+    parts = ds.map_batches(part, batch_format="pandas", batch_size=batch_size).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({column: pd.Series([], dtype="object"),
+                             "count_lb": pd.Series([], dtype="int64")})
+    merged = parts.groupby(column, sort=False)["c"].sum()
+    merged = _mg_compress(merged, k).sort_values(ascending=False)
+    return pd.DataFrame(
+        {column: merged.index, "count_lb": merged.to_numpy().astype("int64")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+_CM_SALTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cm_positions(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(n, depth) column indices; row d uses an independent salt-mix."""
+    h = hashes[:, None] * _CM_SALTS[None, :depth]
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+def count_min_build(ds, column: str, width: int = 2048, depth: int = 4,
+                    batch_size: int = 65536) -> np.ndarray:
+    """(depth, width) int64 count-min table for ``column`` — per-batch
+    partial tables summed driver-side (counts are linear, so partials
+    merge by addition).  Point estimate overcounts by <= 2n/width with
+    probability 1 - 2^-depth, never undercounts."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = np.zeros((depth, width), dtype=np.int64)
+        if len(df):
+            vc = df[column].value_counts()
+            pos = _cm_positions(_hash64(pd.Series(vc.index)), width, depth)
+            w = vc.to_numpy()
+            for d in range(depth):
+                np.add.at(tbl[d], pos[:, d], w)
+        return pd.DataFrame({"t": [tbl.tobytes()]})
+
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for batch in ds.map_batches(part, batch_format="pandas", batch_size=batch_size) \
+                   .iter_batches(batch_format="pandas"):
+        for raw in batch["t"]:
+            acc += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+    return acc
+
+
+def count_min_query(table: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Estimated frequency per value: min over the depth rows."""
+    depth, width = table.shape
+    if not len(values):
+        return np.zeros(0, dtype=np.int64)
+    pos = _cm_positions(_hash64(values), width, depth)
+    ests = np.stack([table[d][pos[:, d]] for d in range(depth)], axis=1)
+    return ests.min(axis=1)

@@ -56,3 +56,56 @@ def test_approx_quantiles_empty_and_nulls():
     ds = rd.from_pandas(pd.DataFrame({"v": [None, None]}, dtype="float64"))
     out = approx_quantiles(ds, "v", [0.5])
     assert np.isnan(out[0.5])
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters + count-min
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_guarantee(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(19)
+    n = 100000
+    # zipf-ish: a few dominant keys over a long uniform tail
+    head = rng.choice([0, 1, 2], size=n // 2, p=[0.6, 0.3, 0.1])
+    tail = rng.integers(1000, 50000, n // 2)
+    vals = pd.Series(np.concatenate([head, tail]))
+    vals = vals.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    true = vals.value_counts()
+
+    k = 64
+    out = heavy_hitters(rd.from_pandas(pd.DataFrame({"x": vals})), "x", k=k)
+    got = dict(zip(out["x"], out["count_lb"]))
+    thresh = n / (k + 1)
+    for v, c in true.items():
+        if c > thresh:
+            assert v in got, f"missed guaranteed hitter {v} (count {c})"
+            # lower bound within the MG undercount envelope
+            assert got[v] <= c
+            assert c - got[v] <= thresh * 3  # merged summaries: <= one n/(k+1) per level
+    # reported counts never exceed the truth
+    for v, c in got.items():
+        assert c <= true.get(v, 0)
+
+
+def test_count_min_bounds(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sketches import (
+        count_min_build,
+        count_min_query,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 60000
+    vals = pd.Series(rng.zipf(1.3, n) % 10000)
+    true = vals.value_counts()
+    tbl = count_min_build(rd.from_pandas(pd.DataFrame({"x": vals})), "x",
+                          width=4096, depth=4)
+    probe = pd.Series(true.index[:200])
+    est = count_min_query(tbl, probe)
+    t = true.loc[probe].to_numpy()
+    assert (est >= t).all()                      # never undercounts
+    assert np.mean(est - t) <= 2 * n / 4096 + 1  # overcount within envelope
