@@ -1228,3 +1228,72 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
     # quadratic pair output on dup-saturated corpora: as_dataset=True keeps
     # it distributed for a streaming sink instead of a driver collect
     return pairs if as_dataset else pairs.to_pandas().reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against an existing corpus (the CDC x curation
+# composite): new batch -> exact self-dedup -> subtract content already in
+# the lake, with a Bloom prefilter so definitely-new rows skip the
+# subtraction shuffle entirely.
+# ---------------------------------------------------------------------------
+def dedup_incremental(
+    new_ds,
+    seen_ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    seen_text_column: str | None = None,
+    num_buckets: int = 64,
+    bloom_bits: int = 1 << 23,
+):
+    """Rows of ``new_ds`` whose content is NEW: first (lowest id) per
+    sha256 within the batch, and the sha256 absent from ``seen_ds``.
+
+    Shape: one keyed shuffle for the self-dedup (``lww_latest`` on the
+    hash), one combiner pass folding the seen hashes into a Bloom bitset
+    (fixed-size partials), then a probe split — Bloom misses are provably
+    new and bypass the subtraction; only maybe-members (true dups + false
+    positives) take the exact keyed anti-join.  The deduped incoming
+    batch is materialized once (it is incremental-batch-sized, not
+    lake-sized — the flag split would otherwise re-run the dedup shuffle
+    per branch).  Output keeps all input columns plus ``content_sha256``.
+    """
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.bloom import bloom_contains, build_bloom
+    from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys, lww_latest
+
+    seen_col = seen_text_column or text_column
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = sha256_array(batch[text_column])
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("content_sha256", h).append_column(
+            "_pref", pa.array(-ids, type=pa.int64())
+        )
+
+    first = lww_latest(
+        new_ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["content_sha256"],
+        "_pref",
+        num_buckets=num_buckets,
+    ).drop_columns(["_pref"]).materialize()
+
+    def seen_hashes(batch: pa.Table) -> pa.Table:
+        return pa.table({"content_sha256": sha256_array(batch[seen_col])})
+
+    seen_h = seen_ds.map_batches(seen_hashes, batch_format="pyarrow")
+    words_ref = ray.put(build_bloom(seen_h, "content_sha256", num_bits=bloom_bits))
+
+    def probe(maybe: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            mask = bloom_contains(ray.get(words_ref), df["content_sha256"])
+            return df[mask] if maybe else df[~mask]
+
+        return _f
+
+    definite_new = first.map_batches(probe(False), batch_format="pandas")
+    cand = first.map_batches(probe(True), batch_format="pandas")
+    survivors = anti_join_keys(
+        cand, seen_h, ["content_sha256"], num_buckets=num_buckets
+    )
+    return definite_new.union(survivors)

@@ -2585,6 +2585,76 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# 59. Incremental dedup against the lake (CDC x curation composite): an
+#     incoming batch (odd-id docs + replayed copies of lake docs) is
+#     self-deduped by sha256 (first id wins) and subtracted against the
+#     lake's content fingerprints — Bloom misses bypass the subtraction
+#     shuffle, maybe-members take the exact keyed anti-join.
+# ---------------------------------------------------------------------------
+def incremental_dedup(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import dedup_incremental
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table({"doc_id": batch["doc_id"], "text": pc.fill_null(texts, "")})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow"
+    )
+    def even_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    seen = docs.map_batches(even_only, batch_format="pyarrow")
+
+    def incoming_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        fresh = batch.filter(pa.array(ids % 2 == 1))
+        replay = batch.filter(pa.array(ids % 10 == 0))
+        replay = pa.Table.from_arrays(
+            [
+                pc.add(replay["doc_id"], pa.scalar(2000000, type=pa.int64())).cast(
+                    replay.schema.field("doc_id").type
+                ),
+                replay["text"],
+            ],
+            schema=replay.schema,
+        )
+        return pa.concat_tables([fresh, replay])
+
+    incoming = docs.map_batches(incoming_batch, batch_format="pyarrow")
+    out = dedup_incremental(incoming, seen, text_column="text", id_column="doc_id")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "content_sha256": df["content_sha256"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH seen AS (
+  SELECT sha256(coalesce(text, '')) AS h FROM documents WHERE doc_id % 2 = 0
+),
+inc AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, coalesce(text, '') FROM documents WHERE doc_id % 10 = 0
+),
+inch AS (SELECT doc_id, sha256(text) AS h FROM inc),
+first AS (SELECT h, min(doc_id) AS doc_id FROM inch GROUP BY h)
+SELECT f.doc_id, f.h AS content_sha256
+FROM first f WHERE f.h NOT IN (SELECT h FROM seen)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2646,4 +2716,5 @@ def registry() -> dict:
         "zscore_events": (zscore_events, ZSCORE_SQL),
         "fuzzy_clusters": (fuzzy_clusters, FUZZY_CLUSTERS_SQL),
         "percent_rank_events": (percent_rank_events, PERCENT_RANK_SQL),
+        "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     }

@@ -94,3 +94,23 @@ def test_anti_join_bloom_exact(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
     )
+
+
+def test_dedup_incremental(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.dedup import dedup_incremental
+
+    seen = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13, 14],
+            "text": ["alpha", "gamma", "gamma", "delta", "beta"],
+        }
+    )
+    out = dedup_incremental(
+        rd.from_pandas(new), rd.from_pandas(seen), bloom_bits=1 << 10
+    ).to_pandas()
+    # alpha/beta already seen; gamma self-dedups to first id; delta new
+    assert sorted(out["doc_id"].tolist()) == [11, 13]
+    assert set(out.columns) >= {"doc_id", "text", "content_sha256"}
