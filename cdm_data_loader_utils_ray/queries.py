@@ -2564,6 +2564,9 @@ def percent_rank_events(sf_dir: str):
         "value",
         out_alias="pr",
         num_buckets=32,
+        # events' physical order (seq) is uncorrelated with value, so a
+        # prefix sample is a safe boundary source — saves one full pass
+        boundary_sample_rows=500_000,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

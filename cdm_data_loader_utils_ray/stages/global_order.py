@@ -63,6 +63,15 @@ def _empty_proto(ds, cum_alias: str):
     return rd.from_pandas(df)
 
 
+def _boundary_input(ds, sample_rows: int | None):
+    """Optionally cap the boundary pass at a row-limit prefix: boundaries
+    steer BALANCE only (bucket assignment stays a deterministic monotone
+    function of the key), so a prefix sample is safe whenever the input's
+    physical order is uncorrelated with the order column — the caller's
+    call to make, hence opt-in."""
+    return ds if sample_rows is None else ds.limit(sample_rows)
+
+
 def prefix_budget_select(
     ds_factory,
     score_column: str,
@@ -71,6 +80,7 @@ def prefix_budget_select(
     budget: float,
     num_buckets: int = 32,
     cum_alias: str = "cum_value",
+    boundary_sample_rows: int | None = None,
 ):
     """Rows of the dataset, ordered by (``score_column`` DESC,
     ``id_column`` ASC), kept while the running total of ``value_column``
@@ -80,7 +90,9 @@ def prefix_budget_select(
     streaming scan per pass)."""
 
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    qmap = approx_quantiles(ds_factory(), score_column, qs)
+    qmap = approx_quantiles(
+        _boundary_input(ds_factory(), boundary_sample_rows), score_column, qs
+    )
     bounds = np.unique(
         np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
     )
@@ -147,6 +159,7 @@ def grouped_percent_rank(
     value_column: str,
     out_alias: str = "pr",
     num_buckets: int = 32,
+    boundary_sample_rows: int | None = None,
 ):
     """``percent_rank() OVER (PARTITION BY group ORDER BY value)`` for
     LOW-cardinality groups whose members are far too many to collect —
@@ -172,7 +185,9 @@ def grouped_percent_rank(
     import ray
 
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    qmap = approx_quantiles(ds_factory(), value_column, qs)
+    qmap = approx_quantiles(
+        _boundary_input(ds_factory(), boundary_sample_rows), value_column, qs
+    )
     bounds = np.unique(
         np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
     )
