@@ -2658,6 +2658,88 @@ FROM first f WHERE f.h NOT IN (SELECT h FROM seen)
 """
 
 
+# ---------------------------------------------------------------------------
+# 60. Multi-way star join (J4/J5 composition at fact scale): revenue per
+#     (part brand, supplier nation) — the three dimension tables are
+#     broadcast once (supplier |><| nation pre-composed driver-side, dim
+#     rows ~ thousands), the fact table is enriched in ONE map pass
+#     (pc.index_in + take, no shuffle), then a combiner aggregate.  The
+#     only exchange is the aggregate-sized partials shuffle.
+# ---------------------------------------------------------------------------
+def brand_nation_revenue(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    supp = supp.merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey", how="left"
+    )
+    dims_ref = ray.put(
+        (
+            pa.array(part["p_partkey"].to_numpy(), type=pa.int64()),
+            pa.array(part["p_brand"]),
+            pa.array(supp["s_suppkey"].to_numpy(), type=pa.int64()),
+            pa.array(supp["n_name"]),
+        )
+    )
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        pk, brand, sk, nname = ray.get(dims_ref)
+        pidx = pc.index_in(batch["l_partkey"].cast(pa.int64()), pk)
+        sidx = pc.index_in(batch["l_suppkey"].cast(pa.int64()), sk)
+        # exact decimal arithmetic: price has 2 decimals, discount has 2 —
+        # cents * (100 - disc_pct) is an exact int64 in 1e-4 units, so the
+        # grouped sum is associative and both engines round identically
+        # (a float64 sum flips cent boundaries between summation orders)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": brand.take(pidx),
+                "nation": nname.take(sidx),
+                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    enriched = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(enrich, batch_format="pyarrow")
+
+    agg = grouped_partial_sums(
+        enriched,
+        ["p_brand", "nation"],
+        {"rev_e4": "rev_e4"},
+        count_alias="n_items",
+    ).to_pandas()
+
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["revenue"] = round_half_away(agg["rev_e4"].to_numpy() / 1e4, 2)
+    return agg[["p_brand", "nation", "n_items", "revenue"]]
+
+
+BRAND_NATION_SQL = """
+SELECT p.p_brand, n.n_name AS nation,
+       count(*) AS n_items,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+             2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2720,4 +2802,5 @@ def registry() -> dict:
         "fuzzy_clusters": (fuzzy_clusters, FUZZY_CLUSTERS_SQL),
         "percent_rank_events": (percent_rank_events, PERCENT_RANK_SQL),
         "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+        "brand_nation_revenue": (brand_nation_revenue, BRAND_NATION_SQL),
     }
