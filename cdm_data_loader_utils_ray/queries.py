@@ -2740,6 +2740,36 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 61. C4-style composite quality gate: the full curation filter in one
+#     entry — language, quality score, token-count band and stopword floor
+#     over the fused single-pass text-analysis stage.  Thresholds compare
+#     the ROUNDED metrics on both engines, so the gate is deterministic.
+# ---------------------------------------------------------------------------
+def quality_filter(sf_dir: str):
+    out = text_analysis(sf_dir)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        mask = (
+            (df["lang_pred"] == "en")
+            & (df["quality_score"] >= 0.5)
+            & (df["n_tokens_ws"] >= 20)
+            & (df["n_tokens_ws"] <= 100000)
+            & (df["stopword_ratio"] >= 0.05)
+        )
+        return df[mask]
+
+    return out.map_batches(gate, batch_format="pandas")
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+SELECT * FROM ({_text_analysis_sql()}) base
+WHERE lang_pred = 'en' AND quality_score >= 0.5
+  AND n_tokens_ws BETWEEN 20 AND 100000 AND stopword_ratio >= 0.05
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2803,4 +2833,5 @@ def registry() -> dict:
         "percent_rank_events": (percent_rank_events, PERCENT_RANK_SQL),
         "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
         "brand_nation_revenue": (brand_nation_revenue, BRAND_NATION_SQL),
+        "quality_filter": (quality_filter, _quality_filter_sql()),
     }
