@@ -2770,6 +2770,83 @@ WHERE lang_pred = 'en' AND quality_score >= 0.5
 """
 
 
+# ---------------------------------------------------------------------------
+# 62. Cohort retention matrix (product-analytics family): users grouped by
+#     signup week (first event), distinct active users per (cohort week,
+#     week offset).  Pure composition of the engine's primitives: LWW-min
+#     first event per user (one keyed shuffle), partitioned hash join back
+#     onto events, week arithmetic in-batch, distinct via bucketed dedup,
+#     partial-count aggregate.
+# ---------------------------------------------------------------------------
+def cohort_retention(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket, hash_join, lww_latest
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        neg = pc.multiply(batch["ts"].cast(pa.int64()), pa.scalar(-1, type=pa.int64()))
+        return batch.append_column("_pref", neg)
+
+    firsts = lww_latest(
+        ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], "_pref",
+        num_buckets=32,
+    ).drop_columns(["_pref"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "first_ts"]), batch_format="pyarrow"
+    )
+
+    joined = hash_join(ev, firsts, on=["user_id"], num_buckets=32)
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        def week_start(s: pd.Series) -> pd.Series:
+            # Monday 00:00 — DuckDB date_trunc('week') convention
+            return s.dt.normalize() - pd.to_timedelta(s.dt.dayofweek, unit="D")
+
+        cw = week_start(df["first_ts"])
+        ew = week_start(df["ts"])
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "cohort_week": cw.dt.strftime("%Y-%m-%d"),
+                "week_offset": ((ew - cw).dt.days // 7).astype("int64"),
+            }
+        )
+        return out.drop_duplicates()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["user_id", "cohort_week", "week_offset"], 32)
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["__bucket__"]).drop_duplicates()
+
+    pairs = (
+        joined.map_batches(weeks, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
+
+    counts = grouped_partial_sums(
+        pairs, ["cohort_week", "week_offset"], {}, count_alias="n_users"
+    ).to_pandas()
+    counts["week_offset"] = counts["week_offset"].astype("int64")
+    counts["n_users"] = counts["n_users"].astype("int64")
+    return counts[["cohort_week", "week_offset", "n_users"]]
+
+
+COHORT_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', date_trunc('week', f.first_ts),
+                  date_trunc('week', e.ts)) / 7)::BIGINT AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2834,4 +2911,5 @@ def registry() -> dict:
         "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
         "brand_nation_revenue": (brand_nation_revenue, BRAND_NATION_SQL),
         "quality_filter": (quality_filter, _quality_filter_sql()),
+        "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     }
