@@ -61,7 +61,11 @@ def build_bloom(ds, key_column: str, num_bits: int = 1 << 23, num_hashes: int = 
     ``key_column`` in ``ds``.  One streaming pass; each block contributes
     one fixed-size partial row; the driver OR-folds partials incrementally
     (never more than one in flight)."""
-    num_words = num_bits // 64
+    # round UP to a whole word so the build modulus equals the probe's
+    # len(words) * 64 reconstruction — a ragged num_bits would otherwise
+    # desynchronize them (probe false negatives = silent anti-join misses)
+    num_words = (num_bits + 63) // 64
+    num_bits = num_words * 64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         words = np.zeros(num_words, dtype=np.uint64)
@@ -93,6 +97,20 @@ def bloom_contains(
     return (bits != 0).all(axis=1)
 
 
+def bloom_split(words_ref, key_column: str, maybe: bool, num_hashes: int = 5):
+    """Batch fn splitting rows on Bloom membership: ``maybe=True`` keeps
+    maybe-members (true matches + false positives), ``maybe=False`` keeps
+    definite non-members.  Shared by the anti-join and incremental-dedup
+    call sites so the probe idiom cannot drift."""
+    import ray
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        mask = bloom_contains(ray.get(words_ref), df[key_column], num_hashes)
+        return df[mask] if maybe else df[~mask]
+
+    return _f
+
+
 def anti_join_bloom_agg(
     left_ds_factory,
     right_ds,
@@ -117,20 +135,20 @@ def anti_join_bloom_agg(
     from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys
 
     words_ref = ray.put(build_bloom(right_ds, key_column, num_bits, num_hashes))
+    drop_members = bloom_split(words_ref, key_column, maybe=False, num_hashes=num_hashes)
 
-    def split(maybe: bool):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            words = ray.get(words_ref)
-            mask = bloom_contains(words, df[key_column], num_hashes)
-            kept = df[mask] if maybe else df[~mask]
-            return kept if maybe else partial(kept)
-
-        return _f
+    def nonmember_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return partial(drop_members(df))
 
     # branch 1: definite non-members collapse to partials inside the scan
-    non_members = left_ds_factory().map_batches(split(False), batch_format="pandas")
+    non_members = left_ds_factory().map_batches(
+        nonmember_partials, batch_format="pandas"
+    )
     # branch 2: maybe-members (matches + FPs) -> exact keyed anti-join
-    cand = left_ds_factory().map_batches(split(True), batch_format="pandas")
+    cand = left_ds_factory().map_batches(
+        bloom_split(words_ref, key_column, maybe=True, num_hashes=num_hashes),
+        batch_format="pandas",
+    )
     survivors = anti_join_keys(cand, right_ds, [key_column], num_buckets=num_buckets)
     sur_partials = survivors.map_batches(partial, batch_format="pandas")
 

@@ -1259,13 +1259,19 @@ def dedup_incremental(
     """
     import ray
 
-    from cdm_data_loader_utils_ray.functions.bloom import bloom_contains, build_bloom
+    from cdm_data_loader_utils_ray.functions.bloom import bloom_split, build_bloom
     from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys, lww_latest
 
     seen_col = seen_text_column or text_column
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = sha256_array(batch[text_column])
+        texts = batch[text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # null text hashes as '' — sha256_array maps null -> null, and a
+        # null key would make every null-text row survive lww_latest's
+        # "first per hash" (documented non-null-key precondition)
+        h = sha256_array(pc.fill_null(texts, ""))
         ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column("content_sha256", h).append_column(
             "_pref", pa.array(-ids, type=pa.int64())
@@ -1279,20 +1285,20 @@ def dedup_incremental(
     ).drop_columns(["_pref"]).materialize()
 
     def seen_hashes(batch: pa.Table) -> pa.Table:
-        return pa.table({"content_sha256": sha256_array(batch[seen_col])})
+        texts = batch[seen_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table({"content_sha256": sha256_array(pc.fill_null(texts, ""))})
 
     seen_h = seen_ds.map_batches(seen_hashes, batch_format="pyarrow")
     words_ref = ray.put(build_bloom(seen_h, "content_sha256", num_bits=bloom_bits))
 
-    def probe(maybe: bool):
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            mask = bloom_contains(ray.get(words_ref), df["content_sha256"])
-            return df[mask] if maybe else df[~mask]
-
-        return _f
-
-    definite_new = first.map_batches(probe(False), batch_format="pandas")
-    cand = first.map_batches(probe(True), batch_format="pandas")
+    definite_new = first.map_batches(
+        bloom_split(words_ref, "content_sha256", maybe=False), batch_format="pandas"
+    )
+    cand = first.map_batches(
+        bloom_split(words_ref, "content_sha256", maybe=True), batch_format="pandas"
+    )
     survivors = anti_join_keys(
         cand, seen_h, ["content_sha256"], num_buckets=num_buckets
     )

@@ -220,7 +220,10 @@ def count_min_build(ds, column: str, width: int = 2048, depth: int = 4,
     """(depth, width) int64 count-min table for ``column`` — per-batch
     partial tables summed driver-side (counts are linear, so partials
     merge by addition).  Point estimate overcounts by <= 2n/width with
-    probability 1 - 2^-depth, never undercounts."""
+    probability 1 - 2^-depth, never undercounts.  ``depth`` is capped by
+    the number of independent salts available."""
+    if depth > len(_CM_SALTS):
+        raise ValueError(f"depth must be <= {len(_CM_SALTS)} (got {depth})")
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         tbl = np.zeros((depth, width), dtype=np.int64)

@@ -2455,18 +2455,38 @@ def zscore_events(sf_dir: str):
     from cdm_data_loader_utils_ray.core.rounding import round_half_away
     from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
 
+    # two-pass population variance (sum of squared DEVIATIONS about the
+    # broadcast mean) — the naive ss/n - mean^2 form cancels catastrophically
+    # when |mean| >> sd, drifting from DuckDB's stable stddev_pop accumulator
+    # by enough to flip round(z, 4) boundaries (r3 review finding)
     stats = grouped_partial_sums(
         _read(sf_dir, "events", columns=["event_type", "value"]),
         ["event_type"],
-        {"s": "value", "ss": "value * value"},
+        {"s": "value"},
         count_alias="n",
     ).to_pandas()
-    mean = stats["s"] / stats["n"]
-    var = (stats["ss"] / stats["n"] - mean * mean).clip(lower=0.0)
+    mean_by_type = dict(zip(stats["event_type"], stats["s"] / stats["n"]))
+    mean_ref = ray.put(mean_by_type)
+
+    def dev2(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mean_ref)
+        codes, uniques = pd.factorize(df["event_type"], sort=False)
+        marr = np.array([m[u] for u in uniques], dtype=np.float64)
+        d = df["value"].to_numpy(dtype=np.float64) - marr[codes]
+        return pd.DataFrame({"event_type": df["event_type"], "d2": d * d})
+
+    ssd = grouped_partial_sums(
+        _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+            dev2, batch_format="pandas"
+        ),
+        ["event_type"],
+        {"ssd": "d2"},
+        count_alias="n2",
+    ).to_pandas()
     lut_ref = ray.put(
         {
-            t: (m, v ** 0.5)
-            for t, m, v in zip(stats["event_type"], mean, var)
+            t: (mean_by_type[t], (s / n) ** 0.5)
+            for t, s, n in zip(ssd["event_type"], ssd["ssd"], ssd["n2"])
         }
     )
 
@@ -2508,8 +2528,10 @@ FROM events e JOIN s USING (event_type)
 # 57. Fuzzy entity-resolution clusters: the typo-pair graph (entry 53's
 #     blocked Levenshtein pairs, planted copies included) collapsed to
 #     connected components, min-id canonical label — the curation composite
-#     (block -> pair -> union).  Components auto-switch to distributed
-#     label propagation above the pair bound (dedup.connected_components*).
+#     (block -> pair -> union).  Pair volume is bounded by the suffix
+#     blocking's selectivity, so driver union-find is the right size here;
+#     a dup-saturated corpus should route the PAIR dataset into
+#     dedup.connected_components_distributed instead of collecting it.
 # ---------------------------------------------------------------------------
 def fuzzy_clusters(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.dedup import connected_components

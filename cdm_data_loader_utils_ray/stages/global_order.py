@@ -89,9 +89,10 @@ def prefix_budget_select(
     ``ds_factory`` is a zero-arg callable returning a fresh Dataset (one
     streaming scan per pass)."""
 
+    proto_ds = ds_factory()  # reused for schema proto AND boundary pass
     qs = [i / num_buckets for i in range(1, num_buckets)]
     qmap = approx_quantiles(
-        _boundary_input(ds_factory(), boundary_sample_rows), score_column, qs
+        _boundary_input(proto_ds, boundary_sample_rows), score_column, qs
     )
     bounds = np.unique(
         np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
@@ -115,7 +116,7 @@ def prefix_budget_select(
         .to_pandas()
     )
     if len(parts) == 0:
-        return _empty_proto(ds_factory(), cum_alias)
+        return _empty_proto(proto_ds, cum_alias)
     totals = parts.groupby("__obucket__", sort=True)["s"].sum()
     offsets = totals.cumsum().shift(fill_value=0.0)
     # prune buckets that start past the budget (values are non-negative,
@@ -150,7 +151,7 @@ def prefix_budget_select(
         .groupby("__obucket__")
         .map_groups(bucket_prefix, batch_format="pandas")
     )
-    return _empty_proto(ds_factory(), cum_alias).union(selected)
+    return _empty_proto(proto_ds, cum_alias).union(selected)
 
 
 def grouped_percent_rank(
@@ -184,9 +185,10 @@ def grouped_percent_rank(
     """
     import ray
 
+    proto_ds = ds_factory()  # reused for schema proto AND boundary pass
     qs = [i / num_buckets for i in range(1, num_buckets)]
     qmap = approx_quantiles(
-        _boundary_input(ds_factory(), boundary_sample_rows), value_column, qs
+        _boundary_input(proto_ds, boundary_sample_rows), value_column, qs
     )
     bounds = np.unique(
         np.array([v for v in qmap.values() if not np.isnan(v)], dtype=np.float64)
@@ -212,7 +214,7 @@ def grouped_percent_rank(
         .to_pandas()
     )
     if len(parts) == 0:
-        return _empty_proto(ds_factory(), out_alias)
+        return _empty_proto(proto_ds, out_alias)
     counts = (
         parts.groupby([group_column, "__obucket__"], sort=True)["c"].sum().reset_index()
     )
@@ -251,4 +253,4 @@ def grouped_percent_rank(
         .groupby("__obucket__")
         .map_groups(bucket_rank, batch_format="pandas")
     )
-    return _empty_proto(ds_factory(), out_alias).union(ranked)
+    return _empty_proto(proto_ds, out_alias).union(ranked)

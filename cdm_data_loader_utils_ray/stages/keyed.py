@@ -139,13 +139,25 @@ def outer_diff(
 
 
 def _arrow_schema(ds) -> pa.Schema:
-    """The dataset's schema as a ``pyarrow.Schema`` — pandas-backed
-    datasets (``from_pandas`` lineages) report a PandasBlockSchema, so
-    fall back to materializing one row."""
+    """The dataset's schema as a ``pyarrow.Schema``.  Pandas-backed
+    datasets (``from_pandas`` lineages) report a PandasBlockSchema; map
+    its numpy dtypes directly (object -> string, the pandas-block text
+    convention) rather than sampling a row — a 0-row sample would type
+    object columns as null, which Arrow's join kernel rejects."""
     base = ds.schema().base_schema
     if isinstance(base, pa.Schema):
         return base
-    return pa.Table.from_pandas(ds.limit(1).to_pandas(), preserve_index=False).schema
+
+    def _to_arrow(t) -> pa.DataType:
+        if t == np.dtype("O"):
+            return pa.string()
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            # extension dtypes (tz-aware datetimes etc.)
+            return pa.timestamp("us")
+
+    return pa.schema([(n, _to_arrow(t)) for n, t in zip(base.names, base.types)])
 
 
 def hash_join(
