@@ -173,6 +173,35 @@ class Manifest:
         )
 
 
+def chain_may_match(
+    table_dir: str, files: list[str], column: str, lo=None, hi=None
+) -> bool:
+    """Data skipping from parquet FOOTER statistics (Delta-style, but with
+    zero write-path changes — parquet already persists per-row-group
+    min/max): True unless EVERY row group of EVERY chain file provably
+    lies outside [lo, hi].  Sound at partition granularity for LWW-merged
+    state: a winner row's value exists verbatim in some chain file, so a
+    chain with no in-range values yields no in-range winners.  Footer
+    reads are metadata-only (no data IO) and run inside the per-partition
+    worker task.  Conservative on any missing stat."""
+    for f in files:
+        try:
+            md = pq.ParquetFile(os.path.join(table_dir, f)).metadata
+        except Exception:
+            return True  # unreadable footer -> cannot prove disjoint
+        try:
+            ci = [md.schema.to_arrow_schema().names.index(column)]
+        except ValueError:
+            return True  # column absent pre-rename -> be conservative
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci[0]).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if (lo is None or st.max >= lo) and (hi is None or st.min <= hi):
+                return True
+    return False
+
+
 def merge_chain_files(table_dir: str, files: list[str], m: "Manifest") -> pa.Table:
     """LWW-merge one partition's delta-chain files, applying the manifest's
     ``rename_history`` per file BEFORE schema alignment (older chain files
@@ -277,10 +306,21 @@ class LakeTable:
             out.extend(self.abspath(f) for f in p.files)
         return out
 
-    def read_state(self, manifest: Manifest | None = None, live_only: bool = True):
+    def read_state(
+        self,
+        manifest: Manifest | None = None,
+        live_only: bool = True,
+        column_range: dict | None = None,
+    ):
         """Committed state as a ``ray.data.Dataset``: one task per
         partition LWW-merges its delta chain (streaming across
-        partitions)."""
+        partitions).
+
+        ``column_range`` maps column -> (lo, hi) (either bound may be
+        None): rows are filtered to the ranges AND partitions whose chain
+        footers prove no overlap are skipped before any data IO
+        (:func:`chain_may_match` — Delta-style data skipping from the
+        parquet statistics already on disk)."""
         import ray.data as rd
 
         m = manifest or self.latest_manifest()
@@ -290,17 +330,34 @@ class LakeTable:
         table_dir = self.dir
         chains = {p.pid: list(p.files) for p in m.partitions.values()}
         pids = sorted(chains)
+        ranges = dict(column_range or {})
+
+        out_schema = m.schema
+        if live_only and "is_deleted" in out_schema.names:
+            out_schema = out_schema.remove(out_schema.get_field_index("is_deleted"))
 
         def merge_chain(batch: dict) -> pa.Table:
             import pyarrow.compute as pc
 
             out = []
             for pid in batch["item"]:
-                t = merge_chain_files(table_dir, chains[int(pid)], m)
+                files = chains[int(pid)]
+                if any(
+                    not chain_may_match(table_dir, files, c, lo, hi)
+                    for c, (lo, hi) in ranges.items()
+                ):
+                    continue  # footer-proven disjoint: no data IO at all
+                t = merge_chain_files(table_dir, files, m)
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
+                for c, (lo, hi) in ranges.items():
+                    if lo is not None:
+                        t = t.filter(pc.greater_equal(t[c], pa.scalar(lo)))
+                    if hi is not None:
+                        t = t.filter(pc.less_equal(t[c], pa.scalar(hi)))
                 out.append(t)
-            return pa.concat_tables(out) if out else m.schema.empty_table()
+            # skipped-partition batches still need the output schema
+            return pa.concat_tables(out) if out else out_schema.empty_table()
 
         return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
             merge_chain, batch_size=1
