@@ -28,11 +28,19 @@ def _rewrite_partitions(
     rewrite: Callable[[pa.Table, int], tuple[pa.Table | None, int]],
     run_id: str,
     metrics_key: str,
+    column_range: dict | None = None,
 ) -> Manifest:
     """Rewrite each partition with ``rewrite(table, pid)`` (None = keep
-    as-is) via one Ray task per partition, then commit epoch+1."""
+    as-is) via one Ray task per partition, then commit epoch+1.
+
+    ``column_range`` (col -> (lo, hi)) is a data-skipping HINT: a
+    partition whose chain footers prove no row in range is carried
+    forward untouched without reading any data (sound only when the
+    rewrite is a no-op outside the range, which the caller asserts by
+    passing the hint)."""
     import ray.data as rd
 
+    from cdm_data_loader_utils_ray.sinks.lake import chain_may_match
     from cdm_data_loader_utils_ray.state.upsert import merge_states
 
     m = table.latest_manifest()
@@ -41,6 +49,7 @@ def _rewrite_partitions(
     epoch = m.epoch + 1
     chains = {p.pid: list(p.files) for p in m.partitions.values()}
     table_dir = table.dir
+    ranges = dict(column_range or {})
 
     def one(batch: dict) -> pa.Table:
         rows = []
@@ -48,6 +57,15 @@ def _rewrite_partitions(
             pid = int(pid)
             lake = LakeTable(table_dir)
             chain = chains[pid]
+            if ranges and any(
+                not chain_may_match(table_dir, chain, c, lo, hi)
+                for c, (lo, hi) in ranges.items()
+            ):
+                # footer-proven out of range: no data IO, chain kept as-is
+                rows.append({"pid": pid, "changed": False, "file": chain[-1],
+                             "rows": -1, "hwm_seq": -1, "live_keys": -1,
+                             "bytes": -1, "touched_rows": 0})
+                continue
             t = merge_states(
                 None,
                 pa.concat_tables(
@@ -309,10 +327,16 @@ def update_where(
     predicate: Callable[[pa.Table], pa.Array],
     setter: Callable[[pa.Table], pa.Table],
     run_id: str = "update",
+    column_range: dict | None = None,
 ) -> tuple[Manifest, int]:
     """``DeltaTable.update(cond, set)`` analogue with effect verification:
     returns (manifest, updated_row_count); rows matching ``predicate`` are
     replaced by ``setter(matching_rows)``, everything else kept byte-equal.
+
+    ``column_range`` (col -> (lo, hi)): optional data-skipping hint — the
+    caller asserts the predicate can only match rows inside the ranges,
+    and partitions whose parquet footers prove no such rows are skipped
+    without any data IO (Delta-style file skipping on update).
     """
     def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
         mask = pc.fill_null(predicate(t), False)
@@ -323,6 +347,7 @@ def update_where(
         kept = t.filter(pc.invert(mask))
         return pa.concat_tables([kept, updated], promote_options="permissive"), n
 
-    m = _rewrite_partitions(table, rewrite, run_id, "updated_partitions")
+    m = _rewrite_partitions(table, rewrite, run_id, "updated_partitions",
+                            column_range=column_range)
     # effect verification (reference checks Delta history numUpdatedRows)
     return m, int(m.metrics.get("touched_rows", 0))

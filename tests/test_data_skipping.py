@@ -61,3 +61,47 @@ def test_read_state_column_range(ray_session, tmp_path):
     assert sorted(got.columns) == sorted(full.columns)
     # a provably-empty range returns zero rows without error
     assert len(table.read_state(column_range={"seq": (10**12, None)}).to_pandas()) == 0
+
+
+def test_update_where_column_range_hint(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.pipelines.maintenance import update_where
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=150, num_events=1500, seed=13))
+    run_replay(ev, lake, num_partitions=6)
+    table = LakeTable(lake)
+    before = read_final_state_arrow(table)
+    lo = int(pc.approximate_median(before["seq"]).as_py())
+
+    def pred(t):
+        return pc.greater_equal(t["seq"], lo)
+
+    def setter(t):
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang",
+            pa.array(["late"] * len(t), type=pa.string()),
+        )
+
+    m, n = update_where(table, pred, setter, column_range={"seq": (lo, None)})
+    after = read_final_state_arrow(table)
+    n_expected = len(before.filter(pc.greater_equal(before["seq"], lo)))
+    assert len(after.filter(pc.equal(after["lang"], "late"))) >= n_expected
+    assert len(after) == len(before)
+    assert n >= n_expected
+    # a hint that provably excludes every chain rewrites nothing
+    m2, n2 = update_where(
+        table, lambda t: pc.greater_equal(t["seq"], 10**12),
+        setter, column_range={"seq": (10**12, None)},
+    )
+    assert n2 == 0 and m2.metrics["updated_partitions"] == 0
+    # and the chains were carried forward untouched (same files)
+    for pid, entry in m2.partitions.items():
+        assert entry.files == m.partitions[pid].files
