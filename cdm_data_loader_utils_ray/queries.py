@@ -519,6 +519,54 @@ FROM r WHERE rn = 1 AND op <> 'delete'
 
 
 # ---------------------------------------------------------------------------
+# 13a2. Range read over the committed lake (data skipping): replay, then
+#       read back only winners with seq >= 40% of max seq — partitions
+#       whose chain footers prove no such rows are skipped before any
+#       data IO (sinks/lake.chain_may_match).  Threshold is integer
+#       arithmetic on max(seq), so both engines cut identically.
+# ---------------------------------------------------------------------------
+def cdc_range_read(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    run_replay(ev, os.path.join(work, "lake"), num_partitions=8)
+    table = LakeTable(os.path.join(work, "lake"))
+    full = table.read_state()
+    max_seq = int(full.max("seq"))
+    lo = int(np.floor(0.4 * max_seq))  # floor on both engines (DuckDB CAST rounds)
+    ranged = table.read_state(column_range={"seq": (lo, None)})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["repo", "path", "seq", "content_sha256"])
+
+    return ranged.map_batches(project, batch_format="pyarrow")
+
+
+CDC_RANGE_READ_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'org0/stream' AS repo,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path,
+         'json' AS lang,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM ev),
+w AS (SELECT repo, path, seq, sha256(content) AS content_sha256
+      FROM r WHERE rn = 1 AND op <> 'delete')
+SELECT repo, path, seq, content_sha256 FROM w
+WHERE seq >= CAST(floor(0.4 * (SELECT max(seq) FROM w)) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 13b. Continuous-tailing mode (T7): the same event log fed through the
 #      shard-ACTOR tailer (state resident between micro-batches, snapshot
 #      commit) must converge to the identical final state — same oracle as
@@ -2886,6 +2934,7 @@ def registry() -> dict:
         "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
+        "cdc_range_read": (cdc_range_read, CDC_RANGE_READ_SQL),
         "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
         "window_daily": (window_daily, WINDOW_DAILY_SQL),
         "session_windows": (session_windows, SESSION_WINDOWS_SQL),
