@@ -100,6 +100,30 @@ def cmd_preview(args) -> int:
     return 0
 
 
+def cmd_read(args) -> int:
+    """Export committed state (optionally range-pruned via the parquet
+    footer statistics — Delta-style data skipping) to a parquet dir."""
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    ranges = {}
+    for spec in args.range or []:
+        col, lo, hi = (spec.split(":") + ["", ""])[:3]
+
+        def parse(v):
+            if v == "":
+                return None
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        ranges[col] = (parse(lo), parse(hi))
+    ds = LakeTable(args.lake).read_state(column_range=ranges or None)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
 def cmd_stream(args) -> int:
     ray = _ray_session(args.num_cpus)
     import ray.data as rd
@@ -268,6 +292,17 @@ def main(argv=None) -> int:
     pv.add_argument("--lake", required=True)
     pv.add_argument("-n", type=int, default=10)
     pv.set_defaults(fn=cmd_preview)
+
+    rdp = sub.add_parser(
+        "read", help="export committed state, optionally range-pruned (data skipping)"
+    )
+    rdp.add_argument("--lake", required=True)
+    rdp.add_argument("--out", required=True)
+    rdp.add_argument(
+        "--range", action="append",
+        help="col:lo:hi (either bound empty for unbounded), repeatable",
+    )
+    rdp.set_defaults(fn=cmd_read)
 
     ing = sub.add_parser("ingest", help="validated DSV ingest -> Parquet + audit")
     ing.add_argument("--input", required=True)
