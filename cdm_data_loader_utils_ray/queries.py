@@ -2917,6 +2917,47 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 64. Streaming tumbling-window aggregate (§2.11 extension): the event
+#     stream micro-batches through a pool of window-shard actors holding
+#     per-window partials; with unlimited lateness the close() emission is
+#     EXACT for any arrival order, so the batch tumbling SQL is its twin.
+#     (Watermark closing + late-drop accounting are pytest-covered.)
+# ---------------------------------------------------------------------------
+def streaming_window(sf_dir: str):
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.state.windows_stream import (
+        StreamingWindowAggregator,
+    )
+
+    agg = StreamingWindowAggregator(
+        "event_type", "value", ts_column="ts",
+        window_us=86_400_000_000, allowed_lateness_us=None, num_shards=4,
+    )
+    try:
+        agg.feed(_read(sf_dir, "events", columns=["event_type", "ts", "value"]))
+        out = agg.close().to_pandas()
+    finally:
+        agg.shutdown()
+    return pd.DataFrame(
+        {
+            "event_type": out["key"],
+            "window_start": pd.to_datetime(out["window_start_us"], unit="us").dt.strftime(
+                "%Y-%m-%d"
+            ),
+            "n_events": out["n"].astype("int64"),
+            "sum_value": round_half_away(out["s"].to_numpy(), 4),
+        }
+    )
+
+
+STREAMING_WINDOW_SQL = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       count(value) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2983,4 +3024,5 @@ def registry() -> dict:
         "brand_nation_revenue": (brand_nation_revenue, BRAND_NATION_SQL),
         "quality_filter": (quality_filter, _quality_filter_sql()),
         "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+        "streaming_window": (streaming_window, STREAMING_WINDOW_SQL),
     }

@@ -1,0 +1,176 @@
+"""Streaming tumbling-window aggregation with event-time watermarks —
+the streaming-window member of the §2.11 family (the reference has no
+windows; this is the engine-native extension the prompt's custom-operator
+list calls for).
+
+Shape mirrors :mod:`state.streaming`: a pool of window-shard ACTORS, each
+owning the partial aggregates of the windows hashed to it, fed by
+vectorized pushes from the driver's routing pass.  Event time never needs
+to be globally ordered:
+
+* every micro-batch is grouped in-batch (pandas combiner) and each
+  (window, key) partial is pushed to the shard owning that window —
+  per-push payload is aggregate-sized, not row-sized;
+* the WATERMARK is ``max event time seen - allowed_lateness``; windows
+  whose END is at or below it are closed: emitted once and dropped from
+  shard memory, so resident state is O(open windows), not O(stream);
+* rows arriving for an already-closed window are COUNTED (``late_dropped``)
+  but not applied — at-most-once emission, the documented trade of a
+  tumbling watermark design.  With ``allowed_lateness=None`` nothing
+  closes until :meth:`close`, making the final emission EXACT (equal to
+  the batch SQL aggregate) for any arrival order.
+
+Aggregates per (window_start, key): count and sum of the value column —
+the same shape as the batch ``window_daily`` entry, so one SQL twin
+checks both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=0.25)
+class WindowShard:
+    """Partial aggregates for the windows routed to this shard:
+    (window_start_us, key) -> [count, sum]."""
+
+    def __init__(self):
+        self.acc: dict[tuple[int, object], list] = {}
+        self.closed_below: int = -(2**63)  # window_start threshold already emitted
+        self.late_dropped = 0
+
+    def apply(self, partials: pa.Table) -> int:
+        """Merge a batch's (window_start_us, key, n, s) combiner rows."""
+        ws = partials["window_start_us"].to_numpy(zero_copy_only=False)
+        keys = partials["key"].to_pylist()
+        ns = partials["n"].to_numpy(zero_copy_only=False)
+        ss = partials["s"].to_numpy(zero_copy_only=False)
+        late = 0
+        for w, k, n, s in zip(ws, keys, ns, ss):
+            if w < self.closed_below:
+                late += int(n)
+                continue
+            slot = self.acc.setdefault((int(w), k), [0, 0.0])
+            slot[0] += int(n)
+            slot[1] += float(s)
+        self.late_dropped += late
+        return late
+
+    def emit_below(self, window_start_threshold: int) -> pa.Table:
+        """Close (emit + drop) every window with start < threshold."""
+        out = [(w, k, v[0], v[1]) for (w, k), v in self.acc.items()
+               if w < window_start_threshold]
+        for w, k, *_ in out:
+            del self.acc[(w, k)]
+        self.closed_below = max(self.closed_below, window_start_threshold)
+        return pa.table(
+            {
+                "window_start_us": pa.array([r[0] for r in out], type=pa.int64()),
+                "key": pa.array([r[1] for r in out]),
+                "n": pa.array([r[2] for r in out], type=pa.int64()),
+                "s": pa.array([r[3] for r in out], type=pa.float64()),
+            }
+        )
+
+    def stats(self) -> dict:
+        return {"open_windows": len(self.acc), "late_dropped": self.late_dropped}
+
+
+class StreamingWindowAggregator:
+    """Driver-side coordinator: route, watermark, emit.
+
+    ``allowed_lateness_us=None`` disables in-stream closing (exact final
+    result on :meth:`close` regardless of disorder)."""
+
+    def __init__(
+        self,
+        key_column: str,
+        value_column: str,
+        ts_column: str = "ts",
+        window_us: int = 86_400_000_000,
+        allowed_lateness_us: int | None = None,
+        num_shards: int = 4,
+    ):
+        self.key_column = key_column
+        self.value_column = value_column
+        self.ts_column = ts_column
+        self.window_us = int(window_us)
+        self.lateness = allowed_lateness_us
+        self.shards = [WindowShard.remote() for _ in range(num_shards)]
+        self.max_ts = -(2**63)
+        self.emitted: list[pa.Table] = []
+
+    def _combine(self, df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[self.ts_column]
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_us = ts.astype("int64") // 1000 if ts.dtype == "datetime64[ns]" else ts.astype("int64")
+        else:
+            ts_us = ts.astype("int64")
+        win = (ts_us // self.window_us) * self.window_us
+        g = (
+            df.assign(window_start_us=win)
+            .groupby(["window_start_us", self.key_column], sort=False)[self.value_column]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        g.columns = ["window_start_us", "key", "n", "s"]
+        self.max_ts = max(self.max_ts, int(ts_us.max()) if len(ts_us) else self.max_ts)
+        return g
+
+    def feed(self, events_ds, batch_size: int = 65536) -> None:
+        """One pass over a micro-batch Dataset: in-batch combine, push each
+        shard its windows' partials, then advance the watermark."""
+        P = len(self.shards)
+        for batch in events_ds.iter_batches(
+            batch_format="pandas", batch_size=batch_size
+        ):
+            if not len(batch):
+                continue
+            g = self._combine(batch)
+            shard_of = (g["window_start_us"] // self.window_us) % P
+            pushes = []
+            for sid in shard_of.unique():
+                sub = g[shard_of == sid]
+                pushes.append(
+                    self.shards[int(sid)].apply.remote(
+                        pa.Table.from_pandas(sub, preserve_index=False)
+                    )
+                )
+            ray.get(pushes)  # backpressure: next batch waits on these
+        self.advance()
+
+    def advance(self) -> None:
+        if self.lateness is None:
+            return
+        watermark = self.max_ts - self.lateness
+        # a window [w, w + window_us) is closed once its END <= watermark
+        threshold = ((watermark - self.window_us) // self.window_us + 1) * self.window_us
+        got = ray.get([s.emit_below.remote(threshold) for s in self.shards])
+        self.emitted.extend(t for t in got if t.num_rows)
+
+    def close(self) -> pa.Table:
+        """Emit everything still open and return ALL emitted aggregates."""
+        got = ray.get([s.emit_below.remote(2**63 - 1) for s in self.shards])
+        self.emitted.extend(t for t in got if t.num_rows)
+        if not self.emitted:
+            return pa.table(
+                {
+                    "window_start_us": pa.array([], type=pa.int64()),
+                    "key": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(self.emitted)
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
