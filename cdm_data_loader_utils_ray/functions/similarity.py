@@ -220,3 +220,52 @@ def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
 
     parts = ds.map_batches(filter_and_score, batch_format="pyarrow").to_pandas()
     return _topk_frame(parts, k, id_column, tie_ndigits).reset_index(drop=True)
+
+
+def sq8_topk(ds, query: np.ndarray, k: int = 10, rescore: int = 64,
+             column: str = "embedding", id_column: str = "vec_id",
+             tie_ndigits: int | None = None) -> pd.DataFrame:
+    """Scalar-quantized (int8) cosine top-k — the memory-4x path for
+    brute-force scans over corpora whose float32 embeddings don't fit:
+    per batch, vectors quantize to symmetric int8 (per-batch scale — only
+    WITHIN-batch candidate ranking uses the quantized score, so scales
+    need not be global), the int32 accumulated dot picks ``rescore``
+    candidates, and ONLY those rows are rescored with the exact float
+    cosine.  The final merge ranks by exact scores, so accuracy equals
+    brute force whenever the true top-k survives the candidate cut
+    (recall asserted in pytest; exact-copy fixtures guarantee it by
+    construction).  At 100 TB the int8 corpus would be precomputed once
+    and scanned in place of the float column; here quantization is fused
+    into the scan to keep one dataset."""
+    qf = query.astype(np.float32)
+    qn = qf / (np.linalg.norm(qf) or 1.0)
+    qs = float(np.abs(qf).max()) or 1.0
+    q8 = np.clip(np.rint(qf / qs * 127.0), -127, 127).astype(np.int32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        if m.size == 0:
+            return pa.table({id_column: pa.array([], type=pa.int64()),
+                             "cos_sim": pa.array([], type=pa.float64())})
+        # L2-normalize BEFORE quantizing: the int8 dot then approximates
+        # COSINE, not raw dot — otherwise large-norm vectors crowd the
+        # candidate set and recall collapses on mixed-norm corpora
+        row_norms = np.linalg.norm(m, axis=1, keepdims=True)
+        row_norms[row_norms == 0] = 1.0
+        mn = m / row_norms
+        s = float(np.abs(mn).max()) or 1.0
+        m8 = np.clip(np.rint(mn / s * 127.0), -127, 127).astype(np.int8)
+        approx = m8.astype(np.int32) @ q8
+        r = min(rescore, len(approx))
+        cand = np.argpartition(-approx, r - 1)[:r]
+        sub = m[cand]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (sub @ qn) / norms
+        ids = batch[id_column].take(pa.array(cand)).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({id_column: ids, "cos_sim": cos.astype(np.float64)})
+        df = _topk_frame(df, k, id_column, tie_ndigits)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return _topk_frame(parts, k, id_column, tie_ndigits).reset_index(drop=True)

@@ -2958,6 +2958,79 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# 65. CUBE grouping sets (A-family): doc counts + char sums by
+#     (lang, source) and every marginal.  ONE combiner aggregate over the
+#     finest grain; the three coarser grouping sets are derived from that
+#     aggregate-sized result driver-side — no second scan, no extra
+#     shuffle (integer sums, so re-aggregation is exact).
+# ---------------------------------------------------------------------------
+def cube_counts(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
+
+    def chars(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.utf8_length(pc.fill_null(texts, "")).cast(pa.int64()),
+            }
+        )
+
+    base = grouped_partial_sums(
+        ds.map_batches(chars, batch_format="pyarrow"),
+        ["lang", "source"],
+        {"sum_chars": "n_chars"},
+        count_alias="n_docs",
+    ).to_pandas()
+
+    def roll(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out = df.copy()
+        for c in ("lang", "source"):
+            if c not in keys:
+                out[c] = "ALL"
+        g = out.groupby(["lang", "source"], sort=False)[["n_docs", "sum_chars"]].sum()
+        return g.reset_index()
+
+    cube = pd.concat(
+        [roll(base, ["lang", "source"]), roll(base, ["lang"]),
+         roll(base, ["source"]), roll(base, [])],
+        ignore_index=True,
+    )
+    cube["n_docs"] = cube["n_docs"].astype("int64")
+    cube["sum_chars"] = cube["sum_chars"].astype("int64")
+    return cube[["lang", "source", "n_docs", "sum_chars"]]
+
+
+CUBE_COUNTS_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       sum(length(coalesce(text, '')))::BIGINT AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 66. Scalar-quantized (int8) ANN top-k: quantized-dot candidate cut +
+#     exact float rescore, hash-checked via the shared planted-copy
+#     fixture (copies quantize identically to the query, so the true
+#     top-10 must survive any candidate cut).  Recall on organic data is
+#     pytest-asserted vs brute force.
+# ---------------------------------------------------------------------------
+def knn_sq8(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.similarity import sq8_topk
+
+    query, aug = _planted_query_corpus(sf_dir)
+    out = sq8_topk(aug, query, k=10, rescore=64, tie_ndigits=4)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
+    return out
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3025,4 +3098,6 @@ def registry() -> dict:
         "quality_filter": (quality_filter, _quality_filter_sql()),
         "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
         "streaming_window": (streaming_window, STREAMING_WINDOW_SQL),
+        "cube_counts": (cube_counts, CUBE_COUNTS_SQL),
+        "knn_sq8": (knn_sq8, KNN_LSH_SQL),
     }

@@ -70,3 +70,29 @@ def test_ivf_matches_bruteforce_topk():
     assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
     # ANN recall: majority overlap with the exact top-k
     assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 3
+
+
+def test_sq8_recall_vs_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d = 5000, 32
+    base = rng.normal(size=(8, d))
+    vecs = (base[rng.integers(0, 8, n)] + 0.3 * rng.normal(size=(n, d))).astype(
+        np.float32
+    )
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df)
+    q = vecs[7] + 0.05 * rng.normal(size=d).astype(np.float32)
+    exact = brute_force_topk(ds, q, k=10, tie_ndigits=6)
+    approx = sq8_topk(ds, q, k=10, rescore=128, tie_ndigits=6)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.9, recall
