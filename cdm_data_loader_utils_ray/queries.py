@@ -3031,6 +3031,68 @@ def knn_sq8(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# 67. Bloom-gated SEMI join (EXISTS): lineitems whose order IS urgent,
+#     aggregated per returnflag — the dual of entry 54.  Bloom misses are
+#     provably non-members and drop in the probe scan (no shuffle); only
+#     maybe-members take the exact keyed semi join, so shuffle volume is
+#     O(matches + eps * |left|).
+# ---------------------------------------------------------------------------
+def semi_join_bloom(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.bloom import bloom_split, build_bloom
+    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+
+    right = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda b: b.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    words_ref = ray.put(build_bloom(right, "l_orderkey"))
+
+    left = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]
+    ).map_batches(
+        bloom_split(words_ref, "l_orderkey", maybe=True), batch_format="pandas"
+    )
+    matched = semi_join_keys(left, right, ["l_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+        return g.reset_index()
+
+    parts = matched.map_batches(partial, batch_format="pandas").to_pandas()
+    g = (
+        parts.groupby("l_returnflag", sort=False)
+        .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+        .reset_index()
+    )
+    g["n_items"] = g["n_items"].astype("int64")
+    g["sum_qty"] = round_half_away(g["sum_qty"].to_numpy(), 2)
+    return g
+
+
+SEMI_JOIN_BLOOM_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3100,4 +3162,5 @@ def registry() -> dict:
         "streaming_window": (streaming_window, STREAMING_WINDOW_SQL),
         "cube_counts": (cube_counts, CUBE_COUNTS_SQL),
         "knn_sq8": (knn_sq8, KNN_LSH_SQL),
+        "semi_join_bloom": (semi_join_bloom, SEMI_JOIN_BLOOM_SQL),
     }

@@ -329,3 +329,32 @@ def hash_join_salted(
     return joined.map_batches(
         lambda b: b.drop_columns(["__salt__"]), batch_format="pyarrow"
     )
+
+
+def semi_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: int = 64):
+    """Left-SEMI by key (EXISTS): rows of ``left_ds`` whose key appears in
+    ``right_ds`` — the dual of :func:`anti_join_keys`, same single-shuffle
+    bucket shape, right side reduced to distinct keys inside the bucket."""
+    keys = list(key_columns)
+
+    def tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            if side == "right":
+                batch = batch.select(keys)
+            batch = batch.append_column("__side__", pa.array([side] * len(batch)))
+            return _add_bucket(batch, keys, num_buckets)
+
+        return _t
+
+    tagged = left_ds.map_batches(tag("left"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("right"), batch_format="pyarrow")
+    )
+
+    def keep_left_match(df: pd.DataFrame) -> pd.DataFrame:
+        right_keys = df.loc[df["__side__"] == "right", keys].drop_duplicates()
+        left = df[df["__side__"] == "left"].drop(columns=[_BUCKET])
+        m = left.merge(right_keys.assign(__hit__=1), on=keys, how="left")
+        out = m[m["__hit__"].notna()].drop(columns=["__hit__", "__side__"])
+        return out
+
+    return tagged.groupby(_BUCKET).map_groups(keep_left_match, batch_format="pandas")

@@ -58,3 +58,16 @@ def test_salted_rejects_outer(ray_session):
     left, right = _fixture()
     with pytest.raises(ValueError):
         hash_join_salted(rd.from_pandas(left), rd.from_pandas(right), on="k", how="outer")
+
+
+def test_semi_join_keys(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 2], "v": [10, 20, 30, 40, 21]})
+    right = pd.DataFrame({"k": [2, 4, 4, 9]})
+    out = semi_join_keys(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], num_buckets=4
+    ).to_pandas()
+    assert sorted(out["v"].tolist()) == [20, 21, 40]
