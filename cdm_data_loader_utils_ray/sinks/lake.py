@@ -381,6 +381,65 @@ class LakeTable:
         return t
 
     # -- maintenance --------------------------------------------------------
+    def read_changes(self, from_epoch: int | None, to_epoch: int | None = None):
+        """Change Data Feed (Delta CDF analogue): the net per-key changes
+        committed AFTER ``from_epoch`` up to ``to_epoch`` (default latest),
+        as a Dataset with ``change_type`` ('upsert' | 'delete') plus the
+        state columns.
+
+        Churn-proportional: each partition reads ONLY the delta files its
+        chain gained in the window (untouched partitions are skipped
+        outright); within the window the files LWW-merge so a key changed
+        twice emits once with its final value.  ``from_epoch=None`` means
+        "from table creation".  If a partition's chain was REWRITTEN in
+        the window (compaction folds history), its full current state is
+        emitted as upserts — CDF granularity across a compaction is
+        irrecoverable and the fallback is documented rather than wrong."""
+        import ray.data as rd
+
+        m_to = self.latest_manifest() if to_epoch is None else self.read_manifest(to_epoch)
+        if m_to is None:
+            raise ValueError("no committed manifest")
+        m_from = None if from_epoch is None else self.read_manifest(from_epoch)
+        old_chains = (
+            {p.pid: list(p.files) for p in m_from.partitions.values()} if m_from else {}
+        )
+        windows: dict[int, list[str]] = {}
+        for p in m_to.partitions.values():
+            old = old_chains.get(p.pid, [])
+            if p.files[: len(old)] == old:
+                window = p.files[len(old):]
+            else:
+                window = list(p.files)  # rewritten chain: full-state fallback
+            if window:
+                windows[p.pid] = window
+        out_schema = m_to.schema.append(pa.field("change_type", pa.string()))
+        if not windows:
+            return rd.from_arrow(out_schema.empty_table())
+        table_dir = self.dir
+        pids = sorted(windows)
+
+        def changes(batch: dict) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = []
+            for pid in batch["item"]:
+                t = merge_chain_files(table_dir, windows[int(pid)], m_to)
+                if "is_deleted" in t.column_names:
+                    ct = pc.if_else(
+                        pc.equal(t["is_deleted"], True),
+                        pa.scalar("delete"),
+                        pa.scalar("upsert"),
+                    )
+                else:
+                    ct = pa.array(["upsert"] * len(t))
+                out.append(t.append_column("change_type", ct))
+            return pa.concat_tables(out) if out else out_schema.empty_table()
+
+        return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
+            changes, batch_size=1
+        )
+
     def vacuum(self, keep_epochs: int = 2) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``
         manifests (Delta ``VACUUM`` analogue)."""

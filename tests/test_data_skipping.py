@@ -105,3 +105,56 @@ def test_update_where_column_range_hint(ray_session, tmp_path):
     # and the chains were carried forward untouched (same files)
     for pid, entry in m2.partitions.items():
         assert entry.files == m.partitions[pid].files
+
+
+def test_read_changes_cdf(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import apply_epoch, run_replay
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev_all = make_events(num_keys=80, num_events=1200, seed=31)
+    lake = os.path.join(str(tmp_path), "lake")
+    # epoch 1: first 60% of the log; epoch 2: the rest
+    cut = int(len(ev_all) * 0.6)
+    p1 = os.path.join(str(tmp_path), "e1.parquet")
+    p2 = os.path.join(str(tmp_path), "e2.parquet")
+    write_events(p1, ev_all.slice(0, cut))
+    write_events(p2, ev_all.slice(cut))
+    run_replay(p1, lake, num_partitions=4)
+    table = LakeTable(lake)
+    e1 = table.latest_epoch()
+    run_replay(p2, lake, num_partitions=4)
+    e2 = table.latest_epoch()
+    assert e2 > e1
+
+    cdf = table.read_changes(from_epoch=e1, to_epoch=e2).to_pandas()
+    assert set(cdf["change_type"]) <= {"upsert", "delete"}
+    # CDF keys: at most the keys the second feed touched (a delete of a
+    # never-existing key writes no delta row), at least every key whose
+    # state actually differs between the two epochs; one row per key
+    seqs2 = ev_all.slice(cut)
+    touched = {(r, p) for r, p in zip(seqs2["repo"].to_pylist(), seqs2["path"].to_pylist())}
+    got_keys = set(zip(cdf["repo"], cdf["path"]))
+    assert got_keys <= touched
+    assert len(cdf) == len(got_keys)
+
+    def _state_map(manifest):
+        df = table.read_state(manifest=manifest, live_only=True).to_pandas()
+        return {
+            (r, p): s
+            for r, p, s in zip(df["repo"], df["path"], df["content_sha256"])
+        }
+
+    s1 = _state_map(table.read_manifest(e1))
+    s2 = _state_map(table.read_manifest(e2))
+    changed = {k for k in set(s1) | set(s2) if s1.get(k) != s2.get(k)}
+    assert changed <= got_keys
+    # net value parity: an upserted key's sha equals the final state's
+    state = table.read_state().to_pandas().set_index(["repo", "path"])
+    ups = cdf[cdf["change_type"] == "upsert"].set_index(["repo", "path"])
+    joined = ups.join(state, how="inner", rsuffix="_state")
+    assert (joined["content_sha256"] == joined["content_sha256_state"]).all()
+    # from_epoch=None emits the full net state-change set (all live + deletes)
+    full_cdf = table.read_changes(from_epoch=None).to_pandas()
+    assert len(full_cdf) >= len(state)
