@@ -124,6 +124,18 @@ def cmd_read(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Export the Change Data Feed between two committed epochs."""
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    ds = LakeTable(args.lake).read_changes(
+        from_epoch=args.since, to_epoch=args.to
+    )
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    return 0
+
+
 def cmd_stream(args) -> int:
     ray = _ray_session(args.num_cpus)
     import ray.data as rd
@@ -303,6 +315,14 @@ def main(argv=None) -> int:
         help="col:lo:hi (either bound empty for unbounded), repeatable",
     )
     rdp.set_defaults(fn=cmd_read)
+
+    chg = sub.add_parser("changes", help="export the Change Data Feed between epochs")
+    chg.add_argument("--lake", required=True)
+    chg.add_argument("--out", required=True)
+    chg.add_argument("--since", type=int, default=None,
+                     help="emit changes after this epoch (default: from creation)")
+    chg.add_argument("--to", type=int, default=None, help="up to this epoch (default latest)")
+    chg.set_defaults(fn=cmd_changes)
 
     ing = sub.add_parser("ingest", help="validated DSV ingest -> Parquet + audit")
     ing.add_argument("--input", required=True)
