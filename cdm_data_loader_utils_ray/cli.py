@@ -118,7 +118,9 @@ def cmd_read(args) -> int:
                 return v
 
         ranges[col] = (parse(lo), parse(hi))
-    ds = LakeTable(args.lake).read_state(column_range=ranges or None)
+    table = LakeTable(args.lake)
+    manifest = None if args.epoch is None else table.read_manifest(args.epoch)
+    ds = table.read_state(manifest=manifest, column_range=ranges or None)
     ds.write_parquet(args.out)
     print(json.dumps({"rows": ds.count(), "out": args.out}))
     return 0
@@ -313,6 +315,10 @@ def main(argv=None) -> int:
     rdp.add_argument(
         "--range", action="append",
         help="col:lo:hi (either bound empty for unbounded), repeatable",
+    )
+    rdp.add_argument(
+        "--epoch", type=int, default=None,
+        help="time travel: read this committed epoch instead of latest",
     )
     rdp.set_defaults(fn=cmd_read)
 

@@ -130,23 +130,35 @@ def _rewrite_partitions(
 
 
 def compact(table: LakeTable, drop_tombstones: bool = True,
-            run_id: str = "compaction") -> Manifest:
+            run_id: str = "compaction", sort_by: str | None = None) -> Manifest:
     """OPTIMIZE analogue: rewrite partitions dropping tombstones.
 
     Dropping a tombstone forgets the delete's ``seq``; safe once no events
     at or below the partition hwm can still arrive (the replay contract —
     same reasoning as Delta VACUUM retention).  Untouched partitions keep
     their files; pair with ``table.vacuum()`` to remove orphans.
-    """
+
+    ``sort_by``: physically order each folded partition file by a column
+    (1-D OPTIMIZE/ZORDER analogue) — the rewritten file's row-group and
+    footer min/max stats become TIGHT ranges, so subsequent
+    ``read_state(column_range=...)`` / ``update_where`` data skipping
+    prunes precisely instead of conservatively.  Forces a rewrite of
+    every partition (a sort IS a rewrite)."""
 
     def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
-        if not drop_tombstones or DELETED_COLUMN not in t.column_names:
-            return None, 0
-        mask = pc.equal(t[DELETED_COLUMN], False)
-        n_live = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
-        if n_live == len(t):
-            return None, 0  # nothing to drop
-        return t.filter(mask), len(t) - n_live
+        dropped = 0
+        changed = False
+        if drop_tombstones and DELETED_COLUMN in t.column_names:
+            mask = pc.equal(t[DELETED_COLUMN], False)
+            n_live = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if n_live != len(t):
+                dropped = len(t) - n_live
+                t = t.filter(mask)
+                changed = True
+        if sort_by is not None:
+            t = t.sort_by([(sort_by, "ascending")])
+            changed = True
+        return (t, dropped) if changed else (None, 0)
 
     return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions")
 

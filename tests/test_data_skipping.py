@@ -158,3 +158,31 @@ def test_read_changes_cdf(ray_session, tmp_path):
     # from_epoch=None emits the full net state-change set (all live + deletes)
     full_cdf = table.read_changes(from_epoch=None).to_pandas()
     assert len(full_cdf) >= len(state)
+
+
+def test_compact_sort_by_tightens_stats(ray_session, tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=120, num_events=1500, seed=17))
+    run_replay(ev, lake, num_partitions=4)
+    table = LakeTable(lake)
+    before = read_final_state_arrow(table)
+    compact(table, sort_by="seq")
+    after = read_final_state_arrow(table)
+    # compaction is state-preserving
+    assert before.sort_by([("repo", "ascending"), ("path", "ascending")]).equals(
+        after.sort_by([("repo", "ascending"), ("path", "ascending")])
+    )
+    # every rewritten file is physically ordered by seq
+    m = table.latest_manifest()
+    for p in m.partitions.values():
+        assert len(p.files) == 1
+        seqs = pq.read_table(table.abspath(p.files[0]), columns=["seq"])["seq"].to_pylist()
+        assert seqs == sorted(seqs)
