@@ -3093,6 +3093,92 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# 68. Unigram surprisal (CCNet-style LM-proxy quality score): per-doc mean
+#     -ln p(token) under the corpus's own unigram distribution.  Pass 1
+#     builds the vocab counts with the combiner + token-bucket shuffle;
+#     pass 2 scores docs against the broadcast log-prob table (vocab-sized;
+#     at 100 TB swap the broadcast for a token hash join).  Segment sums
+#     over the flat token array — no per-row Python.
+# ---------------------------------------------------------------------------
+def unigram_surprisal(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.textstats import (
+        _flat_tokens,
+        _lower_exact,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+    def tokens_of(batch: pa.Table):
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return _flat_tokens(_lower_exact(pc.fill_null(texts, "")))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, off, tl, valid = tokens_of(batch)
+        vc = pd.Series(flat.to_pandas()[valid]).value_counts()
+        t = pa.table({"token": pa.array(vc.index), "c": pa.array(vc.to_numpy(), type=pa.int64())})
+        return _add_bucket(t, ["token"], 64)
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["c"].sum()
+        return pd.DataFrame({"token": g.index, "c": g.to_numpy()})
+
+    counts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(count_final, batch_format="pandas")
+        .to_pandas()
+    )
+    total = float(counts["c"].sum())
+    lut_ref = ray.put(
+        dict(zip(counts["token"], np.log(counts["c"].to_numpy(dtype=np.float64) / total)))
+    )
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        flat, off, tl, valid = tokens_of(batch)
+        codes, uniques = pd.factorize(pd.Series(flat.to_pandas()), sort=False)
+        lnp_u = np.array([lut.get(u, 0.0) for u in uniques], dtype=np.float64)
+        lnp = np.where(valid, lnp_u[codes], 0.0)
+        cs = np.concatenate([[0.0], np.cumsum(lnp)])
+        sums = cs[off[1:]] - cs[off[:-1]]
+        cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        ns = cv[off[1:]] - cv[off[:-1]]
+        surp = np.where(ns > 0, -sums / np.maximum(ns, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64"),
+                "surprisal": round_half_away(surp, 6),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9A-Za-z_]+')) AS t
+  FROM documents
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c)::DOUBLE AS s FROM freq),
+sc AS (
+  SELECT tok.doc_id, avg(-ln(freq.c / (SELECT s FROM tot))) AS surp
+  FROM tok JOIN freq USING (t) GROUP BY tok.doc_id
+)
+SELECT d.doc_id, round(coalesce(sc.surp, 0), 6) AS surprisal
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3163,4 +3249,5 @@ def registry() -> dict:
         "cube_counts": (cube_counts, CUBE_COUNTS_SQL),
         "knn_sq8": (knn_sq8, KNN_LSH_SQL),
         "semi_join_bloom": (semi_join_bloom, SEMI_JOIN_BLOOM_SQL),
+        "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
     }
