@@ -363,3 +363,75 @@ def update_where(
                             column_range=column_range)
     # effect verification (reference checks Delta history numUpdatedRows)
     return m, int(m.metrics.get("touched_rows", 0))
+
+
+def merge_into(
+    table: LakeTable,
+    source_ds,
+    when_matched: str = "update",
+    when_not_matched: str | None = "insert",
+    run_id: str = "merge",
+) -> Manifest:
+    """Delta ``MERGE INTO`` analogue on the CDC key (reference
+    ``spark_delta.py`` merge semantics): each source row either updates /
+    deletes its matching key or inserts a new one.
+
+    Composed from the engine's existing primitives rather than a second
+    write path: source rows become synthetic change events with
+    ``seq = global hwm + 1`` (every row exceeds all applied seqs, so LWW
+    applies them; one row per key keeps per-key seqs unique) and run
+    through :func:`pipelines.cdc.apply_epoch` — partition routing,
+    validation, churn-proportional delta write, atomic manifest commit
+    and idempotent resume come for free.
+
+    * ``when_matched``: 'update' | 'delete' — op for rows whose key exists.
+    * ``when_not_matched``: 'insert' keeps unmatched source rows (an
+      upsert applies them identically); ``None`` drops them first via a
+      Bloom-gated semi join against the current state's keys.
+
+    Source must carry the event payload columns (repo, path, commit,
+    lang, content) with at most one row per (repo, path).
+    """
+    from cdm_data_loader_utils_ray.pipelines.cdc import apply_epoch
+    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("merge_into requires a committed table")
+    new_seq = max((p.hwm_seq for p in m.partitions.values()), default=0) + 1
+
+    src = source_ds
+    if when_not_matched is None:
+        # keep only matched keys: exact keyed semi join vs current state keys
+        state_keys = table.read_state().map_batches(
+            lambda b: b.select(["repo", "path"]), batch_format="pyarrow"
+        )
+        src = semi_join_keys(src, state_keys, ["repo", "path"])
+
+    op = when_matched
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+
+        def col(name, default=None):
+            if name in batch.column_names:
+                c = batch[name]
+                return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return pa.array([default] * n, type=pa.string())
+
+        return pa.table(
+            {
+                "seq": pa.array([new_seq] * n, type=pa.int64()),
+                "op": pa.array([op] * n, type=pa.string()),
+                "repo": col("repo"),
+                "path": col("path"),
+                "commit": col("commit", "merge"),
+                "lang": col("lang"),
+                "content": col("content"),
+            }
+        )
+
+    events = src.map_batches(to_events, batch_format="pyarrow")
+    return apply_epoch(table, events, run=None, audit=False)

@@ -1,5 +1,6 @@
 """Compaction, conditional update, streaming shard-actor upserter, ids."""
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -255,3 +256,46 @@ def test_streaming_shard_buffers_deltas(tmp_path):
     t = stream_state.sort_by([("repo", "ascending"), ("path", "ascending")])
     assert b["seq"].to_pylist() == t["seq"].to_pylist()
     assert b["content_sha256"].to_pylist() == t["content_sha256"].to_pylist()
+
+
+def test_merge_into_upsert_and_matched_only(lake_with_data):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    before = read_final_state_arrow(table)
+    existing = before.to_pandas().iloc[0]
+    src = pd.DataFrame(
+        {
+            "repo": [existing["repo"], "brand/new"],
+            "path": [existing["path"], "brand/new.txt"],
+            "commit": ["m1", "m2"],
+            "lang": ["py", "py"],
+            "content": ["merged content", "fresh content"],
+        }
+    )
+    # upsert: update the existing key, insert the new one
+    merge_into(table, rd.from_pandas(src))
+    after = read_final_state_arrow(table).to_pandas().set_index(["repo", "path"])
+    assert after.loc[(existing["repo"], existing["path"]), "content"] == "merged content"
+    assert after.loc[("brand/new", "brand/new.txt"), "content"] == "fresh content"
+    assert len(after) == len(before) + 1
+
+    # matched-only delete: the unmatched source row must NOT create a key
+    src2 = pd.DataFrame(
+        {
+            "repo": ["brand/new", "never/seen"],
+            "path": ["brand/new.txt", "never.txt"],
+            "commit": ["m3", "m4"],
+            "lang": ["py", "py"],
+            "content": [None, None],
+        }
+    )
+    merge_into(table, rd.from_pandas(src2), when_matched="delete",
+               when_not_matched=None)
+    final = read_final_state_arrow(table).to_pandas()
+    keys = set(zip(final["repo"], final["path"]))
+    assert ("brand/new", "brand/new.txt") not in keys
+    assert ("never/seen", "never.txt") not in keys
+    assert len(final) == len(before)
