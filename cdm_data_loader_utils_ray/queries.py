@@ -3179,6 +3179,58 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 69. Sketch-accelerated EXACT top-k (O1 at high cardinality): Misra-Gries
+#     candidates in one combiner pass, exact counts for candidates only in
+#     a second filtered pass, and a runtime COMPLETENESS CHECK (k-th exact
+#     count must exceed the MG guarantee threshold n/(k_mg+1), else fall
+#     back to the full groupby).  The result is always exact; the sketch
+#     only decides how much the second pass reads.
+# ---------------------------------------------------------------------------
+def sketch_topk_users(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.sketches import heavy_hitters
+
+    k, k_mg = 10, 256
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    hh = heavy_hitters(ds, "user_id", k=k_mg)
+    n_total = int(ds.count())
+    cand_ref = ray.put(set(hh["user_id"].tolist()))
+
+    def only_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        return df[df["user_id"].isin(cands)]
+
+    exact = grouped_partial_sums(
+        ds.map_batches(only_candidates, batch_format="pandas"),
+        ["user_id"], {}, count_alias="n_events",
+    ).to_pandas()
+    exact = exact.sort_values(
+        ["n_events", "user_id"], ascending=[False, True], kind="mergesort"
+    )
+    kth = int(exact["n_events"].iloc[k - 1]) if len(exact) >= k else 0
+    if kth <= n_total / (k_mg + 1):
+        # candidates not provably complete at rank k: exact fallback
+        exact = grouped_partial_sums(
+            ds, ["user_id"], {}, count_alias="n_events"
+        ).to_pandas().sort_values(
+            ["n_events", "user_id"], ascending=[False, True], kind="mergesort"
+        )
+    out = exact.head(k).reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["user_id", "n_events"]]
+
+
+SKETCH_TOPK_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3250,4 +3302,5 @@ def registry() -> dict:
         "knn_sq8": (knn_sq8, KNN_LSH_SQL),
         "semi_join_bloom": (semi_join_bloom, SEMI_JOIN_BLOOM_SQL),
         "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
+        "sketch_topk_users": (sketch_topk_users, SKETCH_TOPK_SQL),
     }
