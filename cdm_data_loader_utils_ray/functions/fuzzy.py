@@ -138,3 +138,31 @@ def fuzzy_pairs(
         .groupby(_BUCKET)
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def fuzzy_dedup_clusters(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_dist: int = 2,
+    block_width: int = 16,
+    num_buckets: int = 64,
+    max_driver_pairs: int = 5_000_000,
+):
+    """Blocked-Levenshtein pair graph collapsed to connected components
+    (min-id canonical label).  The pair Dataset is materialized once
+    (blocking-bounded); below ``max_driver_pairs`` the driver union-find
+    runs, above it the distributed label-propagation path engages — the
+    same auto-switch contract as the minhash family."""
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    pairs = fuzzy_pairs(
+        ds, id_column=id_column, text_column=text_column, max_dist=max_dist,
+        block_width=block_width, num_buckets=num_buckets,
+    ).materialize()
+    if pairs.count() > max_driver_pairs:
+        return connected_components_distributed(pairs).to_pandas()
+    return connected_components(pairs.to_pandas())

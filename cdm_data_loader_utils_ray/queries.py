@@ -2582,10 +2582,18 @@ FROM events e JOIN s USING (event_type)
 #     dedup.connected_components_distributed instead of collecting it.
 # ---------------------------------------------------------------------------
 def fuzzy_clusters(sf_dir: str):
-    from cdm_data_loader_utils_ray.functions.dedup import connected_components
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
 
-    pairs = fuzzy_near_dups(sf_dir).to_pandas()
-    out = connected_components(pairs, id_a="id_a", id_b="id_b")
+    # same auto-switch contract as fuzzy.fuzzy_dedup_clusters (pairs here
+    # come from the planted-copy corpus, so the construction is inline)
+    pairs_ds = fuzzy_near_dups(sf_dir).materialize()
+    if pairs_ds.count() > 5_000_000:
+        out = connected_components_distributed(pairs_ds).to_pandas()
+    else:
+        out = connected_components(pairs_ds.to_pandas(), id_a="id_a", id_b="id_b")
     out["doc_id"] = out["doc_id"].astype("int64")
     out["cluster"] = out["cluster"].astype("int64")
     return out

@@ -82,3 +82,25 @@ def test_fuzzy_pairs_blocked(ray_session):
     out = fuzzy_pairs(ds, max_dist=2, block_width=16, num_buckets=4).to_pandas()
     got = set(map(tuple, out[["id_a", "id_b", "dist"]].itertuples(index=False)))
     assert got == {(1, 2, 1), (5, 6, 0)}
+
+
+def test_fuzzy_dedup_clusters(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_dedup_clusters
+
+    tail = " shared ending that makes one block here"
+    rows = [
+        {"doc_id": 1, "text": "aaaa" + tail},
+        {"doc_id": 2, "text": "aaab" + tail},   # d1 from 1
+        {"doc_id": 3, "text": "aabb" + tail},   # d1 from 2, d2 from 1
+        {"doc_id": 4, "text": "zzzz" + tail},   # same block, far away
+        {"doc_id": 5, "text": "totally different text with other suffix"},
+    ]
+    out = fuzzy_dedup_clusters(
+        rd.from_arrow(__import__("pyarrow").Table.from_pylist(rows)),
+        max_dist=2, block_width=16, num_buckets=4,
+    )
+    lut = dict(zip(out["doc_id"], out["cluster"]))
+    assert lut[1] == lut[2] == lut[3] == 1
+    assert 4 not in lut and 5 not in lut  # singletons have no pairs
