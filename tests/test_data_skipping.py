@@ -186,3 +186,25 @@ def test_compact_sort_by_tightens_stats(ray_session, tmp_path):
         assert len(p.files) == 1
         seqs = pq.read_table(table.abspath(p.files[0]), columns=["seq"])["seq"].to_pylist()
         assert seqs == sorted(seqs)
+
+
+def test_read_changes_across_compaction_falls_back(ray_session, tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=60, num_events=600, seed=41))
+    run_replay(ev, lake, num_partitions=4)
+    table = LakeTable(lake)
+    e1 = table.latest_epoch()
+    compact(table, sort_by="seq")  # rewrites every chain
+    e2 = table.latest_epoch()
+
+    cdf = table.read_changes(from_epoch=e1, to_epoch=e2).to_pandas()
+    state = table.read_state().to_pandas()
+    # rewritten chains degrade to full-state emission (documented fallback);
+    # after a tombstone-dropping compact everything is an upsert
+    assert set(cdf["change_type"]) == {"upsert"}
+    assert len(cdf) == len(state)
