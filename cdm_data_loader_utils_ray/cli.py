@@ -194,12 +194,20 @@ def cmd_dedup(args) -> int:
         out.write_parquet(args.out)
         n = "unknown (streamed)"
     else:
-        from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
+        if args.method == "fuzzy":
+            from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_dedup_clusters
 
-        clusters = minhash_dedup(
-            ds, threshold=args.threshold, num_perm=128, bands=32,
-            text_column=args.text_col, id_column=args.id_col,
-        )
+            clusters = fuzzy_dedup_clusters(
+                ds, id_column=args.id_col, text_column=args.text_col,
+                max_dist=args.max_dist,
+            )
+        else:
+            from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
+
+            clusters = minhash_dedup(
+                ds, threshold=args.threshold, num_perm=128, bands=32,
+                text_column=args.text_col, id_column=args.id_col,
+            )
         import pyarrow.parquet as pq
         import pyarrow as pa
 
@@ -348,8 +356,11 @@ def main(argv=None) -> int:
     dd = sub.add_parser("dedup", help="near-dup clustering (minhash) or exact dedup")
     dd.add_argument("--input", required=True)
     dd.add_argument("--out", required=True)
-    dd.add_argument("--method", default="minhash", choices=["minhash", "exact"])
+    dd.add_argument("--method", default="minhash",
+                    choices=["minhash", "exact", "fuzzy"])
     dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--max-dist", type=int, default=2,
+                    help="fuzzy method: max edit distance")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)

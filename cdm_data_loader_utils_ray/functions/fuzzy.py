@@ -163,6 +163,13 @@ def fuzzy_dedup_clusters(
         ds, id_column=id_column, text_column=text_column, max_dist=max_dist,
         block_width=block_width, num_buckets=num_buckets,
     ).materialize()
-    if pairs.count() > max_driver_pairs:
+    n = pairs.count()
+    if n == 0:
+        # a pair-less corpus has only singleton clusters (omitted, like
+        # every dedup-family cluster output); an all-empty Dataset loses
+        # its schema on to_pandas, so build the typed empty here
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+    if n > max_driver_pairs:
         return connected_components_distributed(pairs).to_pandas()
     return connected_components(pairs.to_pandas())
