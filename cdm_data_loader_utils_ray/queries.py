@@ -3239,6 +3239,56 @@ ORDER BY n_events DESC, user_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# 70. Ordered event sequences per user (behavior strings — the session
+#     token-stream shape for sequence models): one key-bucket shuffle,
+#     within-bucket vectorized sort, run-boundary segmentation over the
+#     sorted arrays, and one join per user run.  Oracle: string_agg with
+#     the identical deterministic ORDER BY.
+# ---------------------------------------------------------------------------
+def event_sequences(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["user_id"], 32)
+
+    def bucket_seqs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "sequence": pd.Series([], dtype="object")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(df))
+        return pd.DataFrame(
+            {
+                "user_id": u[starts].astype("int64"),
+                "n_events": (ends - starts).astype("int64"),
+                "sequence": [",".join(et[s:e]) for s, e in zip(starts, ends)],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(bucket_seqs, batch_format="pandas")
+    )
+
+
+EVENT_SEQUENCES_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+FROM events GROUP BY user_id
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3311,4 +3361,5 @@ def registry() -> dict:
         "semi_join_bloom": (semi_join_bloom, SEMI_JOIN_BLOOM_SQL),
         "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
         "sketch_topk_users": (sketch_topk_users, SKETCH_TOPK_SQL),
+        "event_sequences": (event_sequences, EVENT_SEQUENCES_SQL),
     }

@@ -114,3 +114,30 @@ def test_dedup_incremental(ray_session):
     # alpha/beta already seen; gamma self-dedups to first id; delta new
     assert sorted(out["doc_id"].tolist()) == [11, 13]
     assert set(out.columns) >= {"doc_id", "text", "content_sha256"}
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=65, max_value=4096), st.integers(min_value=1, max_value=6))
+def test_bloom_bit_alignment_any_num_bits(num_bits, num_hashes):
+    """Word-rounding keeps build and probe moduli in agreement for ANY
+    requested num_bits (the r3 review found a ragged-bits desync)."""
+    s = pd.Series(range(50), dtype="int64")
+    import ray.data  # noqa: F401  (not needed; build path is pure numpy here)
+
+    from cdm_data_loader_utils_ray.functions.bloom import _probe_positions
+
+    num_words = (num_bits + 63) // 64
+    eff_bits = num_words * 64
+    words = np.zeros(num_words, dtype=np.uint64)
+    pos = _probe_positions(_hash64(s), eff_bits, num_hashes)
+    np.bitwise_or.at(
+        words, pos.ravel() >> 6, np.uint64(1) << (pos.ravel() & 63).astype(np.uint64)
+    )
+    assert bloom_contains(words, s, num_hashes).all()
+
+
+def test_probe_strides_are_odd():
+    h = _hash64(pd.Series(range(1000)))
+    h2 = h ^ (h >> np.uint64(33))
+    h2 = (h2 * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)
+    assert (h2 % 2 == 1).all()
