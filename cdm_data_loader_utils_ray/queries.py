@@ -3289,6 +3289,66 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 71. Leakage-safe dataset split: assignment keyed on CONTENT sha256, not
+#     id, so exact duplicates can never straddle train/val/test (planted
+#     copies prove it — doc_id % 25 == 0 duplicated at doc_id + 3000000
+#     lands in its original's split by construction).  Same deterministic
+#     md5-threshold mapping as dataset_split.
+# ---------------------------------------------------------------------------
+def leakage_safe_split(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import hash_split
+    from cdm_data_loader_utils_ray.stages.hashing import sha256_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant_and_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = batch.filter(pa.array(ids % 25 == 0))
+        shifted = pc.add(hit["doc_id"], pa.scalar(3000000, type=pa.int64())).cast(
+            hit.schema.field("doc_id").type
+        )
+        planted = pa.Table.from_arrays([shifted, hit["text"]], schema=hit.schema)
+        aug = pa.concat_tables([batch, planted])
+        texts = aug["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": aug["doc_id"],
+                "content_key": sha256_array(pc.fill_null(texts, "")),
+            }
+        )
+
+    out = hash_split(
+        ds.map_batches(plant_and_key, batch_format="pyarrow"),
+        "content_key",
+        _SPLIT_FRACTIONS,
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "split"]), batch_format="pyarrow"
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from cdm_data_loader_utils_ray.functions.sampling import _hex_threshold
+
+    t_train = _hex_threshold(0.8)
+    t_val = _hex_threshold(0.8 + 0.1)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, coalesce(text, '') FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+       CASE WHEN md5(sha256(text)) < '{t_train}' THEN 'train'
+            WHEN md5(sha256(text)) < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM aug
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -3362,4 +3422,5 @@ def registry() -> dict:
         "unigram_surprisal": (unigram_surprisal, UNIGRAM_SURPRISAL_SQL),
         "sketch_topk_users": (sketch_topk_users, SKETCH_TOPK_SQL),
         "event_sequences": (event_sequences, EVENT_SEQUENCES_SQL),
+        "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
     }
