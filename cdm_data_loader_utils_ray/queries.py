@@ -3350,58 +3350,19 @@ FROM aug
 
 
 def registry() -> dict:
-    """name -> (callable, oracle_sql | None)."""
+    """name -> (callable, oracle_sql | None).
+
+    ORDER MATTERS: the verify driver checks entries in registry order up to a
+    per-round budget (r1/r2/r3 checked the first 24/32/50). Entries are
+    therefore ordered by verification priority: (1) entries that have never
+    had a driver CORRECTNESS row (the r3 late batch, VERDICT r3 item #1),
+    (2) entries new this round, (3) one representative per core §2 operator
+    family, (4) mature entries with multiple prior driver-green rows last —
+    they rotate out of the window, pytest (test_queries_oracle.py) still
+    checks every entry against its DuckDB twin every run.
+    """
     return {
-        "cdc_lww_upsert": (cdc_lww_upsert, CDC_LWW_SQL),
-        "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
-        "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-        "q1_pricing": (q1_pricing, Q1_SQL),
-        "union_align": (union_align, UNION_ALIGN_SQL),
-        "set_fingerprint": (set_fingerprint, SET_FINGERPRINT_SQL),
-        "normalize_text": (normalize_text, NORMALIZE_TEXT_SQL),
-        "validate_metrics": (validate_metrics, VALIDATE_METRICS_SQL),
-        "broadcast_join": (broadcast_join, BROADCAST_JOIN_SQL),
-        "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
-        "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
-        "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
-        "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
-        "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
-        "cdc_range_read": (cdc_range_read, CDC_RANGE_READ_SQL),
-        "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
-        "window_daily": (window_daily, WINDOW_DAILY_SQL),
-        "session_windows": (session_windows, SESSION_WINDOWS_SQL),
-        "sliding_daily": (sliding_daily, SLIDING_DAILY_SQL),
-        "asof_events_orders": (asof_events_orders, ASOF_SQL),
-        "fallback_enrich": (fallback_enrich, FALLBACK_ENRICH_SQL),
-        "explode_tokens": (explode_tokens, EXPLODE_SQL),
-        "text_analysis": (text_analysis, _text_analysis_sql()),
-        "minhash_dedup_clusters": (minhash_dedup_clusters, MINHASH_CLUSTERS_SQL),
-        "jaccard_pairs": (jaccard_pairs, JACCARD_PAIRS_SQL),
-        "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
-        "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
-        "knn_lsh": (knn_lsh, KNN_LSH_SQL),
-        "knn_ivf": (knn_ivf, KNN_IVF_SQL),
-        "media_features": (media_features, MEDIA_FEATURES_SQL),
-        "media_frames": (media_frames, MEDIA_FRAMES_SQL),
-        "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
-        "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),
-        "gaf_normalize": (gaf_normalize, GAF_NORMALIZE_SQL),
-        "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
-        "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
-        "event_pivot_daily": (event_pivot_daily, EVENT_PIVOT_SQL),
-        "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
-        "dataset_split": (dataset_split, _dataset_split_sql()),
-        "tfidf_terms": (tfidf_terms, TFIDF_SQL),
-        "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
-        "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
-        "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
-        "pii_redaction": (pii_redaction, _pii_redaction_sql()),
-        "decontaminate": (decontaminate, DECONTAMINATE_SQL),
-        "repetition_quality": (repetition_quality, REPETITION_SQL),
-        "pack_documents": (pack_documents, PACK_DOCUMENTS_SQL),
-        "running_totals": (running_totals_lineitem, RUNNING_TOTALS_SQL),
-        "lag_events": (lag_events, LAG_EVENTS_SQL),
-        "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+        # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
         "funnel_stages": (funnel_stages, FUNNEL_SQL),
@@ -3423,4 +3384,57 @@ def registry() -> dict:
         "sketch_topk_users": (sketch_topk_users, SKETCH_TOPK_SQL),
         "event_sequences": (event_sequences, EVENT_SEQUENCES_SQL),
         "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
+        # -- (2) new in r4 (inserted here as they land) ----------------------
+        # -- (3) core §2 family representatives (prior driver-green) ---------
+        "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
+        "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
+        "cdc_lww_upsert": (cdc_lww_upsert, CDC_LWW_SQL),
+        "cdc_range_read": (cdc_range_read, CDC_RANGE_READ_SQL),
+        "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
+        "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+        "minhash_dedup_clusters": (minhash_dedup_clusters, MINHASH_CLUSTERS_SQL),
+        "jaccard_pairs": (jaccard_pairs, JACCARD_PAIRS_SQL),
+        "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
+        "embedding_dups": (embedding_dups, EMBEDDING_DUPS_SQL),
+        "knn_cosine": (knn_cosine, KNN_COSINE_SQL),
+        "knn_lsh": (knn_lsh, KNN_LSH_SQL),
+        "knn_ivf": (knn_ivf, KNN_IVF_SQL),
+        "tfidf_terms": (tfidf_terms, TFIDF_SQL),
+        "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+        "text_analysis": (text_analysis, _text_analysis_sql()),
+        "uniprot_route": (uniprot_route, UNIPROT_ROUTE_SQL),
+        "validated_ingest": (validated_ingest, VALIDATED_INGEST_SQL),
+        "gaf_normalize": (gaf_normalize, GAF_NORMALIZE_SQL),
+        "hash_join_orders": (hash_join_orders, HASH_JOIN_SQL),
+        "asof_events_orders": (asof_events_orders, ASOF_SQL),
+        "union_align": (union_align, UNION_ALIGN_SQL),
+        "media_features": (media_features, MEDIA_FEATURES_SQL),
+        "media_frames": (media_frames, MEDIA_FRAMES_SQL),
+        "pack_documents": (pack_documents, PACK_DOCUMENTS_SQL),
+        "q1_pricing": (q1_pricing, Q1_SQL),
+        "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+        "dataset_split": (dataset_split, _dataset_split_sql()),
+        "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+        # -- (4) mature, multi-round driver-green; rotate out of the window --
+        "pii_redaction": (pii_redaction, _pii_redaction_sql()),
+        "window_daily": (window_daily, WINDOW_DAILY_SQL),
+        "session_windows": (session_windows, SESSION_WINDOWS_SQL),
+        "sliding_daily": (sliding_daily, SLIDING_DAILY_SQL),
+        "fallback_enrich": (fallback_enrich, FALLBACK_ENRICH_SQL),
+        "explode_tokens": (explode_tokens, EXPLODE_SQL),
+        "broadcast_join": (broadcast_join, BROADCAST_JOIN_SQL),
+        "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
+        "set_fingerprint": (set_fingerprint, SET_FINGERPRINT_SQL),
+        "normalize_text": (normalize_text, NORMALIZE_TEXT_SQL),
+        "validate_metrics": (validate_metrics, VALIDATE_METRICS_SQL),
+        "distinct_values": (distinct_values_sorted, DISTINCT_SQL),
+        "order_quantiles": (order_quantiles, ORDER_QUANTILES_SQL),
+        "top_orders_per_priority": (top_orders_per_priority, TOP_ORDERS_SQL),
+        "event_pivot_daily": (event_pivot_daily, EVENT_PIVOT_SQL),
+        "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+        "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
+        "repetition_quality": (repetition_quality, REPETITION_SQL),
+        "running_totals": (running_totals_lineitem, RUNNING_TOTALS_SQL),
+        "lag_events": (lag_events, LAG_EVENTS_SQL),
+        "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
     }
