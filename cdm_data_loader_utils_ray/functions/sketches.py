@@ -175,6 +175,16 @@ def heavy_hitters(ds, column: str, k: int = 64, batch_size: int = 65536) -> pd.D
     * every value with true frequency > n/(k+1) appears in the result;
     * each reported count undercounts by at most n/(k+1).
 
+    The n/(k+1) bound holds for the WHOLE two-level pipeline, not per
+    level (mergeable-summaries argument, Agarwal et al. PODS'12): every
+    compress with decrement d removes >= (k+1)*d of counter mass (the
+    k+1 largest counters each lose exactly d, smaller ones lose <= d),
+    counter mass is only created by row inserts (n total) and merging
+    sums it unchanged, so sum(d) over ALL compresses — per-batch and
+    final alike — is <= n/(k+1); any key's total undercount is <= sum(d).
+    ``tests/test_sketches.py`` checks this exact envelope, including an
+    adversarial batch layout built to maximize two-level decrements.
+
     Returns (value, count_lower_bound) sorted by count desc — the exact
     top-N should be confirmed with one grouped count over the candidate
     set when exactness matters (the candidates are guaranteed complete at

@@ -100,7 +100,13 @@ def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
     if spill is not None:
         import ray.data as rd
 
+        # Spill into a FRESH unique subdirectory per call: write_parquet
+        # appends uniquely-named files, so reusing a non-empty directory
+        # (e.g. a long-lived $CDM_TFIDF_SPILL_DIR across corpora) would
+        # read stale term files from a previous call together with the new
+        # spill and corrupt tf/df counts (r3 ADVICE fix).
         os.makedirs(spill, exist_ok=True)
+        spill = tempfile.mkdtemp(prefix="terms_", dir=spill)
         terms.write_parquet(spill)
         terms = rd.read_parquet(spill)
     else:

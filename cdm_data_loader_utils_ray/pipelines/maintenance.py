@@ -365,12 +365,50 @@ def update_where(
     return m, int(m.metrics.get("touched_rows", 0))
 
 
+def _reduce_source_by_key(source_ds, on_duplicate: str, num_buckets: int = 64):
+    """One row per (repo, path) for a MERGE source.
+
+    ``on_duplicate='error'`` (default, Delta-style MERGE semantics): raise a
+    clear ValueError if any key appears more than once. ``'reduce'``: keep a
+    deterministic winner per key — the lexicographically greatest
+    (commit, content) row — documented, order-independent tiebreak.
+    Single bucket shuffle either way; the dup check rides the same pass.
+    """
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["repo", "path"], num_buckets)
+
+    def reduce_group(df):
+        order_cols = [c for c in ("commit", "content") if c in df.columns]
+        df = df.sort_values(["repo", "path", *order_cols], kind="mergesort")
+        dup = df.duplicated(subset=["repo", "path"], keep=False)
+        if dup.any():
+            if on_duplicate == "error":
+                k = df.loc[dup, ["repo", "path"]].iloc[0]
+                raise ValueError(
+                    "merge_into: source has multiple rows for key "
+                    f"({k['repo']!r}, {k['path']!r}); MERGE requires at most "
+                    "one source row per key — pre-aggregate the source or "
+                    "pass on_duplicate='reduce'"
+                )
+            df = df.drop_duplicates(subset=["repo", "path"], keep="last")
+        return df.drop(columns=[_BUCKET])
+
+    return (
+        source_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(reduce_group, batch_format="pandas")
+    )
+
+
 def merge_into(
     table: LakeTable,
     source_ds,
     when_matched: str = "update",
     when_not_matched: str | None = "insert",
     run_id: str = "merge",
+    on_duplicate: str = "error",
 ) -> Manifest:
     """Delta ``MERGE INTO`` analogue on the CDC key (reference
     ``spark_delta.py`` merge semantics): each source row either updates /
@@ -387,51 +425,72 @@ def merge_into(
     * ``when_matched``: 'update' | 'delete' — op for rows whose key exists.
     * ``when_not_matched``: 'insert' keeps unmatched source rows (an
       upsert applies them identically); ``None`` drops them first via a
-      Bloom-gated semi join against the current state's keys.
+      keyed semi join against the current state's keys.
+    * ``on_duplicate``: 'error' (default — Delta MERGE raises on multiple
+      source rows per target key) | 'reduce' (keep one deterministic
+      winner per key: lexicographically greatest (commit, content)).
 
-    Source must carry the event payload columns (repo, path, commit,
-    lang, content) with at most one row per (repo, path).
+    With ``when_matched='delete'`` and ``when_not_matched='insert'`` the
+    source is split by key existence (semi/anti join vs current state):
+    matched rows delete, unmatched rows insert — a uniform op stamp would
+    wrongly delete nonexistent keys (r3 ADVICE fix).
     """
     from cdm_data_loader_utils_ray.pipelines.cdc import apply_epoch
-    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+    from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys, semi_join_keys
 
     if when_matched not in ("update", "delete"):
         raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if on_duplicate not in ("error", "reduce"):
+        raise ValueError("on_duplicate must be 'error' or 'reduce'")
     m = table.latest_manifest()
     if m is None:
         raise ValueError("merge_into requires a committed table")
     new_seq = max((p.hwm_seq for p in m.partitions.values()), default=0) + 1
 
-    src = source_ds
-    if when_not_matched is None:
-        # keep only matched keys: exact keyed semi join vs current state keys
-        state_keys = table.read_state().map_batches(
+    src = _reduce_source_by_key(source_ds, on_duplicate)
+
+    def _state_keys():
+        return table.read_state().map_batches(
             lambda b: b.select(["repo", "path"]), batch_format="pyarrow"
         )
-        src = semi_join_keys(src, state_keys, ["repo", "path"])
 
-    op = when_matched
+    def to_events(op: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
 
-    def to_events(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+            def col(name, default=None):
+                if name in batch.column_names:
+                    c = batch[name]
+                    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                return pa.array([default] * n, type=pa.string())
 
-        def col(name, default=None):
-            if name in batch.column_names:
-                c = batch[name]
-                return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            return pa.array([default] * n, type=pa.string())
+            return pa.table(
+                {
+                    "seq": pa.array([new_seq] * n, type=pa.int64()),
+                    "op": pa.array([op] * n, type=pa.string()),
+                    "repo": col("repo"),
+                    "path": col("path"),
+                    "commit": col("commit", "merge"),
+                    "lang": col("lang"),
+                    "content": col("content"),
+                }
+            )
 
-        return pa.table(
-            {
-                "seq": pa.array([new_seq] * n, type=pa.int64()),
-                "op": pa.array([op] * n, type=pa.string()),
-                "repo": col("repo"),
-                "path": col("path"),
-                "commit": col("commit", "merge"),
-                "lang": col("lang"),
-                "content": col("content"),
-            }
+        return _f
+
+    if when_matched == "delete" and when_not_matched == "insert":
+        # split: matched keys delete, unmatched keys insert (as upserts)
+        keys = _state_keys()
+        matched = semi_join_keys(src, keys, ["repo", "path"])
+        unmatched = anti_join_keys(src, keys, ["repo", "path"])
+        events = matched.map_batches(to_events("delete"), batch_format="pyarrow").union(
+            unmatched.map_batches(to_events("update"), batch_format="pyarrow")
         )
-
-    events = src.map_batches(to_events, batch_format="pyarrow")
+    else:
+        if when_not_matched is None:
+            # keep only matched keys: exact keyed semi join vs state keys
+            src = semi_join_keys(src, _state_keys(), ["repo", "path"])
+        events = src.map_batches(to_events(when_matched), batch_format="pyarrow")
     return apply_epoch(table, events, run=None, audit=False)

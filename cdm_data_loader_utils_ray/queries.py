@@ -3219,6 +3219,11 @@ def sketch_topk_users(sf_dir: str):
         ["n_events", "user_id"], ascending=[False, True], kind="mergesort"
     )
     kth = int(exact["n_events"].iloc[k - 1]) if len(exact) >= k else 0
+    # n/(k_mg+1) is the PROVEN completeness threshold for the whole
+    # two-level (per-batch compress -> merge -> compress) pipeline — the
+    # decrement budget is shared across levels, not per-level (mass-
+    # conservation proof in functions/sketches.heavy_hitters, adversarial
+    # envelope test in tests/test_sketches.py).
     if kth <= n_total / (k_mg + 1):
         # candidates not provably complete at rank k: exact fallback
         exact = grouped_partial_sums(
@@ -3236,6 +3241,73 @@ SKETCH_TOPK_SQL = """
 SELECT user_id, count(*) AS n_events
 FROM events GROUP BY user_id
 ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 72. Sketch-accelerated top-k on a SKEWED key (r3 verdict #6): the uniform
+#     corpus never lets the Misra-Gries completeness guarantee bind, so
+#     sketch_topk_users always takes its exact fallback and the sketch fast
+#     path ships without an end-to-end hard check.  Here the key is a
+#     deterministic skew transform of event_id (40% of mass on 7 heavy keys,
+#     the rest over ~3000 tail keys), the MG candidate set is provably
+#     complete at rank k, and the path TAKEN is itself oracle-checked: the
+#     result carries via_sketch = 1 iff the sketch gate held (the SQL twin
+#     hard-codes 1, so a fallback run hash-mismatches).
+# ---------------------------------------------------------------------------
+def sketch_topk_skewed(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.sketches import heavy_hitters
+
+    k, k_mg = 5, 256
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy()
+        skew = np.where(eid % 5 < 2, eid % 7, 1000 + eid % 3000)
+        return pd.DataFrame({"skew_key": skew.astype("int64")})
+
+    kds = ds.map_batches(keyed, batch_format="pandas")
+    hh = heavy_hitters(kds, "skew_key", k=k_mg)
+    n_total = int(ds.count())
+    cand_ref = ray.put(set(hh["skew_key"].tolist()))
+
+    def only_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        return df[df["skew_key"].isin(cands)]
+
+    exact = grouped_partial_sums(
+        kds.map_batches(only_candidates, batch_format="pandas"),
+        ["skew_key"], {}, count_alias="n_events",
+    ).to_pandas().sort_values(
+        ["n_events", "skew_key"], ascending=[False, True], kind="mergesort"
+    )
+    kth = int(exact["n_events"].iloc[k - 1]) if len(exact) >= k else 0
+    via_sketch = int(kth > n_total / (k_mg + 1))
+    if not via_sketch:
+        exact = grouped_partial_sums(
+            kds, ["skew_key"], {}, count_alias="n_events"
+        ).to_pandas().sort_values(
+            ["n_events", "skew_key"], ascending=[False, True], kind="mergesort"
+        )
+    out = exact.head(k).reset_index(drop=True)
+    out["skew_key"] = out["skew_key"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["via_sketch"] = np.int64(via_sketch)
+    return out[["skew_key", "n_events", "via_sketch"]]
+
+
+SKETCH_TOPK_SKEWED_SQL = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 5 < 2 THEN event_id % 7
+              ELSE 1000 + (event_id % 3000) END AS skew_key
+  FROM events
+)
+SELECT skew_key, count(*) AS n_events, CAST(1 AS BIGINT) AS via_sketch
+FROM keyed GROUP BY skew_key
+ORDER BY n_events DESC, skew_key LIMIT 5
 """
 
 
@@ -3385,6 +3457,7 @@ def registry() -> dict:
         "event_sequences": (event_sequences, EVENT_SEQUENCES_SQL),
         "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
         # -- (2) new in r4 (inserted here as they land) ----------------------
+        "sketch_topk_skewed": (sketch_topk_skewed, SKETCH_TOPK_SKEWED_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -299,3 +299,62 @@ def test_merge_into_upsert_and_matched_only(lake_with_data):
     assert ("brand/new", "brand/new.txt") not in keys
     assert ("never/seen", "never.txt") not in keys
     assert len(final) == len(before)
+
+
+def test_merge_into_delete_plus_insert_splits_by_match(lake_with_data):
+    """when_matched='delete' + when_not_matched='insert' (r3 ADVICE):
+    matched source rows delete their key; UNMATCHED rows must be INSERTED,
+    not emitted as deletes of nonexistent keys."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    before = read_final_state_arrow(table)
+    existing = before.to_pandas().iloc[0]
+    src = pd.DataFrame(
+        {
+            "repo": [existing["repo"], "split/new"],
+            "path": [existing["path"], "split/new.txt"],
+            "commit": ["d1", "i1"],
+            "lang": ["py", "py"],
+            "content": [None, "inserted via merge"],
+        }
+    )
+    merge_into(table, rd.from_pandas(src), when_matched="delete",
+               when_not_matched="insert")
+    after = read_final_state_arrow(table).to_pandas()
+    keys = set(zip(after["repo"], after["path"]))
+    assert (existing["repo"], existing["path"]) not in keys  # matched -> deleted
+    assert ("split/new", "split/new.txt") in keys  # unmatched -> inserted
+    row = after.set_index(["repo", "path"]).loc[("split/new", "split/new.txt")]
+    assert row["content"] == "inserted via merge"
+    assert len(after) == len(before)  # -1 delete +1 insert
+
+
+def test_merge_into_duplicate_source_keys(lake_with_data):
+    """Duplicate (repo, path) in the source: default raises a clear error
+    (Delta MERGE semantics); on_duplicate='reduce' keeps the deterministic
+    lexicographically-greatest (commit, content) winner."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    src = pd.DataFrame(
+        {
+            "repo": ["dup/r", "dup/r"],
+            "path": ["a.txt", "a.txt"],
+            "commit": ["c1", "c2"],
+            "lang": ["py", "py"],
+            "content": ["first", "second"],
+        }
+    )
+    with _pytest.raises(Exception, match="multiple rows for key"):
+        merge_into(table, rd.from_pandas(src))
+
+    merge_into(table, rd.from_pandas(src), on_duplicate="reduce")
+    after = read_final_state_arrow(table).to_pandas().set_index(["repo", "path"])
+    # winner = greatest (commit, content) = ('c2', 'second')
+    assert after.loc[("dup/r", "a.txt"), "content"] == "second"

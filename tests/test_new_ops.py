@@ -245,10 +245,23 @@ def test_tfidf_spill_path_matches_materialize_path(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, spilled, check_dtype=False)
-    # the spill actually happened (parquet files on disk)
+    # the spill actually happened (parquet files on disk, in a per-call subdir)
     import os
 
-    assert any(f.endswith(".parquet") for f in os.listdir(tmp_path / "sp"))
+    found = [
+        f for _root, _dirs, files in os.walk(tmp_path / "sp") for f in files
+        if f.endswith(".parquet")
+    ]
+    assert found
+    # REUSING the same spill_dir must not mix in stale term files from the
+    # previous call (r3 ADVICE: each call spills into a fresh subdirectory)
+    again = (
+        tfidf_top_terms(_ds(df, blocks=3), top_k=2, spill_dir=str(tmp_path / "sp"))
+        .to_pandas()[cols]
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, again, check_dtype=False)
 
 
 def test_tfidf_tokenization_matches_textstats_ascii_rule():

@@ -82,12 +82,44 @@ def test_heavy_hitters_guarantee(ray_session):
     for v, c in true.items():
         if c > thresh:
             assert v in got, f"missed guaranteed hitter {v} (count {c})"
-            # lower bound within the MG undercount envelope
+            # lower bound within the PROVEN MG undercount envelope: the
+            # n/(k+1) budget is shared across both compress levels (mass-
+            # conservation argument in the heavy_hitters docstring)
             assert got[v] <= c
-            assert c - got[v] <= thresh * 3  # merged summaries: <= one n/(k+1) per level
+            assert c - got[v] <= thresh + 1
     # reported counts never exceed the truth
     for v, c in got.items():
         assert c <= true.get(v, 0)
+
+
+def test_heavy_hitters_adversarial_two_level_bound(ray_session):
+    """Batch layout built to maximize decrements at BOTH compress levels:
+    every batch is one heavy key twice plus k+1 distinct singletons, so
+    each per-batch compress fires with decrement 1 and the merge-level
+    compress fires over the surviving tail.  The total undercount must
+    still respect the single shared n/(k+1) budget (not 2x it)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sketches import heavy_hitters
+
+    k = 16
+    n_batches = 400
+    rows = []
+    t = 0
+    for b in range(n_batches):
+        rows.extend(["heavy", "heavy"])
+        for _ in range(k + 1):
+            rows.append(f"tail_{t}")  # all distinct -> max per-batch decrement
+            t += 1
+    n = len(rows)
+    ds = rd.from_pandas(pd.DataFrame({"x": rows}))
+    out = heavy_hitters(ds, "x", k=k, batch_size=k + 3)
+    got = dict(zip(out["x"], out["count_lb"]))
+    true_heavy = 2 * n_batches
+    assert true_heavy > n / (k + 1)  # the completeness guarantee applies
+    assert "heavy" in got
+    assert got["heavy"] <= true_heavy
+    assert true_heavy - got["heavy"] <= n / (k + 1) + 1
 
 
 def test_count_min_bounds(ray_session):
