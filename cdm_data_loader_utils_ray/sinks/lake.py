@@ -197,8 +197,11 @@ def chain_may_match(
             st = md.row_group(rg).column(ci[0]).statistics
             if st is None or not st.has_min_max:
                 return True
-            if (lo is None or st.max >= lo) and (hi is None or st.min <= hi):
-                return True
+            try:
+                if (lo is None or st.max >= lo) and (hi is None or st.min <= hi):
+                    return True
+            except TypeError:
+                return True  # bound/stat type mismatch -> cannot prove disjoint
     return False
 
 
@@ -331,6 +334,24 @@ class LakeTable:
         chains = {p.pid: list(p.files) for p in m.partitions.values()}
         pids = sorted(chains)
         ranges = dict(column_range or {})
+        # type the bounds from the committed schema (r3 ADVICE: a CLI
+        # `--range col:100:200` on a string column would otherwise carry
+        # int bounds into a str-vs-int comparison); a bound that cannot
+        # cast to the column type is a clear user error here, not a
+        # worker-side TypeError later
+        for c, (lo, hi) in list(ranges.items()):
+            if c not in m.schema.names:
+                raise ValueError(f"column_range column {c!r} not in table schema")
+            typ = m.schema.field(c).type
+            try:
+                ranges[c] = tuple(
+                    None if v is None else pa.scalar(v).cast(typ).as_py()
+                    for v in (lo, hi)
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"column_range bound for {c!r} does not cast to {typ}: {e}"
+                ) from None
 
         out_schema = m.schema
         if live_only and "is_deleted" in out_schema.names:

@@ -154,8 +154,20 @@ def _arrow_schema(ds) -> pa.Schema:
         try:
             return pa.from_numpy_dtype(t)
         except (pa.ArrowNotImplementedError, TypeError):
-            # extension dtypes (tz-aware datetimes etc.)
-            return pa.timestamp("us")
+            # pandas extension dtypes: let Arrow derive the real type from
+            # a zero-row typed Series (nullable Int64 -> int64, categorical
+            # -> dictionary, tz-aware datetime -> timestamp) instead of
+            # blanket-mapping everything to timestamp (r3 ADVICE: a
+            # nullable-Int64 join key would otherwise declare a bogus
+            # timestamp schema and fail/miscast at execution)
+            try:
+                return pa.Array.from_pandas(pd.Series([], dtype=t)).type
+            except Exception:
+                if getattr(t, "kind", None) == "M" or "datetime" in str(t):
+                    return pa.timestamp("us")
+                raise TypeError(
+                    f"cannot map pandas dtype {t!r} to an Arrow type for join schema"
+                ) from None
 
     return pa.schema([(n, _to_arrow(t)) for n, t in zip(base.names, base.types)])
 

@@ -208,3 +208,42 @@ def test_read_changes_across_compaction_falls_back(ray_session, tmp_path):
     # after a tombstone-dropping compact everything is an upsert
     assert set(cdf["change_type"]) == {"upsert"}
     assert len(cdf) == len(state)
+
+
+def test_chain_may_match_type_mismatch_is_conservative(tmp_path):
+    """An int bound against a string column's stats must not raise — it
+    falls back to True (cannot prove disjoint), r3 ADVICE fix."""
+    d = str(tmp_path)
+    _write(d, "a.parquet", [10, 20, 30])
+    assert chain_may_match(d, ["a.parquet"], "path", 100, 200)
+
+
+def test_read_state_types_range_bounds_from_schema(tmp_path, ray_session):
+    """read_state(column_range=...) casts bounds to the column's schema
+    type: int bounds on the string `path` column become string bounds
+    (lexicographic range) instead of crashing in chain_may_match or the
+    row filter; an uncastable bound raises a clear ValueError."""
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = str(tmp_path / "ev.parquet")
+    write_events(ev, make_events(num_keys=30, num_events=200, seed=5))
+    lake = str(tmp_path / "lake")
+    run_replay(ev, lake, num_partitions=2)
+    table = LakeTable(lake)
+    full = table.read_state().to_pandas()
+
+    # int bounds on a string column: typed to "100".."200", must not raise
+    got = table.read_state(column_range={"path": (100, 200)}).to_pandas()
+    want = full[(full["path"] >= "100") & (full["path"] <= "200")]
+    assert len(got) == len(want)
+
+    # int bounds on the int seq column still behave as ints
+    lo, hi = int(full["seq"].min()), int(full["seq"].median())
+    got2 = table.read_state(column_range={"seq": (lo, hi)}).to_pandas()
+    assert len(got2) == int((full["seq"] >= lo).mul(full["seq"] <= hi).sum())
+
+    with pytest.raises(ValueError, match="does not cast"):
+        table.read_state(column_range={"seq": ("not-a-number", None)}).to_pandas()
+    with pytest.raises(ValueError, match="not in table schema"):
+        table.read_state(column_range={"nope": (1, 2)}).to_pandas()

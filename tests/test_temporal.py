@@ -120,3 +120,23 @@ def test_sliding_window_fanout():
     assert list(out["window_start"].dt.strftime("%Y-%m-%d")) == [
         "2024-01-01", "2024-01-02", "2024-01-03"]
     assert list(out["s"]) == [1.0, 11.0, 10.0]
+
+
+def test_hash_join_pandas_extension_dtype_key():
+    """A pandas-backed dataset with a nullable Int64 join key must declare
+    the real int64 Arrow schema, not a bogus timestamp fallback (r3 ADVICE:
+    _arrow_schema mapped any from_numpy_dtype-rejected dtype to timestamp)."""
+    left = pd.DataFrame({"k": pd.array([1, 2, 3, 4], dtype="Int64"),
+                         "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": pd.array([2, 4], dtype="Int64"),
+                          "rv": [20, 40]})
+    out = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+                  num_buckets=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 4]
+    assert out["lv"].tolist() == ["b", "d"]
+    assert out["rv"].tolist() == [20, 40]
