@@ -29,6 +29,7 @@ def _rewrite_partitions(
     run_id: str,
     metrics_key: str,
     column_range: dict | None = None,
+    state_preserving: bool = False,
 ) -> Manifest:
     """Rewrite each partition with ``rewrite(table, pid)`` (None = keep
     as-is) via one Ray task per partition, then commit epoch+1.
@@ -122,7 +123,15 @@ def _rewrite_partitions(
         partitions=partitions,
         parent_epoch=m.epoch,
         run_id=run_id,
-        metrics={metrics_key: changed, "touched_rows": touched_rows},
+        metrics={
+            metrics_key: changed,
+            "touched_rows": touched_rows,
+            # read_changes skips state-preserving rewrite epochs (compact,
+            # chain-fold) when reconstructing per-epoch CDF windows — a
+            # state-CHANGING rewrite (update_where) forces the full-state
+            # fallback for its rewritten partitions instead
+            "state_preserving_rewrite": state_preserving,
+        },
         rename_history=m.rename_history,
     )
     table.commit(new_m)
@@ -160,7 +169,8 @@ def compact(table: LakeTable, drop_tombstones: bool = True,
             changed = True
         return (t, dropped) if changed else (None, 0)
 
-    return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions")
+    return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions",
+                               state_preserving=True)
 
 
 def fold_long_chains(
@@ -219,7 +229,8 @@ def fold_long_chains(
     new_m = Manifest(
         epoch=epoch, num_partitions=m.num_partitions, schema=m.schema,
         partitions=partitions, parent_epoch=m.epoch, run_id=run_id,
-        metrics={"folded_partitions": len(long_pids)},
+        metrics={"folded_partitions": len(long_pids),
+                 "state_preserving_rewrite": True},
         rename_history=m.rename_history,
     )
     table.commit(new_m)

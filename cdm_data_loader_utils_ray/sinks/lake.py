@@ -412,28 +412,74 @@ class LakeTable:
         chain gained in the window (untouched partitions are skipped
         outright); within the window the files LWW-merge so a key changed
         twice emits once with its final value.  ``from_epoch=None`` means
-        "from table creation".  If a partition's chain was REWRITTEN in
-        the window (compaction folds history), its full current state is
-        emitted as upserts — CDF granularity across a compaction is
-        irrecoverable and the fallback is documented rather than wrong."""
+        "from table creation".
+
+        GRANULARITY SURVIVES COMPACTION (r3 verdict #3): the window is
+        reconstructed by walking every intermediate manifest, collecting
+        each epoch's appended delta files.  An epoch whose manifest is
+        stamped ``state_preserving_rewrite`` (compact / chain-fold — the
+        logical state is unchanged) contributes nothing and is skipped;
+        the compacted-away delta files stay readable while the
+        pre-compaction manifests sit inside ``vacuum(keep_epochs)``
+        retention, so a consumer polling after a routine compact still
+        receives O(churn), not O(table).  The full-current-state fallback
+        remains only for: a state-CHANGING rewrite in the window
+        (``update_where``), a partition remap (``migrate_partitions``),
+        or window files already vacuumed away."""
         import ray.data as rd
 
         m_to = self.latest_manifest() if to_epoch is None else self.read_manifest(to_epoch)
         if m_to is None:
             raise ValueError("no committed manifest")
         m_from = None if from_epoch is None else self.read_manifest(from_epoch)
-        old_chains = (
+
+        committed = sorted(
+            int(f[len("manifest-"):-len(".json")])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("manifest-")
+        )
+        lo = m_from.epoch if m_from else None
+        walk = [e for e in committed if (lo is None or e > lo) and e <= m_to.epoch]
+
+        windows: dict[int, list[str]] = {}
+        fallback: set[int] = set()
+        prev = m_from
+        prev_chains = (
             {p.pid: list(p.files) for p in m_from.partitions.values()} if m_from else {}
         )
-        windows: dict[int, list[str]] = {}
-        for p in m_to.partitions.values():
-            old = old_chains.get(p.pid, [])
-            if p.files[: len(old)] == old:
-                window = p.files[len(old):]
+        for e in walk:
+            m_e = m_to if e == m_to.epoch else self.read_manifest(e)
+            preserving = bool(m_e.metrics.get("state_preserving_rewrite", False))
+            cur = {p.pid: list(p.files) for p in m_e.partitions.values()}
+            if prev is not None and (
+                m_e.num_partitions != prev.num_partitions
+                or set(cur) != set(prev_chains)
+            ):
+                # partition remap (migrate): per-pid windows are meaningless
+                # across it — full-state fallback for everything
+                fallback.update(cur)
+                windows.clear()
             else:
-                window = list(p.files)  # rewritten chain: full-state fallback
-            if window:
-                windows[p.pid] = window
+                for pid, files in cur.items():
+                    old = prev_chains.get(pid, [])
+                    if files[: len(old)] == old:
+                        gained = files[len(old):]
+                        if gained:
+                            windows.setdefault(pid, []).extend(gained)
+                    elif not preserving:
+                        fallback.add(pid)  # state-changing rewrite
+            prev, prev_chains = m_e, cur
+
+        # degrade to full-state where retention already reclaimed window files
+        for pid, files in list(windows.items()):
+            if pid in fallback or any(
+                not os.path.exists(self.abspath(f)) for f in files
+            ):
+                fallback.add(pid)
+        to_chains = {p.pid: list(p.files) for p in m_to.partitions.values()}
+        for pid in fallback:
+            windows[pid] = to_chains.get(pid, [])
+        windows = {pid: fs for pid, fs in windows.items() if fs and pid in to_chains}
         out_schema = m_to.schema.append(pa.field("change_type", pa.string()))
         if not windows:
             return rd.from_arrow(out_schema.empty_table())

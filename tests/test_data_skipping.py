@@ -188,7 +188,10 @@ def test_compact_sort_by_tightens_stats(ray_session, tmp_path):
         assert seqs == sorted(seqs)
 
 
-def test_read_changes_across_compaction_falls_back(ray_session, tmp_path):
+def test_read_changes_compaction_only_window_is_empty(ray_session, tmp_path):
+    """A window containing ONLY a compaction has no logical changes: the
+    manifest walk skips the state-preserving rewrite instead of emitting
+    the whole table (r3 verdict #3)."""
     from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
     from cdm_data_loader_utils_ray.pipelines.maintenance import compact
     from cdm_data_loader_utils_ray.synth import make_events, write_events
@@ -199,15 +202,113 @@ def test_read_changes_across_compaction_falls_back(ray_session, tmp_path):
     run_replay(ev, lake, num_partitions=4)
     table = LakeTable(lake)
     e1 = table.latest_epoch()
-    compact(table, sort_by="seq")  # rewrites every chain
+    compact(table, sort_by="seq")  # rewrites every chain, preserves state
     e2 = table.latest_epoch()
 
     cdf = table.read_changes(from_epoch=e1, to_epoch=e2).to_pandas()
+    assert len(cdf) == 0
+
+
+def test_read_changes_granularity_survives_compaction(ray_session, tmp_path):
+    """epoch1 -> epoch2 -> COMPACT -> epoch3: read_changes(from=e1) must
+    return exactly the epoch2+epoch3 churn (O(churn)), not the full table,
+    because the pre-compaction delta files are still retained."""
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    # wide key universe, small churn window: epochs 2+3 hold only the last
+    # 15% of events so the touched-key set is much smaller than the table
+    ev_all = make_events(num_keys=600, num_events=3000, seed=57)
+    lake = os.path.join(str(tmp_path), "lake")
+    c1, c2 = int(len(ev_all) * 0.85), int(len(ev_all) * 0.925)
+    paths = []
+    for i, sl in enumerate(
+        [ev_all.slice(0, c1), ev_all.slice(c1, c2 - c1), ev_all.slice(c2)]
+    ):
+        p = os.path.join(str(tmp_path), f"e{i}.parquet")
+        write_events(p, sl)
+        paths.append(p)
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+
+    run_replay(paths[0], lake, num_partitions=4)
+    table = LakeTable(lake)
+    e1 = table.latest_epoch()
+    run_replay(paths[1], lake, num_partitions=4)
+    compact(table)
+    run_replay(paths[2], lake, num_partitions=4)
+    e_final = table.latest_epoch()
+
+    cdf = table.read_changes(from_epoch=e1, to_epoch=e_final).to_pandas()
+    # keys limited to what epochs 2+3 touched — NOT the whole table
+    import pyarrow as pa
+
+    later = pa.concat_tables([ev_all.slice(c1, c2 - c1), ev_all.slice(c2)])
+    touched = set(zip(later["repo"].to_pylist(), later["path"].to_pylist()))
+    got_keys = set(zip(cdf["repo"], cdf["path"]))
+    assert got_keys <= touched
+    assert len(cdf) == len(got_keys)  # one net row per key
     state = table.read_state().to_pandas()
-    # rewritten chains degrade to full-state emission (documented fallback);
-    # after a tombstone-dropping compact everything is an upsert
-    assert set(cdf["change_type"]) == {"upsert"}
-    assert len(cdf) == len(state)
+    assert len(cdf) < len(state)  # O(churn), not O(table)
+    # every key whose state differs e1 -> final is present
+    def smap(epoch):
+        df = table.read_state(manifest=table.read_manifest(epoch)).to_pandas()
+        return {(r, p): s for r, p, s in
+                zip(df["repo"], df["path"], df["content_sha256"])}
+
+    s1, s2 = smap(e1), smap(e_final)
+    changed = {k for k in set(s1) | set(s2) if s1.get(k) != s2.get(k)}
+    assert changed <= got_keys
+    # upsert rows carry the FINAL value
+    idx = state.set_index(["repo", "path"])
+    ups = cdf[cdf["change_type"] == "upsert"].set_index(["repo", "path"])
+    j = ups.join(idx, how="inner", rsuffix="_st")
+    assert (j["content_sha256"] == j["content_sha256_st"]).all()
+    assert len(j) == len(ups)  # every upserted key exists in final state
+
+    # once vacuum reclaims the pre-compaction deltas, the read degrades to
+    # the documented full-state fallback instead of crashing
+    table.vacuum(keep_epochs=1)
+    cdf2 = table.read_changes(from_epoch=e1, to_epoch=e_final).to_pandas()
+    # full current state as upserts (+ tombstones still in the post-compact
+    # chain for keys whose final op was a delete)
+    ups2 = cdf2[cdf2["change_type"] == "upsert"]
+    assert len(ups2) == len(state)
+    assert set(cdf2["change_type"]) <= {"upsert", "delete"}
+
+
+def test_read_changes_update_where_still_falls_back(ray_session, tmp_path):
+    """A state-CHANGING rewrite (update_where) in the window must still
+    emit full state for the rewritten partitions — skipping it would lose
+    its changes."""
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.pipelines.maintenance import update_where
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=50, num_events=400, seed=7))
+    run_replay(ev, lake, num_partitions=2)
+    table = LakeTable(lake)
+    e1 = table.latest_epoch()
+
+    def setter(t):
+        return t.set_column(
+            t.column_names.index("lang"), "lang",
+            pa.array(["xx"] * len(t), type=pa.string()),
+        )
+
+    _, n = update_where(table, lambda t: pc.is_valid(t["repo"]), setter)
+    assert n > 0
+    e2 = table.latest_epoch()
+    cdf = table.read_changes(from_epoch=e1, to_epoch=e2).to_pandas()
+    # the update touched every partition -> full-state emission, and the
+    # updated column value is visible
+    state = table.read_state().to_pandas()
+    assert len(cdf) >= len(state)
+    assert set(cdf[cdf["change_type"] == "upsert"]["lang"]) == {"xx"}
 
 
 def test_chain_may_match_type_mismatch_is_conservative(tmp_path):
