@@ -154,11 +154,14 @@ def train_ivf_centroids(ds, n_cells: int = 16, sample_frac: float = 0.25,
 def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10,
              n_probe: int = 2, column: str = "embedding",
              id_column: str = "vec_id", tie_ndigits: int | None = None) -> pd.DataFrame:
-    """IVF search: scan only rows whose nearest centroid is among the
-    query's ``n_probe`` closest cells; exact cosine on the candidates.
-    The scale path alternative to :func:`lsh_bucketed_topk` — centroids are
-    data-adaptive, so cells balance better than random hyperplanes on
-    clustered corpora."""
+    """IVF search over an UNINDEXED corpus: every batch is still READ and
+    its cell assignments recomputed — only the exact-cosine *scoring* is
+    pruned to the query's ``n_probe`` closest cells.  Right for one-off
+    searches; for repeated queries at scale use
+    ``functions/ann_index.build_ann_index`` + ``AnnIndex.search``, which
+    materializes the assignment once and prunes the READ itself to the
+    probe cells' files.  Centroids are data-adaptive, so cells balance
+    better than random hyperplanes on clustered corpora."""
     q = query.astype(np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
@@ -196,10 +199,13 @@ def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
                       seed: int = 42, column: str = "embedding",
                       id_column: str = "vec_id", probe_hamming: int = 1,
                       tie_ndigits: int | None = None) -> pd.DataFrame:
-    """Approximate cosine top-k: scan only rows whose LSH bucket is within
-    ``probe_hamming`` bit-flips of the query's bucket.  At 100 TB this turns
-    a full scan into a targeted read of ~(1 + n_planes) / 2^n_planes of the
-    corpus; candidates are scored exactly."""
+    """Approximate cosine top-k over an UNINDEXED corpus: every batch is
+    still READ and signatures recomputed — only exact scoring is pruned to
+    rows whose LSH bucket is within ``probe_hamming`` bit-flips of the
+    query's.  The targeted-READ variant (~(1 + n_planes) / 2^n_planes of
+    the corpus actually read) is ``functions/ann_index`` with
+    ``kind="lsh"``, which materializes signatures as a partition column
+    once and reads only the probe buckets' files."""
     planes = random_hyperplanes(len(query), n_planes, seed)
     qsig = int(lsh_signature(query.reshape(1, -1).astype(np.float32), planes)[0])
     probe = {qsig} | (
@@ -234,9 +240,12 @@ def sq8_topk(ds, query: np.ndarray, k: int = 10, rescore: int = 64,
     cosine.  The final merge ranks by exact scores, so accuracy equals
     brute force whenever the true top-k survives the candidate cut
     (recall asserted in pytest; exact-copy fixtures guarantee it by
-    construction).  At 100 TB the int8 corpus would be precomputed once
-    and scanned in place of the float column; here quantization is fused
-    into the scan to keep one dataset."""
+    construction).  The precomputed-int8 path exists for real:
+    ``functions/ann_index.build_ann_index(store_sq8=True)`` materializes
+    the quantized column once (per-row scales) and
+    ``AnnIndex.search(use_sq8=True)`` scans it in place of the float
+    column; here quantization is fused into the scan to keep one
+    dataset."""
     qf = query.astype(np.float32)
     qn = qf / (np.linalg.norm(qf) or 1.0)
     qs = float(np.abs(qf).max()) or 1.0

@@ -1161,6 +1161,33 @@ def knn_ivf(sf_dir: str):
 KNN_IVF_SQL = KNN_LSH_SQL
 
 
+def knn_ivf_indexed(sf_dir: str):
+    """MATERIALIZED-index ANN (functions/ann_index): the corpus is written
+    ONCE partitioned by IVF cell, then the search reads ONLY the probe
+    cells' parquet files — the read itself prunes, unlike knn_ivf's
+    compute-only pruning.  Same planted-copy fixture, so the exact top-10
+    is recoverable and hash-checked; the strict files-read < corpus-files
+    assertion lives in tests/test_ann_index.py."""
+    import shutil
+    import tempfile
+
+    from cdm_data_loader_utils_ray.functions.ann_index import build_ann_index
+
+    query, aug = _planted_query_corpus(sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="ann_ivf_", dir="/tmp")
+    try:
+        idx = build_ann_index(
+            aug, index_dir, kind="ivf", n_cells=16, sample_frac=0.5, seed=42,
+            store_sq8=True,
+        )
+        out = idx.search(query, k=10, n_probe=2, use_sq8=True, rescore=64,
+                         tie_ndigits=4)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 24. Multimodal plumbing, hash-checked: documents wrapped as opaque-binary
 #     media rows (UTF-8 payload), metadata extracted by the byte-budgeted
@@ -3458,6 +3485,7 @@ def registry() -> dict:
         "leakage_safe_split": (leakage_safe_split, _leakage_safe_split_sql()),
         # -- (2) new in r4 (inserted here as they land) ----------------------
         "sketch_topk_skewed": (sketch_topk_skewed, SKETCH_TOPK_SKEWED_SQL),
+        "knn_ivf_indexed": (knn_ivf_indexed, KNN_IVF_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

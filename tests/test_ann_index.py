@@ -1,0 +1,110 @@
+"""Materialized ANN index: the search READS only the probe cells' files
+(r3 verdict: index-less ANN was the family's scale-killer — prove the
+read itself prunes, not just the scoring)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from cdm_data_loader_utils_ray.functions.ann_index import AnnIndex, build_ann_index
+from cdm_data_loader_utils_ray.functions.similarity import brute_force_topk
+
+
+def _vec_ds(n=400, d=16, seed=11):
+    rng = np.random.default_rng(seed)
+    # four DIRECTIONALLY separated clusters (distinct signed axes) so
+    # cosine cells are meaningful — same-sign radial offsets would all
+    # point the same way and cosine could not tell clusters apart
+    centers = np.zeros((4, d), dtype=np.float64)
+    centers[0, 0], centers[1, 0], centers[2, 1], centers[3, 1] = 8, -8, 8, -8
+    parts = [rng.standard_normal((n // 4, d)) + c for c in centers]
+    m = np.concatenate(parts).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(8), m
+
+
+def test_ivf_index_prunes_read_and_matches_brute(ray_session, tmp_path):
+    ds, m = _vec_ds()
+    idx = build_ann_index(
+        ds, str(tmp_path / "ivf"), kind="ivf", n_cells=8, sample_frac=0.9, seed=3
+    )
+    q = m[7]
+    cells = idx.probe_cells(q, n_probe=2)
+    probe, total = idx.probe_files(cells), idx.all_files()
+    assert probe and set(probe) < set(total)  # STRICT subset: read is pruned
+    assert len(probe) < len(total)
+    got = idx.search(q, k=5, n_probe=2)
+    exact = brute_force_topk(ds, q, k=5)
+    assert got["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+    assert len(set(got["vec_id"]) & set(exact["vec_id"])) >= 4
+    # every returned row really lives in a probe file
+    read_ids = set()
+    for f in probe:
+        read_ids |= set(pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist())
+    assert set(got["vec_id"]) <= read_ids
+
+
+def test_ivf_index_load_roundtrip(ray_session, tmp_path):
+    ds, m = _vec_ds()
+    built = build_ann_index(
+        ds, str(tmp_path / "ivf"), kind="ivf", n_cells=8, sample_frac=0.9, seed=3
+    )
+    loaded = AnnIndex.load(str(tmp_path / "ivf"))
+    np.testing.assert_allclose(loaded.centroids, built.centroids)
+    q = m[123]
+    a = built.search(q, k=5, tie_ndigits=4)
+    b = loaded.search(q, k=5, tie_ndigits=4)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_lsh_index_prunes_read(ray_session, tmp_path):
+    ds, m = _vec_ds()
+    idx = build_ann_index(
+        ds, str(tmp_path / "lsh"), kind="lsh", n_planes=6, seed=5
+    )
+    q = m[41]
+    probe = idx.probe_files(idx.probe_cells(q, probe_hamming=1))
+    total = idx.all_files()
+    assert probe and len(probe) < len(total)
+    got = idx.search(q, k=5, probe_hamming=1)
+    exact = brute_force_topk(ds, q, k=5)
+    assert got["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+    assert len(set(got["vec_id"]) & set(exact["vec_id"])) >= 3
+
+
+def test_sq8_sidecar_search(ray_session, tmp_path):
+    ds, m = _vec_ds()
+    idx = build_ann_index(
+        ds, str(tmp_path / "ivf8"), kind="ivf", n_cells=8, sample_frac=0.9,
+        seed=3, store_sq8=True,
+    )
+    q = m[7]
+    fast = idx.search(q, k=5, n_probe=2, use_sq8=True, rescore=64)
+    slow = idx.search(q, k=5, n_probe=2, use_sq8=False)
+    # rescore covers the candidate set -> identical exact-scored top-k
+    assert fast["vec_id"].tolist() == slow["vec_id"].tolist()
+    np.testing.assert_allclose(fast["cos_sim"], slow["cos_sim"], rtol=1e-6)
+    # the quantized column really is persisted (not recomputed per scan)
+    f = idx.all_files()[0]
+    names = pq.read_schema(f).names
+    assert "__ann_q8" in names and "__ann_q8_scale" in names
+
+
+def test_empty_probe_returns_empty(ray_session, tmp_path):
+    ds, m = _vec_ds(n=80)
+    idx = build_ann_index(
+        ds, str(tmp_path / "lsh"), kind="lsh", n_planes=10, seed=5
+    )
+    # a far-off query whose bucket (and neighbors) may be unpopulated:
+    # search must not crash and returns <=k rows
+    q = np.full(16, 100.0, dtype=np.float32)
+    out = idx.search(q, k=5, probe_hamming=0)
+    assert len(out) <= 5
