@@ -97,15 +97,137 @@ def bloom_contains(
     return (bits != 0).all(axis=1)
 
 
-def bloom_split(words_ref, key_column: str, maybe: bool, num_hashes: int = 5):
+_SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shard_ids(hashes: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard per key from a mix INDEPENDENT of the probe-position hashes
+    (h1/h2 in :func:`_probe_positions` use the raw hash and a 0xFF51...
+    remix) — correlated shard/position bits would skew per-shard load."""
+    return ((hashes * _SHARD_MIX) >> np.uint64(40)) % np.uint64(num_shards)
+
+
+class ShardedBloom:
+    """Bloom bitset PARTITIONED by key-hash range — the >10^9-keys path
+    (README scale audit): a single filter at 10 bits/key over 10^9 keys is
+    a ~1.25 GB object that every probe task must map; sharding it into
+    ``num_shards`` independent bitsets means (1) the distributed build
+    OR-folds each shard in its own reduce task and the driver pins at most
+    ONE shard at a time, (2) each shard broadcasts as its own object-store
+    entry, so a probe over a key-partitioned left side fetches only the
+    shard(s) its batch actually touches (plasma caches per node either
+    way), and (3) no single object approaches plasma's large-object
+    penalties.  Same no-false-negative guarantee per shard."""
+
+    def __init__(self, refs: list, num_shards: int, bits_per_shard: int,
+                 num_hashes: int):
+        self.refs = refs
+        self.num_shards = num_shards
+        self.bits_per_shard = bits_per_shard
+        self.num_hashes = num_hashes
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _shard_words(self, s: int) -> np.ndarray:
+        w = self._cache.get(s)
+        if w is None:
+            import ray
+
+            w = ray.get(self.refs[s])  # zero-copy plasma read, cached per holder
+            self._cache[s] = w
+        return w
+
+    def contains(self, values: pd.Series) -> np.ndarray:
+        if not len(values):
+            return np.zeros(0, dtype=bool)
+        h = _hash64(values)
+        shards = _shard_ids(h, self.num_shards)
+        out = np.zeros(len(values), dtype=bool)
+        for s in np.unique(shards):
+            sel = shards == s
+            pos = _probe_positions(h[sel], self.bits_per_shard, self.num_hashes)
+            words = self._shard_words(int(s))
+            bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            out[sel] = (bits != 0).all(axis=1)
+        return out
+
+    def __reduce__(self):
+        # drop the per-holder cache; refs serialize fine inside Ray workers
+        return (
+            ShardedBloom,
+            (self.refs, self.num_shards, self.bits_per_shard, self.num_hashes),
+        )
+
+
+def build_bloom_sharded(ds, key_column: str, num_shards: int = 16,
+                        bits_per_shard: int = 1 << 22,
+                        num_hashes: int = 5) -> ShardedBloom:
+    """Distributed sharded build: one streaming pass emits per-(batch,
+    shard) partial bitsets ONLY for shards the batch touches, a
+    ``groupby(shard)`` reduce OR-folds each shard in parallel, and the
+    driver ``ray.put``s one folded shard at a time (peak driver memory =
+    one shard, not the whole filter)."""
+    num_words = (bits_per_shard + 63) // 64
+    bits_per_shard = num_words * 64
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows_s, rows_w = [], []
+        if len(df):
+            h = _hash64(df[key_column])
+            shards = _shard_ids(h, num_shards)
+            for s in np.unique(shards):
+                words = np.zeros(num_words, dtype=np.uint64)
+                pos = _probe_positions(h[shards == s], bits_per_shard, num_hashes)
+                np.bitwise_or.at(
+                    words, pos.ravel() >> 6,
+                    np.uint64(1) << (pos.ravel() & 63).astype(np.uint64),
+                )
+                rows_s.append(int(s))
+                rows_w.append(words.tobytes())
+        return pd.DataFrame({"shard": pd.Series(rows_s, dtype="int64"),
+                             "words": rows_w})
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        acc = _fold_bits(
+            (np.frombuffer(raw, dtype=np.uint64) for raw in group["words"]),
+            num_words,
+        )
+        return pd.DataFrame({"shard": [int(group["shard"].iloc[0])],
+                             "words": [acc.tobytes()]})
+
+    folded = (
+        ds.map_batches(partials, batch_format="pandas", batch_size=65536)
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+    )
+    import ray
+
+    refs: list = [None] * num_shards
+    empty = None
+    for batch in folded.iter_batches(batch_format="pandas"):
+        for s, raw in zip(batch["shard"], batch["words"]):
+            refs[int(s)] = ray.put(np.frombuffer(raw, dtype=np.uint64).copy())
+    for s in range(num_shards):
+        if refs[s] is None:  # shard untouched by any key
+            if empty is None:
+                empty = ray.put(np.zeros(num_words, dtype=np.uint64))
+            refs[s] = empty
+    return ShardedBloom(refs, num_shards, bits_per_shard, num_hashes)
+
+
+def bloom_split(filt, key_column: str, maybe: bool, num_hashes: int = 5):
     """Batch fn splitting rows on Bloom membership: ``maybe=True`` keeps
     maybe-members (true matches + false positives), ``maybe=False`` keeps
-    definite non-members.  Shared by the anti-join and incremental-dedup
-    call sites so the probe idiom cannot drift."""
+    definite non-members.  ``filt`` is either an ObjectRef to a single
+    bitset (the broadcast path) or a :class:`ShardedBloom` (the >10^9-keys
+    path).  Shared by the anti/semi-join and incremental-dedup call sites
+    so the probe idiom cannot drift."""
     import ray
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
-        mask = bloom_contains(ray.get(words_ref), df[key_column], num_hashes)
+        if isinstance(filt, ShardedBloom):
+            mask = filt.contains(df[key_column])
+        else:
+            mask = bloom_contains(ray.get(filt), df[key_column], num_hashes)
         return df[mask] if maybe else df[~mask]
 
     return _f
@@ -120,6 +242,7 @@ def anti_join_bloom_agg(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
     num_buckets: int = 64,
+    num_shards: int = 1,
 ):
     """Exact ``left ANTI JOIN right ON key`` immediately reduced by the
     caller's aggregation: ``partial(df) -> df`` collapses a batch of
@@ -129,12 +252,26 @@ def anti_join_bloom_agg(
     ``left_ds_factory`` is a zero-arg callable returning a fresh left
     Dataset — called once per branch (definite non-members / candidate
     fallback), so each branch is its own streaming scan.
+
+    ``num_shards > 1`` switches to the partitioned filter
+    (:class:`ShardedBloom`) — same exact result, total capacity still
+    ``num_bits`` split across shards; use it when the right side's keyset
+    would make a single bitset a multi-GB broadcast (~>10^9 keys at
+    10 bits/key).
     """
     import ray
 
     from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys
 
-    words_ref = ray.put(build_bloom(right_ds, key_column, num_bits, num_hashes))
+    if num_shards > 1:
+        filt = build_bloom_sharded(
+            right_ds, key_column, num_shards=num_shards,
+            bits_per_shard=max(num_bits // num_shards, 1 << 16),
+            num_hashes=num_hashes,
+        )
+    else:
+        filt = ray.put(build_bloom(right_ds, key_column, num_bits, num_hashes))
+    words_ref = filt
     drop_members = bloom_split(words_ref, key_column, maybe=False, num_hashes=num_hashes)
 
     def nonmember_partials(df: pd.DataFrame) -> pd.DataFrame:

@@ -141,3 +141,87 @@ def test_probe_strides_are_odd():
     h2 = h ^ (h >> np.uint64(33))
     h2 = (h2 * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)
     assert (h2 % 2 == 1).all()
+
+
+def test_sharded_bloom_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.bloom import build_bloom_sharded
+
+    rng = np.random.default_rng(5)
+    keys = pd.Series(rng.integers(-(2**60), 2**60, 20000), dtype="int64")
+    filt = build_bloom_sharded(
+        rd.from_pandas(pd.DataFrame({"k": keys})), "k",
+        num_shards=8, bits_per_shard=1 << 14,
+    )
+    assert filt.contains(keys).all()  # per-shard no-false-negative guarantee
+    # FP rate on a disjoint universe stays sane for ~20k keys in 8x16k bits
+    probe = pd.Series(rng.integers(2**61, 2**62, 20000), dtype="int64")
+    assert filt.contains(probe).mean() < 0.2
+
+
+def test_sharded_bloom_strings_and_shard_spread(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.bloom import (
+        _shard_ids,
+        build_bloom_sharded,
+    )
+
+    vals = pd.Series([f"key-{i}" for i in range(5000)], dtype="object")
+    sh = _shard_ids(_hash64(vals), 16)
+    counts = np.bincount(sh.astype(np.int64), minlength=16)
+    assert counts.min() > 0.5 * counts.mean()  # shards reasonably balanced
+    filt = build_bloom_sharded(
+        rd.from_pandas(pd.DataFrame({"k": vals})), "k",
+        num_shards=16, bits_per_shard=1 << 13,
+    )
+    assert filt.contains(vals).all()
+
+
+def test_anti_join_bloom_sharded_matches_single(ray_session):
+    """num_shards>1 must produce the IDENTICAL exact result — the sharded
+    filter only changes routing, never membership decisions."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 500, 8000),
+            "grp": rng.choice(["a", "b", "c"], 8000),
+            "v": rng.random(8000),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(0, 500, 4)})
+
+    def partial(df):
+        if df.empty:
+            return pd.DataFrame(
+                {"grp": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64")}
+            )
+        g = df.groupby("grp", sort=False).agg(n=("v", "size"), s=("v", "sum"))
+        return g.reset_index()
+
+    def final(parts):
+        g = (parts.groupby("grp", sort=False)
+             .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values("grp").reset_index(drop=True)
+
+    kw = dict(num_bits=1 << 12, num_hashes=3, num_buckets=8)
+    single = anti_join_bloom_agg(
+        lambda: rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, **kw,
+    )
+    sharded = anti_join_bloom_agg(
+        lambda: rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, num_shards=8, **kw,
+    )
+    keep = ~left["k"].isin(right["k"])
+    exp = final(partial(left[keep]))
+    for got in (single, sharded):
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
+        )
