@@ -84,15 +84,49 @@ def _flat_tokens(texts: pa.Array):
     return flat, off, tok_len, tok_len > 0
 
 
+_DIVERGENT_LOWER_RE: str | None = None
+
+
+def _divergent_lower_pattern() -> str:
+    """RE2 character class of every codepoint where ``pc.utf8_lower``
+    (utf8proc) and Python ``str.lower`` DISAGREE, plus U+03A3 'Σ' (Python's
+    single context-sensitive mapping — final sigma — which no per-codepoint
+    comparison can capture).  Computed once per process by lowering all
+    codepoints through both engines in one vectorized call (~0.3 s, cached;
+    only ever paid by workers that see a non-ASCII batch)."""
+    chars = [chr(c) for c in range(0x110000) if not (0xD800 <= c <= 0xDFFF)]
+    arrow_low = pc.utf8_lower(pa.array(chars, type=pa.string())).to_pylist()
+    div = {c for c, a in zip(chars, arrow_low) if a != c.lower()}
+    div.add("Σ")
+    return "[" + "".join(re.escape(c) for c in sorted(div)) + "]"
+
+
 def _lower_exact(filled: pa.Array) -> pa.Array:
     """Lowercase with exact ``str.lower`` semantics.  ``pc.utf8_lower``
     diverges from Python on e.g. 'İ' (utf8proc: 'i'; Python: 'i' +
     combining dot) and final sigma — and 'İ'→'i' CREATES a word char,
     changing token boundaries.  Pure-ASCII batches (the common case) take
-    the C-speed ``ascii_lower`` path, which is exactly ``str.lower`` there."""
+    the C-speed ``ascii_lower`` path, which is exactly ``str.lower`` there.
+    Non-ASCII batches stay vectorized too (r3 verdict #5): ``utf8_lower``
+    is pointwise-identical to Python for every row free of divergent
+    codepoints, so only rows matching the precomputed divergent class
+    (rare: dotted-I, sigma, a handful of Unicode edge mappings) take the
+    per-row Python path, patched back in with ``replace_with_mask``."""
     if pc.all(pc.string_is_ascii(filled)).as_py() is not False:
         return pc.ascii_lower(filled)
-    return pa.array([t.lower() for t in filled.to_pylist()], type=pa.string())
+    global _DIVERGENT_LOWER_RE
+    if _DIVERGENT_LOWER_RE is None:
+        _DIVERGENT_LOWER_RE = _divergent_lower_pattern()
+    lowered = pc.utf8_lower(filled)
+    needs_py = pc.match_substring_regex(filled, _DIVERGENT_LOWER_RE)
+    if pc.any(needs_py).as_py():
+        mask = needs_py.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(mask)
+        fixed = pa.array(
+            [filled[int(i)].as_py().lower() for i in idx], type=pa.string()
+        )
+        lowered = pc.replace_with_mask(lowered, needs_py, fixed)
+    return lowered
 
 
 def shifted_word_ngrams(toks, row_of: np.ndarray, n: int):

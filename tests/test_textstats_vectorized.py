@@ -92,3 +92,51 @@ def test_fused_analyzer_consistent(corpus):
     assert out["fingerprint"].to_pylist() == [
         rolling_fingerprint(t or "") for t in rows
     ]
+
+
+def test_lower_exact_nonascii_vectorized_path():
+    """Non-ASCII batches no longer take a whole-batch Python loop: only
+    rows containing DIVERGENT codepoints (utf8proc vs str.lower) do.
+    Semantics must equal str.lower on every row either way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.functions.textstats import (
+        _divergent_lower_pattern,
+        _lower_exact,
+    )
+
+    rows = [
+        "PLAIN ASCII",
+        "Café NAÏVE déjà vu",        # accented, NON-divergent -> utf8_lower
+        "İstanbul İİ",               # dotted capital I: divergent
+        "ΟΔΥΣΣΕΥΣ",                  # trailing sigma: Python final-sigma ς
+        "ΣΙΓΜΑ MID Σ END",
+        "straße GROSS ẞ",            # U+1E9E sharp S
+        "",
+        "混合 CJK と ASCII",
+    ]
+    got = _lower_exact(pa.array(rows, type=pa.string()))
+    assert got.to_pylist() == [r.lower() for r in rows]
+    # the divergent class flags exactly the rows that need Python
+    pat = _divergent_lower_pattern()
+    flags = pc.match_substring_regex(pa.array(rows), pat).to_pylist()
+    assert flags[1] is False  # plain accents stay on the Arrow path
+    assert flags[2] and flags[3] and flags[4]
+
+
+def test_lower_exact_fuzz_vs_python():
+    import random
+
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.functions.textstats import _lower_exact
+
+    rng = random.Random(7)
+    pool = (
+        [chr(c) for c in range(32, 127)]
+        + ["İ", "Σ", "ς", "ß", "ẞ", "Ö", "Ǆ", "ǅ", "Ⅷ", "Ｆ", "土", "Ａ"]
+    )
+    rows = ["".join(rng.choices(pool, k=rng.randrange(0, 30))) for _ in range(500)]
+    got = _lower_exact(pa.array(rows, type=pa.string()))
+    assert got.to_pylist() == [r.lower() for r in rows]
