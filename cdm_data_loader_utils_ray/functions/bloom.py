@@ -22,6 +22,15 @@ The composed :func:`anti_join_bloom_agg` reads the left input twice (one
 streaming scan per branch) — two column-pruned scans are cheaper at scale
 than materializing the probe output or shuffling the full left side.
 
+Small-right fast path: the build pass also collects the right side's
+EXACT distinct keys while they fit under ``small_right_limit``; when they
+do, the whole join degenerates to one broadcast + one left scan with a
+vectorized ``isin`` (zero shuffle, zero extra scan) — the classic
+"broadcast the small side" rule.  The Bloom two-branch machinery is the
+path for right sides too big to broadcast exactly; it engages
+automatically the moment the keyset overflows the limit (and always under
+``num_shards > 1``, which declares the keyset huge up front).
+
 Hashing: ``pandas.util.hash_pandas_object`` (deterministic, vectorized,
 process-stable) mixed into ``num_hashes`` double-hashing probes — the
 same hasher :mod:`functions.sketches` uses; a filter needs uniformity and
@@ -95,6 +104,86 @@ def bloom_contains(
     pos = _probe_positions(_hash64(values), num_bits, num_hashes)
     bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
     return (bits != 0).all(axis=1)
+
+
+def build_bloom_and_keys(
+    ds,
+    key_column: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    collect_limit: int = 2_000_000,
+):
+    """:func:`build_bloom` that ALSO returns the exact distinct keys —
+    ``(words, keys | None)`` — as long as they stay under
+    ``collect_limit``.  Same single streaming pass: each partial carries
+    its batch's unique values next to the bitset; the driver folds bits
+    unconditionally and accumulates keys until overflow (compacting with
+    ``pd.unique`` so peak driver memory stays ~2x the limit), after which
+    ``keys`` is ``None`` and only the filter survives.  Lets join
+    compositions pick broadcast-exact vs Bloom-prefilter from ONE pass
+    over the right side instead of a separate count."""
+    num_words = (num_bits + 63) // 64
+    num_bits = num_words * 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(num_words, dtype=np.uint64)
+        uniq = df[key_column].unique()
+        if len(df):
+            pos = _probe_positions(_hash64(df[key_column]), num_bits, num_hashes)
+            np.bitwise_or.at(
+                words, pos.ravel() >> 6, np.uint64(1) << (pos.ravel() & 63).astype(np.uint64)
+            )
+        return pd.DataFrame({"words": [words.tobytes()], "keys": [np.asarray(uniq)]})
+
+    acc = np.zeros(num_words, dtype=np.uint64)
+    chunks: list[np.ndarray] = []
+    total = 0
+    overflow = collect_limit <= 0
+    for batch in ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).iter_batches(batch_format="pandas"):
+        for raw, uniq in zip(batch["words"], batch["keys"]):
+            np.bitwise_or(acc, np.frombuffer(raw, dtype=np.uint64), out=acc)
+            if overflow:
+                continue
+            chunks.append(np.asarray(uniq))
+            total += len(uniq)
+            if total > 2 * collect_limit:  # batch uniques overlap; compact
+                merged = pd.unique(np.concatenate(chunks))
+                chunks, total = [merged], len(merged)
+                if total > collect_limit:
+                    overflow, chunks = True, []
+    if overflow:
+        return acc, None
+    keys = pd.unique(np.concatenate(chunks)) if chunks else np.array([])
+    if len(keys) > collect_limit:
+        return acc, None
+    return acc, keys
+
+
+def _broadcast_membership(keys_ref, key_column: str, keep_members: bool):
+    """Batch fn filtering on EXACT membership in a broadcast key array
+    (``ray.put`` once, hash-probe per batch via ``Series.isin``)."""
+    import ray
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[key_column].isin(ray.get(keys_ref)).to_numpy()
+        return df[hit] if keep_members else df[~hit]
+
+    return _f
+
+
+def _adaptive_buckets(cand, rows_per_bucket: int = 200_000):
+    """Materialize a (by-construction small) candidate set and size the
+    exact-join bucket count to its row count, so a few-hundred-k-row
+    fallback doesn't pay for 64 fixed-overhead bucket tasks while a
+    billion-row one still fans out.  The materialize pins O(candidates) in
+    the object store — the same rows the bucket shuffle is about to hold
+    anyway; callers that must stay fully streaming pass an explicit
+    ``num_buckets`` instead."""
+    cand = cand.materialize()
+    n = cand.count()
+    return cand, max(4, min(512, -(-n // rows_per_bucket)))
 
 
 _SHARD_MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -241,8 +330,9 @@ def anti_join_bloom_agg(
     final,
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     num_shards: int = 1,
+    small_right_limit: int = 2_000_000,
 ):
     """Exact ``left ANTI JOIN right ON key`` immediately reduced by the
     caller's aggregation: ``partial(df) -> df`` collapses a batch of
@@ -251,13 +341,22 @@ def anti_join_bloom_agg(
 
     ``left_ds_factory`` is a zero-arg callable returning a fresh left
     Dataset — called once per branch (definite non-members / candidate
-    fallback), so each branch is its own streaming scan.
+    fallback), so each branch is its own streaming scan.  When the right
+    keyset fits under ``small_right_limit`` it is broadcast EXACTLY and
+    the factory is called once: a single scan filters with a vectorized
+    ``isin`` and aggregates in place — no shuffle at all (see module
+    docstring).
+
+    ``num_buckets=None`` (default) sizes the exact-fallback shuffle to the
+    measured candidate count (:func:`_adaptive_buckets`); pass a number to
+    keep that branch fully streaming at a fixed fan-out.
 
     ``num_shards > 1`` switches to the partitioned filter
     (:class:`ShardedBloom`) — same exact result, total capacity still
     ``num_bits`` split across shards; use it when the right side's keyset
     would make a single bitset a multi-GB broadcast (~>10^9 keys at
-    10 bits/key).
+    10 bits/key).  It also declares the keyset too big to collect, so the
+    broadcast-exact path is skipped.
     """
     import ray
 
@@ -270,7 +369,23 @@ def anti_join_bloom_agg(
             num_hashes=num_hashes,
         )
     else:
-        filt = ray.put(build_bloom(right_ds, key_column, num_bits, num_hashes))
+        words, keys = build_bloom_and_keys(
+            right_ds, key_column, num_bits, num_hashes, small_right_limit
+        )
+        if keys is not None:
+            keys_ref = ray.put(keys)
+            drop_exact = _broadcast_membership(keys_ref, key_column, keep_members=False)
+
+            def exact_partials(df: pd.DataFrame) -> pd.DataFrame:
+                return partial(drop_exact(df))
+
+            parts = (
+                left_ds_factory()
+                .map_batches(exact_partials, batch_format="pandas")
+                .to_pandas()
+            )
+            return final(parts)
+        filt = ray.put(words)
     words_ref = filt
     drop_members = bloom_split(words_ref, key_column, maybe=False, num_hashes=num_hashes)
 
@@ -286,10 +401,60 @@ def anti_join_bloom_agg(
         bloom_split(words_ref, key_column, maybe=True, num_hashes=num_hashes),
         batch_format="pandas",
     )
+    if num_buckets is None:
+        cand, num_buckets = _adaptive_buckets(cand)
     survivors = anti_join_keys(cand, right_ds, [key_column], num_buckets=num_buckets)
     sur_partials = survivors.map_batches(partial, batch_format="pandas")
 
     parts = pd.concat(
         [non_members.to_pandas(), sur_partials.to_pandas()], ignore_index=True
     )
+    return final(parts)
+
+
+def semi_join_bloom_agg(
+    left_ds,
+    right_ds,
+    key_column: str,
+    partial,
+    final,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    num_buckets: int | None = None,
+    small_right_limit: int = 2_000_000,
+):
+    """Exact ``left SEMI JOIN right ON key`` (EXISTS) reduced by the
+    caller's ``partial``/``final`` aggregation — the dual of
+    :func:`anti_join_bloom_agg`.  One left scan either way: Bloom misses
+    are provably non-members and drop inside the scan; under
+    ``small_right_limit`` the membership test is the broadcast EXACT
+    keyset and matches aggregate in place with no shuffle, otherwise
+    maybe-members take the exact keyed semi join (bucket count sized to
+    the measured candidate set when ``num_buckets=None``)."""
+    import ray
+
+    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+
+    words, keys = build_bloom_and_keys(
+        right_ds, key_column, num_bits, num_hashes, small_right_limit
+    )
+    if keys is not None:
+        keys_ref = ray.put(keys)
+        keep_exact = _broadcast_membership(keys_ref, key_column, keep_members=True)
+
+        def exact_partials(df: pd.DataFrame) -> pd.DataFrame:
+            return partial(keep_exact(df))
+
+        parts = left_ds.map_batches(exact_partials, batch_format="pandas").to_pandas()
+        return final(parts)
+
+    words_ref = ray.put(words)
+    cand = left_ds.map_batches(
+        bloom_split(words_ref, key_column, maybe=True, num_hashes=num_hashes),
+        batch_format="pandas",
+    )
+    if num_buckets is None:
+        cand, num_buckets = _adaptive_buckets(cand)
+    matched = semi_join_keys(cand, right_ds, [key_column], num_buckets=num_buckets)
+    parts = matched.map_batches(partial, batch_format="pandas").to_pandas()
     return final(parts)

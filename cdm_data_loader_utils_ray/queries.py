@@ -2385,10 +2385,13 @@ WHERE levenshtein(a.text, b.text) <= 2
 
 # ---------------------------------------------------------------------------
 # 54. Bloom-prefiltered exact anti-join (D4/J-family scale path): lineitems
-#     whose order is NOT urgent, aggregated per returnflag.  Definite
-#     non-members (no false negatives) collapse to combiner partials inside
-#     the probe scan and never shuffle; only maybe-members take the exact
-#     keyed anti-join.  Result is exact — oracle is a plain NOT IN.
+#     whose order is NOT urgent, aggregated per returnflag.  Right keysets
+#     under the broadcast limit take the exact single-scan isin path (zero
+#     shuffle — what runs at bench scale); past it, definite non-members
+#     (no false negatives) collapse to combiner partials inside the probe
+#     scan and only maybe-members take the exact keyed anti-join, with the
+#     bucket count sized to the measured candidate set.  Result is exact
+#     either way — oracle is a plain NOT IN.
 # ---------------------------------------------------------------------------
 def anti_join_bloom(sf_dir: str):
     import ray.data as rd
@@ -3068,18 +3071,17 @@ def knn_sq8(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # 67. Bloom-gated SEMI join (EXISTS): lineitems whose order IS urgent,
-#     aggregated per returnflag — the dual of entry 54.  Bloom misses are
-#     provably non-members and drop in the probe scan (no shuffle); only
-#     maybe-members take the exact keyed semi join, so shuffle volume is
-#     O(matches + eps * |left|).
+#     aggregated per returnflag — the dual of entry 54.  Small right
+#     keysets broadcast exactly (single scan, zero shuffle); past the
+#     limit, Bloom misses are provably non-members and drop in the probe
+#     scan, and only maybe-members take the exact keyed semi join, so
+#     shuffle volume is O(matches + eps * |left|).
 # ---------------------------------------------------------------------------
 def semi_join_bloom(sf_dir: str):
-    import ray
     import ray.data as rd
 
     from cdm_data_loader_utils_ray.core.rounding import round_half_away
-    from cdm_data_loader_utils_ray.functions.bloom import bloom_split, build_bloom
-    from cdm_data_loader_utils_ray.stages.keyed import semi_join_keys
+    from cdm_data_loader_utils_ray.functions.bloom import semi_join_bloom_agg
 
     right = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -3089,14 +3091,9 @@ def semi_join_bloom(sf_dir: str):
         lambda b: b.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
         batch_format="pyarrow",
     )
-    words_ref = ray.put(build_bloom(right, "l_orderkey"))
-
     left = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]
-    ).map_batches(
-        bloom_split(words_ref, "l_orderkey", maybe=True), batch_format="pandas"
     )
-    matched = semi_join_keys(left, right, ["l_orderkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_returnflag", sort=False).agg(
@@ -3104,15 +3101,17 @@ def semi_join_bloom(sf_dir: str):
         )
         return g.reset_index()
 
-    parts = matched.map_batches(partial, batch_format="pandas").to_pandas()
-    g = (
-        parts.groupby("l_returnflag", sort=False)
-        .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
-        .reset_index()
-    )
-    g["n_items"] = g["n_items"].astype("int64")
-    g["sum_qty"] = round_half_away(g["sum_qty"].to_numpy(), 2)
-    return g
+    def final(parts: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            parts.groupby("l_returnflag", sort=False)
+            .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+            .reset_index()
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        g["sum_qty"] = round_half_away(g["sum_qty"].to_numpy(), 2)
+        return g
+
+    return semi_join_bloom_agg(left, right, "l_orderkey", partial, final)
 
 
 SEMI_JOIN_BLOOM_SQL = """

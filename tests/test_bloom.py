@@ -79,6 +79,7 @@ def test_anti_join_bloom_exact(ray_session):
         return g.sort_values("grp").reset_index(drop=True)
 
     # tiny filter => real false positives => exercises the exact fallback
+    # (small_right_limit=0 forces the Bloom path past the broadcast switch)
     got = anti_join_bloom_agg(
         lambda: rd.from_pandas(left),
         rd.from_pandas(right),
@@ -88,6 +89,7 @@ def test_anti_join_bloom_exact(ray_session):
         num_bits=1 << 10,
         num_hashes=3,
         num_buckets=8,
+        small_right_limit=0,
     )
     keep = ~left["k"].isin(right["k"])
     exp = final(partial(left[keep]))
@@ -210,7 +212,7 @@ def test_anti_join_bloom_sharded_matches_single(ray_session):
         g["n"] = g["n"].astype("int64")
         return g.sort_values("grp").reset_index(drop=True)
 
-    kw = dict(num_bits=1 << 12, num_hashes=3, num_buckets=8)
+    kw = dict(num_bits=1 << 12, num_hashes=3, num_buckets=8, small_right_limit=0)
     single = anti_join_bloom_agg(
         lambda: rd.from_pandas(left), rd.from_pandas(right), "k",
         partial, final, **kw,
@@ -225,3 +227,115 @@ def test_anti_join_bloom_sharded_matches_single(ray_session):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
         )
+
+
+def test_build_bloom_and_keys_collects_and_overflows(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.bloom import build_bloom_and_keys
+
+    vals = pd.DataFrame({"k": np.repeat(np.arange(1000, dtype=np.int64), 3)})
+    ds = rd.from_pandas(vals)
+    words, keys = build_bloom_and_keys(ds, "k", num_bits=1 << 12, collect_limit=5000)
+    assert keys is not None and sorted(keys.tolist()) == list(range(1000))
+    assert bloom_contains(words, pd.Series(np.arange(1000), dtype="int64"), 5).all()
+    # limit below the distinct count -> keys dropped, bitset identical
+    words2, keys2 = build_bloom_and_keys(ds, "k", num_bits=1 << 12, collect_limit=999)
+    assert keys2 is None
+    assert np.array_equal(words, words2)
+    # limit 0 -> never collect
+    _, keys3 = build_bloom_and_keys(ds, "k", num_bits=1 << 12, collect_limit=0)
+    assert keys3 is None
+
+
+def _agg_pf():
+    def partial(df):
+        if df.empty:
+            return pd.DataFrame(
+                {"grp": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64")}
+            )
+        g = df.groupby("grp", sort=False).agg(n=("v", "size"), s=("v", "sum"))
+        return g.reset_index()
+
+    def final(parts):
+        g = (parts.groupby("grp", sort=False)
+             .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values("grp").reset_index(drop=True)
+
+    return partial, final
+
+
+def test_anti_join_broadcast_path_matches_bloom_path(ray_session):
+    """Under small_right_limit the exact broadcast path must be
+    row-identical to the Bloom two-branch path — the switch is purely a
+    physical-plan choice."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 400, 6000),
+         "grp": rng.choice(["a", "b", "c"], 6000),
+         "v": rng.random(6000)}
+    )
+    right = pd.DataFrame({"k": np.arange(0, 400, 5)})
+    partial, final = _agg_pf()
+    kw = dict(num_bits=1 << 12, num_hashes=3, num_buckets=8)
+    broadcast = anti_join_bloom_agg(
+        lambda: rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, small_right_limit=10_000, **kw,
+    )
+    bloom = anti_join_bloom_agg(
+        lambda: rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, small_right_limit=0, **kw,
+    )
+    keep = ~left["k"].isin(right["k"])
+    exp = final(partial(left[keep]))
+    for got in (broadcast, bloom):
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
+        )
+
+
+def test_semi_join_bloom_agg_both_paths(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.bloom import semi_join_bloom_agg
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 400, 6000),
+         "grp": rng.choice(["a", "b"], 6000),
+         "v": rng.random(6000)}
+    )
+    right = pd.DataFrame({"k": np.arange(0, 400, 7)})
+    partial, final = _agg_pf()
+    kw = dict(num_bits=1 << 12, num_hashes=3, num_buckets=8)
+    broadcast = semi_join_bloom_agg(
+        rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, small_right_limit=10_000, **kw,
+    )
+    bloom = semi_join_bloom_agg(
+        rd.from_pandas(left), rd.from_pandas(right), "k",
+        partial, final, small_right_limit=0, **kw,
+    )
+    keep = left["k"].isin(right["k"])
+    exp = final(partial(left[keep]))
+    for got in (broadcast, bloom):
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_exact=False, rtol=1e-12
+        )
+
+
+def test_adaptive_buckets_bounds(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.bloom import _adaptive_buckets
+
+    small = rd.from_pandas(pd.DataFrame({"x": np.arange(10)}))
+    _, b = _adaptive_buckets(small)
+    assert b == 4  # floor
+    _, b2 = _adaptive_buckets(small, rows_per_bucket=2)
+    assert b2 == 5  # ceil(10/2)
