@@ -1244,6 +1244,7 @@ def dedup_incremental(
     seen_text_column: str | None = None,
     num_buckets: int = 64,
     bloom_bits: int = 1 << 23,
+    small_seen_limit: int = 500_000,
 ):
     """Rows of ``new_ds`` whose content is NEW: first (lowest id) per
     sha256 within the batch, and the sha256 absent from ``seen_ds``.
@@ -1252,14 +1253,22 @@ def dedup_incremental(
     hash), one combiner pass folding the seen hashes into a Bloom bitset
     (fixed-size partials), then a probe split — Bloom misses are provably
     new and bypass the subtraction; only maybe-members (true dups + false
-    positives) take the exact keyed anti-join.  The deduped incoming
-    batch is materialized once (it is incremental-batch-sized, not
-    lake-sized — the flag split would otherwise re-run the dedup shuffle
-    per branch).  Output keeps all input columns plus ``content_sha256``.
+    positives) take the exact keyed anti-join.  When the seen corpus holds
+    at most ``small_seen_limit`` distinct hashes they are collected
+    EXACTLY in the same pass and the subtraction is one broadcast isin
+    filter — no shuffle (the limit defaults lower than the joins' because
+    sha256 hex keys are ~70 bytes each).  The deduped incoming batch is
+    materialized once (it is incremental-batch-sized, not lake-sized —
+    the flag split would otherwise re-run the dedup shuffle per branch).
+    Output keeps all input columns plus ``content_sha256``.
     """
     import ray
 
-    from cdm_data_loader_utils_ray.functions.bloom import bloom_split, build_bloom
+    from cdm_data_loader_utils_ray.functions.bloom import (
+        _broadcast_membership,
+        bloom_split,
+        build_bloom_and_keys,
+    )
     from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys, lww_latest
 
     seen_col = seen_text_column or text_column
@@ -1291,7 +1300,16 @@ def dedup_incremental(
         return pa.table({"content_sha256": sha256_array(pc.fill_null(texts, ""))})
 
     seen_h = seen_ds.map_batches(seen_hashes, batch_format="pyarrow")
-    words_ref = ray.put(build_bloom(seen_h, "content_sha256", num_bits=bloom_bits))
+    words, seen_keys = build_bloom_and_keys(
+        seen_h, "content_sha256", num_bits=bloom_bits, collect_limit=small_seen_limit
+    )
+    if seen_keys is not None:
+        keys_ref = ray.put(seen_keys)
+        return first.map_batches(
+            _broadcast_membership(keys_ref, "content_sha256", keep_members=False),
+            batch_format="pandas",
+        )
+    words_ref = ray.put(words)
 
     definite_new = first.map_batches(
         bloom_split(words_ref, "content_sha256", maybe=False), batch_format="pandas"

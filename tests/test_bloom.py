@@ -110,12 +110,14 @@ def test_dedup_incremental(ray_session):
             "text": ["alpha", "gamma", "gamma", "delta", "beta"],
         }
     )
-    out = dedup_incremental(
-        rd.from_pandas(new), rd.from_pandas(seen), bloom_bits=1 << 10
-    ).to_pandas()
-    # alpha/beta already seen; gamma self-dedups to first id; delta new
-    assert sorted(out["doc_id"].tolist()) == [11, 13]
-    assert set(out.columns) >= {"doc_id", "text", "content_sha256"}
+    for limit in (0, 1000):  # 0 forces the Bloom path, 1000 the broadcast one
+        out = dedup_incremental(
+            rd.from_pandas(new), rd.from_pandas(seen), bloom_bits=1 << 10,
+            small_seen_limit=limit,
+        ).to_pandas()
+        # alpha/beta already seen; gamma self-dedups to first id; delta new
+        assert sorted(out["doc_id"].tolist()) == [11, 13]
+        assert set(out.columns) >= {"doc_id", "text", "content_sha256"}
 
 
 @settings(max_examples=50, deadline=None)
