@@ -230,6 +230,45 @@ def hash_join(
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 
 
+def broadcast_hash_join(
+    left_ds,
+    right_table: pa.Table | "object",
+    on: Sequence[str] | str,
+    how: str = "inner",
+    suffix: str = "_right",
+):
+    """Hash join where the RIGHT side fits in one broadcast object — the
+    "broadcast join under the threshold" physical plan: the right side is
+    pinned in the object store ONCE (``ray.put``) and every left batch
+    joins against it with the Arrow C++ join kernel inside ``map_batches``
+    — ZERO shuffle; the left side streams.  Inner and left joins only:
+    each left batch joins independently, so emitting unmatched RIGHT rows
+    (right/full outer) would need a global pass — use :func:`hash_join`.
+
+    ``right_table`` is a ``pyarrow.Table`` or a Ray Dataset (materialized
+    here).  The caller asserts smallness — the table lives on the driver
+    once and in plasma once; ~<100 MB is comfortable, past that use
+    :func:`hash_join` (or salt + :func:`hash_join_salted` for skew).
+    Null join keys never match (Arrow join semantics, same as SQL)."""
+    import ray
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_hash_join supports inner/left joins only")
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    if not isinstance(right_table, pa.Table):
+        right_table = pa.concat_tables(
+            ray.get(right_table.to_arrow_refs()), promote_options="default"
+        )
+    right_ref = ray.put(right_table.combine_chunks())
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)  # zero-copy plasma read, cached per node
+        return batch.join(r, keys=keys, join_type=join_type, right_suffix=suffix)
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
 def anti_join_keys(left_ds, right_ds, key_columns: Sequence[str], num_buckets: int = 64):
     """Left-anti by key (reference ``snapshot_utils.py:16-31`` new-only /
     removed-only): rows of ``left_ds`` whose key does not appear in
