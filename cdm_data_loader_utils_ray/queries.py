@@ -2888,7 +2888,12 @@ WHERE lang_pred = 'en' AND quality_score >= 0.5
 # ---------------------------------------------------------------------------
 def cohort_retention(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
-    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket, hash_join, lww_latest
+    from cdm_data_loader_utils_ray.stages.keyed import (
+        _add_bucket,
+        broadcast_hash_join,
+        hash_join,
+        lww_latest,
+    )
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
@@ -2903,7 +2908,15 @@ def cohort_retention(sf_dir: str):
         lambda b: b.rename_columns(["user_id", "first_ts"]), batch_format="pyarrow"
     )
 
-    joined = hash_join(ev, firsts, on=["user_id"], num_buckets=32)
+    # firsts is one row per user — tiny next to the event stream.  Below
+    # ~2M users broadcast it (zero-shuffle: events stream through one
+    # Arrow join per batch); past that fall back to the partitioned join
+    # so the plan stays shuffle-bound rather than memory-bound at scale.
+    firsts = firsts.materialize()
+    if firsts.count() <= 2_000_000:
+        joined = broadcast_hash_join(ev, firsts, on="user_id", how="inner")
+    else:
+        joined = hash_join(ev, firsts, on=["user_id"], num_buckets=32)
 
     def weeks(df: pd.DataFrame) -> pd.DataFrame:
         def week_start(s: pd.Series) -> pd.Series:
