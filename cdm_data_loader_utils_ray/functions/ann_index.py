@@ -103,11 +103,31 @@ def build_ann_index(
     sample_frac: float = 0.25,
     seed: int = 42,
     store_sq8: bool = False,
+    overwrite: bool = False,
 ) -> "AnnIndex":
     """ONE streaming pass over ``ds``: tag every row with its coarse cell
     and write the corpus partitioned by cell under ``index_dir/data``.
     IVF trains the coarse quantizer on a sample first (small driver-side
-    k-means — the centroid matrix broadcasts; the corpus itself streams)."""
+    k-means — the centroid matrix broadcasts; the corpus itself streams).
+
+    A non-empty ``index_dir/data`` is refused unless ``overwrite=True``
+    (which clears it first): ``write_parquet`` appends uniquely-named
+    files, so rebuilding in place would mix stale cell files from the
+    previous corpus into every probe read."""
+    import shutil
+
+    data_dir = os.path.join(index_dir, "data")
+    if os.path.isdir(data_dir) and os.listdir(data_dir):
+        if not overwrite:
+            raise ValueError(
+                f"{data_dir} already holds an index; pass overwrite=True to rebuild"
+            )
+        shutil.rmtree(data_dir)
+        for f in ("index.json", "centroids.npy"):
+            p = os.path.join(index_dir, f)
+            if os.path.exists(p):
+                os.remove(p)
+
     centroids = planes = None
     dim = None
     if kind == "ivf":
@@ -131,15 +151,22 @@ def build_ann_index(
             out = out.append_column(_Q8_COL, q8).append_column(_Q8_SCALE_COL, sc)
         return out
 
-    data_dir = os.path.join(index_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         data_dir, partition_cols=[_CELL_COL]
     )
+    id_dtype = "int64"
+    try:
+        base = getattr(ds.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            id_dtype = str(pd.Series([], dtype=base.field(id_column).type.to_pandas_dtype()).dtype)
+    except Exception:
+        pass  # metadata nicety only; empty-result dtype falls back to int64
     meta = {
         "kind": kind,
         "column": column,
         "id_column": id_column,
+        "id_dtype": id_dtype,
         "dim": int(dim),
         "n_cells": int(n_cells),
         "n_probe_default": int(n_probe_default),
@@ -188,9 +215,18 @@ class AnnIndex:
         ph = (self.meta["probe_hamming_default"] if probe_hamming is None
               else probe_hamming)
         sig = int(lsh_signature(q.reshape(1, -1), self.planes)[0])
+        # every signature within Hamming distance <= ph of the query's —
+        # C(n_planes, d) cells per distance d, so keep ph small
+        from itertools import combinations
+
+        nb = self.meta["n_planes"]
         cells = {sig}
-        if ph >= 1:
-            cells |= {sig ^ (1 << b) for b in range(self.meta["n_planes"])}
+        for d in range(1, min(ph, nb) + 1):
+            for bits in combinations(range(nb), d):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                cells.add(sig ^ m)
         return sorted(cells)
 
     def _cell_dir(self, cell: int) -> str:
@@ -231,7 +267,7 @@ class AnnIndex:
         id_column = self.meta["id_column"]
         column = self.meta["column"]
         files = self.probe_files(self.probe_cells(query, n_probe, probe_hamming))
-        empty = pd.DataFrame({id_column: pd.Series([], dtype="int64"),
+        empty = pd.DataFrame({id_column: pd.Series([], dtype=self.meta.get("id_dtype", "int64")),
                               "cos_sim": pd.Series([], dtype="float64")})
         if not files:
             return empty
@@ -251,7 +287,11 @@ class AnnIndex:
                 if isinstance(q8col, pa.ChunkedArray):
                     q8col = q8col.combine_chunks()
                 m8 = np.asarray(q8col.values).reshape(len(batch), -1)
-                approx = m8.astype(np.int32) @ q8
+                # m8 = row/scale*127, so the int8 dot must be scaled BACK
+                # per row to rank proportionally to cosine — without it a
+                # flat vector (scale ~ 1/sqrt(d)) outranks an exact copy
+                scale = batch[_Q8_SCALE_COL].to_numpy(zero_copy_only=False)
+                approx = (m8.astype(np.int32) @ q8) * scale.astype(np.float64)
                 r = min(rescore, len(approx))
                 keep = np.argpartition(-approx, r - 1)[:r] if r else []
                 cand = batch.take(pa.array(np.sort(keep)))

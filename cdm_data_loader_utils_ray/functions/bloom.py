@@ -121,30 +121,50 @@ def build_bloom_and_keys(
     ``pd.unique`` so peak driver memory stays ~2x the limit), after which
     ``keys`` is ``None`` and only the filter survives.  Lets join
     compositions pick broadcast-exact vs Bloom-prefilter from ONE pass
-    over the right side instead of a separate count."""
+    over the right side instead of a separate count.
+
+    Key shipping is BOUNDED for huge right sides: the partial runs in a
+    small actor pool and each actor stops attaching keys once it alone
+    has shipped more than ``collect_limit`` uniques (the global set must
+    then overflow too), so total driver-ward key traffic is capped at
+    ~pool_size x collect_limit instead of O(|right distinct|)."""
+    if collect_limit <= 0:
+        return build_bloom(ds, key_column, num_bits, num_hashes), None
     num_words = (num_bits + 63) // 64
     num_bits = num_words * 64
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = np.zeros(num_words, dtype=np.uint64)
-        uniq = df[key_column].unique()
-        if len(df):
-            pos = _probe_positions(_hash64(df[key_column]), num_bits, num_hashes)
-            np.bitwise_or.at(
-                words, pos.ravel() >> 6, np.uint64(1) << (pos.ravel() & 63).astype(np.uint64)
-            )
-        return pd.DataFrame({"words": [words.tobytes()], "keys": [np.asarray(uniq)]})
+    class partial_cls:
+        def __init__(self):
+            self.shipped = 0
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            words = np.zeros(num_words, dtype=np.uint64)
+            if len(df):
+                pos = _probe_positions(_hash64(df[key_column]), num_bits, num_hashes)
+                np.bitwise_or.at(
+                    words, pos.ravel() >> 6,
+                    np.uint64(1) << (pos.ravel() & 63).astype(np.uint64),
+                )
+            if self.shipped > collect_limit:
+                uniq = None  # this actor alone proves global overflow
+            else:
+                uniq = np.asarray(df[key_column].unique())
+                self.shipped += len(uniq)
+            return pd.DataFrame({"words": [words.tobytes()], "keys": [uniq]})
 
     acc = np.zeros(num_words, dtype=np.uint64)
     chunks: list[np.ndarray] = []
     total = 0
-    overflow = collect_limit <= 0
+    overflow = False
     for batch in ds.map_batches(
-        partial, batch_format="pandas", batch_size=65536
+        partial_cls, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
     ).iter_batches(batch_format="pandas"):
         for raw, uniq in zip(batch["words"], batch["keys"]):
             np.bitwise_or(acc, np.frombuffer(raw, dtype=np.uint64), out=acc)
             if overflow:
+                continue
+            if uniq is None:
+                overflow, chunks = True, []
                 continue
             chunks.append(np.asarray(uniq))
             total += len(uniq)

@@ -43,6 +43,31 @@ from cdm_data_loader_utils_ray.functions.aggregates import (
 from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
 from cdm_data_loader_utils_ray.stages.keyed import hash_join
 
+# per-call spill subdirs created by tfidf_top_terms; each is corpus-sized,
+# so they must not accumulate across calls in a long-lived process — the
+# result Dataset is lazy (consumers read the spill at execution time), so
+# the earliest safe reclaim without caller cooperation is process exit.
+_SPILL_DIRS: list[str] = []
+
+
+def _cleanup_spill_dirs():
+    import shutil
+
+    while _SPILL_DIRS:
+        shutil.rmtree(_SPILL_DIRS.pop(), ignore_errors=True)
+
+
+def cleanup_spills():
+    """Reclaim every spill subdirectory this process created.  Callers
+    that have fully consumed their tfidf results can invoke this early;
+    it also runs automatically at interpreter exit."""
+    _cleanup_spill_dirs()
+
+
+import atexit  # noqa: E402  (registration belongs next to the state it guards)
+
+atexit.register(_cleanup_spill_dirs)
+
 
 def doc_term_counts(ds, id_column: str = "doc_id", text_column: str = "text",
                     batch_size: int = 4096):
@@ -89,8 +114,9 @@ def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
     term table (larger than the corpus itself at 100 TB) is never resident
     in the object store.  The spill directory outlives this call (the
     returned Dataset is lazy and both consumers read it at execution
-    time); an auto-created temp spill is the caller's to clean after
-    consuming the result.
+    time); every per-call subdir is tracked and reclaimed at process
+    exit, or earlier via :func:`cleanup_spills` once the result has been
+    consumed.
     """
     n_docs = ds.count()
     terms = doc_term_counts(ds, id_column, text_column)
@@ -107,6 +133,7 @@ def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
         # spill and corrupt tf/df counts (r3 ADVICE fix).
         os.makedirs(spill, exist_ok=True)
         spill = tempfile.mkdtemp(prefix="terms_", dir=spill)
+        _SPILL_DIRS.append(spill)  # reclaimed by cleanup_spills()/atexit
         terms.write_parquet(spill)
         terms = rd.read_parquet(spill)
     else:

@@ -492,8 +492,12 @@ def merge_into(
         return _f
 
     if when_matched == "delete" and when_not_matched == "insert":
-        # split: matched keys delete, unmatched keys insert (as upserts)
-        keys = _state_keys()
+        # split: matched keys delete, unmatched keys insert (as upserts).
+        # Materialize both split inputs first — the two branches would
+        # otherwise each re-run the source dedup shuffle and the lake
+        # key scan (same convention as dedup_incremental's flag split).
+        src = src.materialize()
+        keys = _state_keys().materialize()
         matched = semi_join_keys(src, keys, ["repo", "path"])
         unmatched = anti_join_keys(src, keys, ["repo", "path"])
         events = matched.map_batches(to_events("delete"), batch_format="pyarrow").union(

@@ -2195,8 +2195,10 @@ def rollup_counts(sf_dir: str):
         return _add_bucket(t, ["event_type", "user_id"], 32)
 
     def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: the Arrow-side partial keeps null groups and the
+        # rollup must count every event (aggregates.py convention)
         return (
-            df.groupby(["event_type", "user_id"], sort=False)["n"]
+            df.groupby(["event_type", "user_id"], sort=False, dropna=False)["n"]
             .sum()
             .reset_index()
         )

@@ -108,3 +108,63 @@ def test_empty_probe_returns_empty(ray_session, tmp_path):
     q = np.full(16, 100.0, dtype=np.float32)
     out = idx.search(q, k=5, probe_hamming=0)
     assert len(out) <= 5
+
+def test_sq8_ranking_scales_back_per_row(ray_session, tmp_path):
+    """Mixed peaky/flat corpus with rescore smaller than the cell: the int8
+    pre-rank must multiply the per-row scale back, or a flat vector
+    (scale ~ 1/sqrt(d)) saturates to the same int8 pattern as an exact
+    copy of the query and can push it out of the rescore window."""
+    d = 16
+    q = np.zeros(d, dtype=np.float32)
+    q[0] = 1.0
+    rng = np.random.default_rng(9)
+    rows = [q.copy()]                      # vec 0: exact copy, cos = 1.0
+    for _ in range(199):                   # flat-ish vectors, cos < 0.9
+        v = np.abs(rng.standard_normal(d)).astype(np.float32) + 0.5
+        v[0] += 1.0
+        rows.append(v / np.linalg.norm(v))
+    m = np.stack(rows)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    idx = build_ann_index(
+        ds, str(tmp_path / "sq8rank"), kind="ivf", n_cells=1, sample_frac=1.0,
+        seed=3, store_sq8=True,
+    )
+    out = idx.search(q, k=1, n_probe=1, use_sq8=True, rescore=4)
+    assert out["vec_id"].iloc[0] == 0, out
+    assert out["cos_sim"].iloc[0] > 0.999
+
+
+def test_build_refuses_stale_dir_unless_overwrite(ray_session, tmp_path):
+    import pytest
+
+    ds, m = _vec_ds(n=80)
+    path = str(tmp_path / "reuse")
+    build_ann_index(ds, path, kind="ivf", n_cells=4, sample_frac=0.9, seed=3)
+    n_files = len(AnnIndex.load(path).all_files())
+    with pytest.raises(ValueError, match="overwrite"):
+        build_ann_index(ds, path, kind="ivf", n_cells=4, sample_frac=0.9, seed=3)
+    rebuilt = build_ann_index(
+        ds, path, kind="ivf", n_cells=4, sample_frac=0.9, seed=3, overwrite=True
+    )
+    # a rebuild REPLACES the data files; appending would double them
+    assert len(rebuilt.all_files()) == n_files
+
+
+def test_lsh_probe_hamming_two_expands(ray_session, tmp_path):
+    ds, m = _vec_ds(n=80)
+    idx = build_ann_index(ds, str(tmp_path / "lsh2"), kind="lsh", n_planes=6, seed=5)
+    q = m[3]
+    c0 = set(idx.probe_cells(q, probe_hamming=0))
+    c1 = set(idx.probe_cells(q, probe_hamming=1))
+    c2 = set(idx.probe_cells(q, probe_hamming=2))
+    assert len(c0) == 1 and c0 < c1 < c2
+    # exactly C(6,1) + C(6,2) additional signatures
+    assert len(c1) == 1 + 6 and len(c2) == 1 + 6 + 15
