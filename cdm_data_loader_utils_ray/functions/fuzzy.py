@@ -125,10 +125,16 @@ def fuzzy_pairs(
                         ids_a.append(ids[i])
                         ids_b.append(ids[j])
                         dists.append(d)
+        # preserve the input id dtype (string doc ids are first-class in
+        # the dedup family — int64 coercion would crash the worker); an
+        # empty group still carries its dtype, keeping bucket schemas equal
+        id_dtype = df["id"].dtype
+        if pd.api.types.is_integer_dtype(id_dtype):
+            id_dtype = "int64"
         return pd.DataFrame(
             {
-                "id_a": pd.Series(ids_a, dtype="int64"),
-                "id_b": pd.Series(ids_b, dtype="int64"),
+                "id_a": pd.Series(ids_a, dtype=id_dtype),
+                "id_b": pd.Series(ids_b, dtype=id_dtype),
                 "dist": pd.Series(dists, dtype="int64"),
             }
         )

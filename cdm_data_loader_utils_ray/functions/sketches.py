@@ -36,7 +36,21 @@ import pandas as pd
 def _hash64(values: pd.Series) -> np.ndarray:
     """Stable-within-run vectorized 64-bit hash of an arbitrary column
     (pandas' cityhash-style object hasher; a sketch needs uniformity, not
-    cross-engine stability)."""
+    cross-engine stability).
+
+    ``hash_pandas_object`` is dtype-sensitive, so numeric WIDTHS are
+    normalized first (int32 → int64, float32 → float64): a sketch built
+    over an int64 column must answer probes that arrive as int32 after a
+    join or cast.  Logical-type mismatches (int vs float vs string) still
+    hash apart — build and query with the same logical type."""
+    dt = values.dtype
+    if pd.api.types.is_integer_dtype(dt) and str(dt) != "int64":
+        try:
+            values = values.astype("int64")
+        except (TypeError, ValueError):
+            pass  # nullable ints holding NA: consistent as long as both sides are
+    elif pd.api.types.is_float_dtype(dt) and str(dt) != "float64":
+        values = values.astype("float64")
     return pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=np.uint64)
 
 

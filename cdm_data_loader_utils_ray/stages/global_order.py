@@ -47,7 +47,11 @@ def _empty_proto(ds, cum_alias: str):
     """Zero-row Dataset carrying the input schema + the ``cum_alias``
     float64 column — unioned onto the result so an all-filtered run still
     has a stable schema (a zero-block ``map_groups`` output loses its
-    schema entirely otherwise)."""
+    schema entirely otherwise).  Caveat: a nullable-int passthrough column
+    that HOLDS nulls in surviving rows round-trips through the pandas
+    group kernels as float64 and then disagrees with this proto's int
+    declaration — pre-cast such columns to float64 (or fill them) before
+    calling the prefix/rank helpers."""
     import ray.data as rd
 
     base = getattr(ds.schema(), "base_schema", None)
@@ -202,7 +206,9 @@ def grouped_percent_rank(
         return batch.append_column("__obucket__", pa.array(b, type=pa.int64()))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby([group_column, "__obucket__"], sort=False).size()
+        # dropna=False: SQL PARTITION BY groups null keys together — they
+        # must rank, not fall out of the count pass
+        g = df.groupby([group_column, "__obucket__"], sort=False, dropna=False).size()
         out = g.reset_index()
         out.columns = [group_column, "__obucket__", "c"]
         return out
@@ -216,17 +222,26 @@ def grouped_percent_rank(
     if len(parts) == 0:
         return _empty_proto(proto_ds, out_alias)
     counts = (
-        parts.groupby([group_column, "__obucket__"], sort=True)["c"].sum().reset_index()
+        parts.groupby([group_column, "__obucket__"], sort=True, dropna=False)["c"]
+        .sum()
+        .reset_index()
     )
     counts["offset"] = (
-        counts.groupby(group_column, sort=False)["c"].cumsum() - counts["c"]
+        counts.groupby(group_column, sort=False, dropna=False)["c"].cumsum()
+        - counts["c"]
     )
-    totals = counts.groupby(group_column, sort=False)["c"].sum()
+    totals = counts.groupby(group_column, sort=False, dropna=False)["c"].sum()
+
+    def _gkey(g):
+        # normalize every null flavor (None / NaN / NaT) to one dict key —
+        # NaN != NaN would otherwise miss on lookup
+        return None if pd.isna(g) else g
+
     offset_map = {
-        (g, int(b)): int(o)
+        (_gkey(g), int(b)): int(o)
         for g, b, o in zip(counts[group_column], counts["__obucket__"], counts["offset"])
     }
-    total_map = {g: int(n) for g, n in totals.items()}
+    total_map = {_gkey(g): int(n) for g, n in totals.items()}
     maps_ref = ray.put((offset_map, total_map))
 
     def bucket_rank(df: pd.DataFrame) -> pd.DataFrame:
@@ -236,14 +251,16 @@ def grouped_percent_rank(
             )
         offsets, tot = ray.get(maps_ref)
         b = int(df["__obucket__"].iloc[0])
-        pr = np.empty(len(df), dtype=np.float64)
-        pos = np.arange(len(df))
-        for g, sub in df.groupby(group_column, sort=False):
+        df = df.reset_index(drop=True)
+        pr = np.zeros(len(df), dtype=np.float64)
+        # dropna=False: null group keys rank too; positional writes come
+        # from the groupby's own indices (one pass, no per-group scan)
+        for g, sub in df.groupby(group_column, sort=False, dropna=False):
             v = sub[value_column].to_numpy(dtype=np.float64)
             sv = np.sort(v)
-            rank = np.searchsorted(sv, v, side="left") + offsets[(g, b)]
-            n = tot[g]
-            pr[pos[df[group_column].to_numpy() == g]] = rank / max(n - 1, 1)
+            rank = np.searchsorted(sv, v, side="left") + offsets[(_gkey(g), b)]
+            n = tot[_gkey(g)]
+            pr[sub.index.to_numpy()] = rank / max(n - 1, 1)
         df = df.drop(columns=["__obucket__"])
         return df.assign(**{out_alias: pr})
 

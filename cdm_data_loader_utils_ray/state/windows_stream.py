@@ -52,7 +52,11 @@ class WindowShard:
         self.late_dropped += late
         df = df[~late_mask]
         if len(df):
-            inc = df.groupby(["window_start_us", "key"], sort=False)[["n", "s"]].sum()
+            # dropna=False mirrors the driver combiner: null keys are a
+            # real group (NaN index entries align across adds)
+            inc = df.groupby(
+                ["window_start_us", "key"], sort=False, dropna=False
+            )[["n", "s"]].sum()
             self.acc = inc if self.acc is None else self.acc.add(inc, fill_value=0)
         return late
 
@@ -118,17 +122,29 @@ class StreamingWindowAggregator:
     def _combine(self, df: pd.DataFrame) -> pd.DataFrame:
         ts = df[self.ts_column]
         if np.issubdtype(ts.dtype, np.datetime64):
-            ts_us = ts.astype("int64") // 1000 if ts.dtype == "datetime64[ns]" else ts.astype("int64")
+            # normalize EVERY datetime64 unit (ns/us/ms/s — pandas 2.x keeps
+            # the source parquet's unit) to microseconds before the integer
+            # window arithmetic; assuming "non-ns means us" mis-scales
+            # timestamp[ms] sources 1000x
+            ts_us = pd.Series(ts.to_numpy().astype("datetime64[us]").astype("int64"),
+                              index=ts.index)
         else:
             ts_us = ts.astype("int64")
         win = (ts_us // self.window_us) * self.window_us
+        # dropna=False: SQL GROUP BY keeps null keys as their own group —
+        # rows with a null key must aggregate, not silently vanish.
+        # n = count of NON-NULL values ('count', not 'size'), matching the
+        # batch twin's count(value).
         g = (
             df.assign(window_start_us=win)
-            .groupby(["window_start_us", self.key_column], sort=False)[self.value_column]
-            .agg(["size", "sum"])
+            .groupby(["window_start_us", self.key_column], sort=False, dropna=False)[
+                self.value_column
+            ]
+            .agg(["count", "sum"])
             .reset_index()
         )
         g.columns = ["window_start_us", "key", "n", "s"]
+        g["n"] = g["n"].astype("int64")
         self.max_ts = max(self.max_ts, int(ts_us.max()) if len(ts_us) else self.max_ts)
         return g
 

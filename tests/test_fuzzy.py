@@ -104,3 +104,26 @@ def test_fuzzy_dedup_clusters(ray_session):
     lut = dict(zip(out["doc_id"], out["cluster"]))
     assert lut[1] == lut[2] == lut[3] == 1
     assert 4 not in lut and 5 not in lut  # singletons have no pairs
+
+
+def test_fuzzy_pairs_string_ids(ray_session):
+    """String doc ids are first-class across the dedup family — the pair
+    generator must not coerce them to int64 (r4 review)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_pairs
+
+    # typo in the FIRST character: suffix blocking requires the pair to
+    # share the trailing block_width characters
+    df = pd.DataFrame(
+        {
+            "doc_id": ["alpha", "beta", "gamma"],
+            "text": ["the quick brown fox", "xhe quick brown fox", "unrelated words"],
+        }
+    )
+    out = fuzzy_pairs(
+        rd.from_pandas(df), id_column="doc_id", text_column="text",
+        max_dist=2, block_width=8, num_buckets=2,
+    ).to_pandas()
+    assert {"alpha", "beta"} == set(out["id_a"]) | set(out["id_b"])
+    assert out["dist"].tolist() == [1]

@@ -100,3 +100,35 @@ def test_grouped_percent_rank_matches_window(ray_session):
     merged = out.merge(exp, on="id", suffixes=("", "_exp"))
     assert len(merged) == len(df)
     np.testing.assert_allclose(merged["pr"], merged["pr_exp"], rtol=0, atol=1e-12)
+
+
+def test_percent_rank_null_group_keys(ray_session):
+    """Null group keys are one SQL partition: they must rank against each
+    other (r4 review: the null group previously kept uninitialized memory
+    as its pr values)."""
+    import duckdb
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.stages.global_order import grouped_percent_rank
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(300, dtype=np.int64),
+            "grp": [None if i % 3 == 0 else f"g{i % 2}" for i in range(300)],
+            "v": rng.random(300),
+        }
+    )
+    out = grouped_percent_rank(
+        lambda: rd.from_pandas(df), "grp", "v", out_alias="pr", num_buckets=4
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql(
+        "SELECT rid, percent_rank() OVER (PARTITION BY grp ORDER BY v) AS pr FROM t"
+    ).df()
+    merged = out.merge(exp, on="rid", suffixes=("", "_exp"))
+    assert len(merged) == 300
+    np.testing.assert_allclose(
+        merged["pr"].to_numpy(), merged["pr_exp"].to_numpy(), atol=1e-12
+    )

@@ -141,3 +141,20 @@ def test_count_min_bounds(ray_session):
     t = true.loc[probe].to_numpy()
     assert (est >= t).all()                      # never undercounts
     assert np.mean(est - t) <= 2 * n / 4096 + 1  # overcount within envelope
+
+
+def test_count_min_query_int32_probe_matches_build(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sketches import (
+        count_min_build,
+        count_min_query,
+    )
+
+    vals = np.repeat(np.arange(50, dtype=np.int64), 7)
+    ds = rd.from_pandas(pd.DataFrame({"k": vals}))
+    tbl = count_min_build(ds, "k", width=4096, depth=4)
+    q64 = count_min_query(tbl, pd.Series(np.arange(50, dtype=np.int64)))
+    q32 = count_min_query(tbl, pd.Series(np.arange(50, dtype=np.int32)))
+    assert (q64 == q32).all()
+    assert (q64 >= 7).all()  # never undercounts

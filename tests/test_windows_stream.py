@@ -94,3 +94,67 @@ def test_late_rows_dropped_and_counted(ray_session):
     assert sum(s["late_dropped"] for s in stats) == 1
     # the late row's window was already closed empty; only the live row shows
     assert out["s"].sum() == pytest.approx(1.0)
+
+
+def test_streaming_window_millisecond_timestamps(ray_session):
+    """datetime64[ms] inputs (pandas 2.x keeps parquet's timestamp[ms]
+    unit) must window identically to the same instants in [us]."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.state.windows_stream import (
+        StreamingWindowAggregator,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 01:00", "2024-01-01 23:00", "2024-01-02 01:00", "2024-01-03 05:00"]
+    )
+    frames = {}
+    for unit in ("ms", "us"):
+        df = pd.DataFrame(
+            {"k": ["a", "a", "a", "b"], "ts": ts.astype(f"datetime64[{unit}]"),
+             "v": [1.0, 2.0, 3.0, 4.0]}
+        )
+        agg = StreamingWindowAggregator(
+            "k", "v", ts_column="ts", window_us=86_400_000_000, num_shards=2
+        )
+        try:
+            agg.feed(rd.from_pandas(df), batch_size=2)
+            frames[unit] = (
+                agg.close().to_pandas().sort_values(["window_start_us", "key"])
+                .reset_index(drop=True)
+            )
+        finally:
+            agg.shutdown()
+    pd.testing.assert_frame_equal(frames["ms"], frames["us"])
+    # three distinct daily windows, not everything collapsed into one
+    assert frames["ms"]["window_start_us"].nunique() == 3
+
+
+def test_streaming_window_null_values_and_keys(ray_session):
+    """n counts NON-NULL values (count(value) twin) and null keys form a
+    real group instead of silently vanishing."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.state.windows_stream import (
+        StreamingWindowAggregator,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", None, None],
+            "ts": pd.to_datetime(["2024-01-01"] * 4).astype("datetime64[us]"),
+            "v": [1.0, None, 5.0, 7.0],
+        }
+    )
+    agg = StreamingWindowAggregator(
+        "k", "v", ts_column="ts", window_us=86_400_000_000, num_shards=2
+    )
+    try:
+        agg.feed(rd.from_pandas(df), batch_size=2)
+        out = agg.close().to_pandas()
+    finally:
+        agg.shutdown()
+    a = out[out["key"] == "a"].iloc[0]
+    assert a["n"] == 1 and a["s"] == 1.0  # count(value) skips the null value
+    nul = out[out["key"].isna()]
+    assert len(nul) == 1 and nul["n"].iloc[0] == 2 and nul["s"].iloc[0] == 12.0
