@@ -16,6 +16,7 @@ idempotent so even re-applied events cannot corrupt state.
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import time
@@ -37,14 +38,18 @@ from cdm_data_loader_utils_ray.core.schemas import (
     SHA_COLUMN,
     state_schema as make_state_schema,
 )
-from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.sinks.lake import (
+    LakeTable,
+    Manifest,
+    PartitionEntry,
+    merge_chain_files,
+)
 from cdm_data_loader_utils_ray.stages.hashing import add_content_sha256, sha256_array
 from cdm_data_loader_utils_ray.stages.partition import add_partition_column
 from cdm_data_loader_utils_ray.stages.schema_align import (
     SchemaAligner,
     align_to_schema,
     evolve_schema,
-    rename_columns,
 )
 from cdm_data_loader_utils_ray.stages.validate import (
     EventValidator,
@@ -233,32 +238,12 @@ def _merge_partition_core(
     else:
         rejects = group.slice(0, 0)
         events = group.drop_columns([ERRORS_COLUMN])
-    # capture rejects (reference audit/rejects.py) — deterministic path
+    # capture rejects (reference audit/rejects.py) — deterministic path,
+    # single kernel shared with the late-shuffle mode
     distinct_errors: list[str] = []
     if len(rejects):
-        distinct_errors = sorted(
-            {e for lst in rejects[ERRORS_COLUMN].to_pylist() for e in (lst or [])}
-        )
-        rej_dir = os.path.join(lake.audit_dir, "rejects")
-        os.makedirs(rej_dir, exist_ok=True)
-        errs = rejects[ERRORS_COLUMN]
-        plain = rejects.drop_columns([ERRORS_COLUMN])
-        raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
-        ts = pa.array([commit_ts_us] * len(rejects), type=pa.timestamp("us"))
-        rej_table = pa.table(
-            {
-                "run_id": pa.array([run.run_id] * len(rejects)),
-                "pipeline": pa.array([run.pipeline] * len(rejects)),
-                "source_path": pa.array([run.source_path] * len(rejects)),
-                "raw_record": pa.array(raw),
-                "parsed_record": pa.array(raw),
-                ERRORS_COLUMN: errs,
-                "timestamp": ts,
-            }
-        )
-        pq.write_table(
-            rej_table,
-            os.path.join(rej_dir, f"rejects-{pid:05d}-epoch-{epoch:08d}.parquet"),
+        distinct_errors = _write_rejects_file(
+            lake, pid, rejects, epoch, run, commit_ts_us
         )
     # this epoch's winners only (cross-batch LWW reduce of the group)
     delta = merge_states(None, events_to_state(events, state_sch), state_sch)
@@ -906,17 +891,22 @@ def apply_epoch(
         def _call_reader(columns, **kw):
             """Tolerate legacy reader signatures (``(columns, min_seq=None)``)
             at EVERY call site, not just phase A — a reader written to the
-            documented minimal contract must not crash mid-epoch."""
+            documented minimal contract must not crash mid-epoch.  Tolerance
+            is decided by SIGNATURE, never by catching TypeError from the
+            reader's execution: a genuine bug inside the reader must
+            propagate, not re-invoke it (side effects) or silently degrade
+            phase A to an unpruned full-column scan."""
             try:
-                return phase_b_reader(columns, **kw)
-            except TypeError:
-                kw.pop("seq_col", None)
-                return phase_b_reader(columns, **kw)
+                params = inspect.signature(phase_b_reader).parameters
+            except (TypeError, ValueError):
+                return phase_b_reader(columns, **kw)  # uninspectable: modern
+            if not any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            ):
+                kw = {k: v for k, v in kw.items() if k in params}
+            return phase_b_reader(columns, **kw)
 
-        try:
-            a_ds = _call_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
-        except TypeError:
-            a_ds = events_ds
+        a_ds = _call_reader(a_cols, seq_col=rev_a.get("seq", "seq"))
         a_mapped = a_ds.map_batches(
             router, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
         )
@@ -1120,14 +1110,10 @@ def _merge_chain_table(
     lake: LakeTable, entry: PartitionEntry, m: Manifest, live_only: bool
 ) -> pa.Table:
     """LWW-merge one partition's delta chain, schema-aligned across epochs
-    (older files may predate a schema evolution / rename)."""
-    parts = [
-        align_to_schema(
-            rename_columns(pq.read_table(lake.abspath(f)), m.rename_history), m.schema
-        )
-        for f in entry.files
-    ]
-    t = merge_states(None, pa.concat_tables(parts), m.schema)
+    (older files may predate a schema evolution / rename).  Delegates to
+    ``sinks.lake.merge_chain_files`` — the single copy of the
+    rename→align→LWW kernel — plus the live-row filter."""
+    t = merge_chain_files(lake.dir, entry.files, m)
     if live_only and DELETED_COLUMN in t.column_names:
         t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
     return t
@@ -1140,7 +1126,11 @@ def read_final_state(table: LakeTable, live_only: bool = True):
 
     m = table.latest_manifest()
     if m is None or not m.partitions:
-        return rd.from_arrow((m.schema if m else pa.schema([])).empty_table())
+        sch = m.schema if m else pa.schema([])
+        if m is not None and live_only and DELETED_COLUMN in sch.names:
+            # match the populated path: merge_one drops is_deleted
+            sch = pa.schema([f for f in sch if f.name != DELETED_COLUMN])
+        return rd.from_arrow(sch.empty_table())
     table_dir = table.dir
     entries = dict(m.partitions)
     pids = sorted(entries)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import tempfile
 from dataclasses import dataclass, field
 from typing import Any
@@ -259,6 +260,13 @@ class LakeTable:
             raise ValueError(
                 f"commit epoch {manifest.epoch} <= committed epoch {cur} by a different run"
             )
+        # make the data files' directory entries durable before the manifest
+        # that references them (the files themselves were fsynced at write)
+        fd = os.open(self.data_dir, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         _atomic_write(
             os.path.join(self.manifest_dir, f"manifest-{manifest.epoch:08d}.json"),
             manifest.to_json(),
@@ -279,6 +287,14 @@ class LakeTable:
         rel = self.partition_file(pid, epoch)
         path = self.abspath(rel)
         pq.write_table(table, path, compression="zstd")
+        # fsync before any manifest can reference this file — the manifest
+        # and LATEST are fsynced in _atomic_write, and a durable manifest
+        # pointing at page-cache-only parquet breaks crash resume
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         live = len(table)
         if "is_deleted" in table.column_names:
             import pyarrow.compute as pc
@@ -509,7 +525,11 @@ class LakeTable:
 
     def vacuum(self, keep_epochs: int = 2) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``
-        manifests (Delta ``VACUUM`` analogue)."""
+        manifests (Delta ``VACUUM`` analogue).  Files stamped with an epoch
+        ABOVE the committed LATEST are phase-1 writes of an in-flight epoch
+        (written before its manifest commits) — deleting them would make the
+        upcoming commit reference missing paths, so they are kept; so is any
+        file whose name doesn't parse (conservative)."""
         latest = self.latest_epoch()
         if latest is None:
             return []
@@ -526,9 +546,13 @@ class LakeTable:
         removed = []
         for f in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, f)
-            if path not in keep:
-                os.unlink(path)
-                removed.append(path)
+            if path in keep:
+                continue
+            m = re.fullmatch(r"part-\d+-epoch-(\d+)(?:-[0-9a-f]+)?\.parquet", f)
+            if m is None or int(m.group(1)) > latest:
+                continue  # in-flight phase-1 write or foreign file: keep
+            os.unlink(path)
+            removed.append(path)
         return removed
 
     def preview(self, n: int = 10) -> pa.Table:

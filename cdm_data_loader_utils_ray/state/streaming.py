@@ -24,6 +24,8 @@ landed).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -38,8 +40,22 @@ from cdm_data_loader_utils_ray.core.schemas import (
     state_schema as make_state_schema,
 )
 from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema, rename_columns
 from cdm_data_loader_utils_ray.stages.validate import split_valid
 from cdm_data_loader_utils_ray.state.upsert import events_to_state, merge_states
+
+
+def shard_cpu_reservation(cluster_cpus: float, num_partitions: int) -> float:
+    """Per-shard CPU reservation: at most 0.25 each and at most half the
+    cluster in total, quantized DOWN to Ray's 1e-4 resource granularity so
+    ``P × per-shard`` can never exceed the half-cluster cap (a 0.01 floor at
+    P=1024 on an 8-CPU cluster reserved 10.24 CPUs: part of the pool never
+    scheduled and feed()'s ray.get barrier hung forever).  Below the
+    granularity the reservation is 0 — shards are mostly-idle receivers and
+    a 0-CPU actor always schedules."""
+    return math.floor(
+        min(0.25, (cluster_cpus / 2.0) / max(1, num_partitions)) * 10000
+    ) / 10000
 
 
 @ray.remote(num_cpus=0.25)
@@ -53,7 +69,8 @@ class UpsertShard:
     LWW is order-independent, so deferring the merge is semantics-free."""
 
     def __init__(self, table_dir: str, pid: int, prior_entry: dict | None,
-                 state_schema_bytes: bytes, max_chain_len: int = 16):
+                 state_schema_bytes: bytes, max_chain_len: int = 16,
+                 rename_history: dict[str, str] | None = None):
         self.lake = LakeTable(table_dir)
         self.pid = pid
         self.schema = pa.ipc.read_schema(pa.BufferReader(state_schema_bytes))
@@ -69,8 +86,20 @@ class UpsertShard:
             int(prior_entry["live_keys"]) if prior_entry else 0
         )  # exact only for single-file chains (else -1), as in the manifest
         if self.chain:
+            # rename BEFORE align, per file, exactly like the batch readers
+            # (lake.merge_chain_files): chain files written before a column
+            # rename would otherwise silently align their old-named values
+            # to null — and the next chain fold would persist that loss.
             chain = pa.concat_tables(
-                [pq.read_table(self.lake.abspath(f)) for f in self.chain],
+                [
+                    align_to_schema(
+                        rename_columns(
+                            pq.read_table(self.lake.abspath(f)), rename_history
+                        ),
+                        self.schema,
+                    )
+                    for f in self.chain
+                ],
                 promote_options="permissive",
             )
             self.state = merge_states(None, chain, self.schema)
@@ -171,8 +200,10 @@ class StreamingUpserter:
     """Driver-side controller for the shard pool."""
 
     def __init__(self, table_dir: str, num_partitions: int | None = None,
-                 event_schema: pa.Schema = EVENT_SCHEMA,
+                 event_schema: pa.Schema | None = None,
                  max_chain_len: int = 16):
+        from cdm_data_loader_utils_ray.pipelines.cdc import event_schema_of
+
         self.table = LakeTable(table_dir)
         prior = self.table.latest_manifest()
         if prior is not None:
@@ -181,7 +212,15 @@ class StreamingUpserter:
             self.epoch = prior.epoch
             prior_entries = {p.pid: p.to_json() for p in prior.partitions.values()}
             self.rename_history = prior.rename_history
+            # resume must prep events against the table's EVOLVED schema —
+            # aligning to the default EVENT_SCHEMA would silently null any
+            # evolved column on every updated key (row-level LWW replaces
+            # the whole prior row)
+            if event_schema is None:
+                event_schema = event_schema_of(prior.schema)
         else:
+            if event_schema is None:
+                event_schema = EVENT_SCHEMA
             self.P = num_partitions or 32
             self.state_schema = make_state_schema(event_schema)
             self.epoch = 0
@@ -200,14 +239,16 @@ class StreamingUpserter:
             cluster_cpus = float(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cluster_cpus = 4.0
-        cpu_per_shard = min(0.25, max(0.01, (cluster_cpus / 2.0) / self.P))
+        cpu_per_shard = shard_cpu_reservation(cluster_cpus, self.P)
         self.shards = [
             UpsertShard.options(num_cpus=cpu_per_shard).remote(
                 table_dir, pid, prior_entries.get(pid), schema_bytes,
                 max_chain_len=max_chain_len,
+                rename_history=self.rename_history,
             )
             for pid in range(self.P)
         ]
+        self.rejected = 0  # cumulative invalid events dropped by feed()
 
     # -- feeding ------------------------------------------------------------
     def feed(self, events_ds, batch_size: int = 32768) -> int:
@@ -219,15 +260,24 @@ class StreamingUpserter:
         shards = self.shards
         state_sch = self.state_schema
 
+        def _out(applied: int, rejected: int) -> pa.Table:
+            return pa.table({
+                "applied": pa.array([applied], type=pa.int64()),
+                "rejected": pa.array([rejected], type=pa.int64()),
+            })
+
         def route(batch: pa.Table) -> pa.Table:
             prepped = prep(batch)
             if len(prepped) == 0:
-                return pa.table({"applied": pa.array([0], type=pa.int64())})
+                return _out(0, 0)
             # streaming mode drops rejects after counting (full quarantine
-            # capture is the batch path's job; a tailer alerts on the count)
+            # capture is the batch path's job; a tailer alerts on the count,
+            # surfaced via the cumulative ``rejected`` attribute and the
+            # commit metrics' ``rejected_total``)
             b, rejects = split_valid(prepped)
+            n_rej = len(rejects)
             if len(b) == 0:
-                return pa.table({"applied": pa.array([0], type=pa.int64())})
+                return _out(0, n_rej)
             pids = b[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
             order = np.argsort(pids, kind="stable")
             b = b.take(pa.array(order))
@@ -243,11 +293,12 @@ class StreamingUpserter:
                 )
                 refs.append(shards[pid].apply.remote(delta))
             applied = sum(ray.get(refs))  # barrier = backpressure
-            return pa.table({"applied": pa.array([applied], type=pa.int64())})
+            return _out(applied, n_rej)
 
         out = events_ds.map_batches(
             route, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
         ).take_all()
+        self.rejected += int(sum(r["rejected"] for r in out))
         return int(sum(r["applied"] for r in out))
 
     # -- committing ---------------------------------------------------------
@@ -272,6 +323,7 @@ class StreamingUpserter:
             run_id=run.run_id,
             metrics={"mode": "streaming",
                      "applied_total": sum(e["applied"] for e in entries),
+                     "rejected_total": self.rejected,
                      "snapshot_bytes": sum(e["wrote_bytes"] for e in entries),
                      "dirty_shards": sum(1 for e in entries if e["dirty_was"])},
             rename_history=self.rename_history,
