@@ -28,9 +28,15 @@ def write_routed_parquet(ds, out_dir: str, table_column: str = "table"):
 
 def write_tables(routed_ds, out_dir: str, schemas: dict[str, pa.Schema]):
     """Materialize each routed table with its declared schema into
-    ``<out_dir>/<table>/`` (align + cast + null-fill per table)."""
+    ``<out_dir>/<table>/`` (align + cast + null-fill per table).
+
+    The routed stream is materialized ONCE up front: each per-table write
+    would otherwise re-execute the full upstream lineage (e.g. the XML
+    parse) — k destination tables means k re-parses of every file."""
     from cdm_data_loader_utils_ray.sources.xml_stream import rows_for_table
 
+    if len(schemas) > 1:
+        routed_ds = routed_ds.materialize()
     paths = {}
     for name, schema in schemas.items():
         sub = rows_for_table(routed_ds, name, schema)

@@ -15,7 +15,6 @@ import json
 import pyarrow as pa
 
 from cdm_data_loader_utils_ray.core.schemas import INVALID_DATA_COLUMN
-from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
 
 
 class JsonlParser:

@@ -58,8 +58,11 @@ _XMLNS_RE = re.compile(r'\s+xmlns(:\w+)?="[^"]*"')
 
 def _ensembl_type(xref: str) -> str:
     """Likely Ensembl entity type from an ID prefix (reference
-    ``utils/helpers.py:4-16``)."""
-    return _ENSEMBL_PREFIXES.get(xref[0:4], _ENSEMBL_PREFIXES.get(xref[0:5], "sequence"))
+    ``utils/helpers.py:4-16``).  Longest prefix wins: ENSGT (gene tree) and
+    ENSFM (family) must be tried before their 4-char prefixes match.
+    Deliberate divergence: the reference checks the 4-char prefix first,
+    which makes its own ENSGT/ENSFM table entries unreachable."""
+    return _ENSEMBL_PREFIXES.get(xref[0:5], _ENSEMBL_PREFIXES.get(xref[0:4], "sequence"))
 
 
 def _local(tag) -> str:
@@ -432,17 +435,20 @@ def parse_uniref_entry(entry, uniref_variant: str = "UniRef100",
 
 
 def uniprot_extract_hook(file_path: str = "", updated: str | None = None):
-    """extract hook for ``XmlEntryParser`` / ``read_xml_entries``."""
-    def extract(elem):
-        return parse_uniprot_entry(elem, file_path=file_path, updated=updated)
+    """extract hook for ``XmlEntryParser`` / ``read_xml_entries``.  The
+    parser supplies each entry's source file as the second argument, so
+    multi-file reads get correct per-file provenance; an explicitly baked
+    ``file_path`` still wins."""
+    def extract(elem, path: str = ""):
+        return parse_uniprot_entry(elem, file_path=file_path or path, updated=updated)
 
     return extract
 
 
 def uniref_extract_hook(uniref_variant: str = "UniRef100", file_path: str = "",
                         updated: str | None = None):
-    def extract(elem):
+    def extract(elem, path: str = ""):
         return parse_uniref_entry(elem, uniref_variant=uniref_variant,
-                                  file_path=file_path, updated=updated)
+                                  file_path=file_path or path, updated=updated)
 
     return extract

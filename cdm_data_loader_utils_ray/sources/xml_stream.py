@@ -15,6 +15,7 @@ lxml is used when importable).
 from __future__ import annotations
 
 import gzip
+import inspect
 import io
 import json
 from collections.abc import Callable, Iterator
@@ -37,15 +38,28 @@ def _local(tag: str) -> str:
 
 def stream_xml_bytes(payload: bytes, entry_tag: str = "entry") -> Iterator:
     """Yield each ``<entry_tag>`` element from (gzipped) XML bytes,
-    clearing elements as they complete (bounded memory)."""
+    clearing elements as they complete (bounded memory).  ``elem.clear()``
+    alone is not enough: the root keeps one (empty) child reference per
+    entry, O(#entries) over a multi-million-entry file — completed leading
+    children are detached from the root as well."""
     if payload[:2] == b"\x1f\x8b":
         payload = gzip.decompress(payload)
     stream = io.BytesIO(payload)
-    context = _etree.iterparse(stream, events=("end",))
-    for _event, elem in context:
+    context = _etree.iterparse(stream, events=("start", "end"))
+    root = None
+    for event, elem in context:
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if _local(elem.tag) == entry_tag:
             yield elem
             elem.clear()
+            if root is not None and len(root) > 1:
+                # only fully-completed earlier siblings are dropped: the
+                # currently-open element chain is always the LAST child at
+                # each level during parsing
+                del root[:-1]
 
 
 def element_to_dict(elem) -> dict:
@@ -79,19 +93,49 @@ class XmlEntryParser:
     def __init__(
         self,
         entry_tag: str = "entry",
-        extract: Callable[[object], dict[str, list[dict]]] | None = None,
+        extract: Callable[..., dict[str, list[dict]]] | None = None,
     ):
         self.entry_tag = entry_tag
         self.extract = extract or (lambda e: {"entries": [element_to_dict(e)]})
+        # hooks may take (elem) or (elem, path): a second positional param
+        # receives the entry's source file for correct per-file provenance
+        # in multi-file reads
+        try:
+            params = [
+                p
+                for p in inspect.signature(self.extract).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+            ]
+            self._pass_path = len(params) >= 2 or any(
+                p.kind is p.VAR_POSITIONAL for p in params
+            )
+        except (TypeError, ValueError):
+            self._pass_path = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables: list[str] = []
         rows: list[str] = []
         paths = batch["path"].to_pylist() if "path" in batch.column_names else [""] * len(batch)
         for payload, path in zip(batch["bytes"].to_pylist(), paths):
-            for elem in stream_xml_bytes(payload, self.entry_tag):
+            entries = stream_xml_bytes(payload, self.entry_tag)
+            while True:
                 try:
-                    routed = self.extract(elem)
+                    elem = next(entries)
+                except StopIteration:
+                    break
+                except Exception as exc:  # malformed XML mid-file: one
+                    # error row; entries already parsed from this file and
+                    # the batch's other files survive (never-raise contract)
+                    tables.append("_parse_error")
+                    rows.append(json.dumps({"file": path, "error": str(exc)}))
+                    break
+                try:
+                    routed = (
+                        self.extract(elem, path)
+                        if self._pass_path
+                        else self.extract(elem)
+                    )
                 except Exception as exc:  # errors -> rows, never raises
                     tables.append("_parse_error")
                     rows.append(json.dumps({"file": path, "error": str(exc)}))

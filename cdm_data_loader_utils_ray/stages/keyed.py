@@ -60,7 +60,9 @@ def lww_latest(
 
     def combine(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return batch
+            # keep the bucket column even on empty blocks — a block missing
+            # the groupby key would give the shuffle heterogeneous schemas
+            return _add_bucket(batch, keys, num_buckets)
         # Arrow-native per-key argmax (state.upsert._lww_take_indices): one
         # multi-key sort_indices + boundary detection — no pandas round-trip
         # of the payload columns in the map stage.
@@ -121,13 +123,18 @@ def outer_diff(
         n = df[df["__side__"] == "new"].drop(columns=["__side__", _BUCKET])
         ren_o = {compare_column: old_col, **{c: f"old_{c}" for c in carry}}
         ren_n = {compare_column: new_col, **{c: f"new_{c}" for c in carry}}
+        # side presence comes from the merge indicator, NOT from null-ness
+        # of the compared value: a present row whose compare value is null
+        # must still classify by presence (null==null compares False)
         m = o.rename(columns=ren_o).merge(
-            n.rename(columns=ren_n), on=keys, how="outer", sort=False
+            n.rename(columns=ren_n), on=keys, how="outer", sort=False,
+            indicator=True,
         )
-        old_null = m[old_col].isna()
-        new_null = m[new_col].isna()
+        presence = m["_merge"]
+        m = m.drop(columns=["_merge"])
+        same = (m[old_col] == m[new_col]) | (m[old_col].isna() & m[new_col].isna())
         m["change_type"] = np.select(
-            [old_null & ~new_null, ~old_null & new_null, m[old_col] == m[new_col]],
+            [presence == "right_only", presence == "left_only", same],
             ["new", "deleted", "unchanged"],
             default="updated",
         )

@@ -44,6 +44,15 @@ def asof_join(
     # explicit side columns: an all-null-within-bucket column must survive
     left_cols = list(left_ds.schema().names)
     right_cols = list(right_ds.schema().names)
+    # merge_asof's output columns: left's, then right's minus on/by (suffix
+    # on collision).  Empty-side buckets must emit this SAME schema, or the
+    # Dataset's blocks disagree (and left rows would lose their null right
+    # columns entirely).
+    out_cols = left_cols + [
+        (c + suffix if c in left_cols else c)
+        for c in right_cols
+        if c != on and c not in keys
+    ]
 
     def tag(side: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -61,11 +70,9 @@ def asof_join(
         # side's columns entirely; reindex creates them as nulls
         l = df[df["__side__"] == "l"].reindex(columns=left_cols)
         r = df[df["__side__"] == "r"].reindex(columns=right_cols)
-        if l.empty:
-            return l
         l = l.sort_values(on, kind="stable")
-        if r.empty:
-            return l
+        if l.empty or r.empty:
+            return l.reindex(columns=out_cols)
         if right_dedup is not None:
             subset, pref = right_dedup
             r = r.sort_values([*subset, pref], kind="stable")
@@ -107,6 +114,13 @@ def range_join(
         right_ds.map_batches(tag("r"), batch_format="pyarrow")
     )
 
+    def _cartesian(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        merged = l.merge(r, on=keys, how="inner")
+        hit = (merged[left_point] >= merged[right_start]) & (
+            merged[left_point] < merged[right_end]
+        )
+        return merged[hit]
+
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # reindex: a group made of one side's blocks lacks the other
         # side's columns entirely; reindex creates them as nulls
@@ -115,11 +129,36 @@ def range_join(
         # even when one side is empty, return the properly-columned empty
         # merge — a column-less DataFrame would give this bucket's block a
         # different schema from the others
-        merged = l.merge(r, on=keys, how="inner")
-        hit = (merged[left_point] >= merged[right_start]) & (
-            merged[left_point] < merged[right_end]
+        if l.empty or r.empty:
+            return _cartesian(l, r)
+        # fast path: when no key's intervals overlap, the containing
+        # interval (if any) is exactly the last one starting <= point, so
+        # one backward merge_asof on the start column (searchsorted under
+        # the hood) finds it with no |l|x|r| intermediate
+        rs = r.sort_values(keys + [right_start], kind="stable")
+        same_key = (rs[keys] == rs[keys].shift()).all(axis=1)
+        prev_end = (
+            rs.groupby(keys, sort=False, dropna=False)[right_end].cummax().shift()
         )
-        return merged[hit]
+        overlapping = bool((same_key & (prev_end > rs[right_start])).any())
+        if (
+            not overlapping
+            and not l[left_point].isna().any()
+            and not rs[right_start].isna().any()
+        ):
+            cand = pd.merge_asof(
+                l.sort_values(left_point, kind="stable"),
+                rs.sort_values(right_start, kind="stable"),
+                left_on=left_point,
+                right_on=right_start,
+                by=keys,
+                direction="backward",
+            )
+            return cand[cand[right_end] > cand[left_point]]
+        # overlapping intervals: per-key cartesian merge + containment
+        # filter (output size is the true match count; the intermediate is
+        # bounded by the overlapping key groups in this bucket)
+        return _cartesian(l, r)
 
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
