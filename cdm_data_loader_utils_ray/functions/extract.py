@@ -29,7 +29,8 @@ def safe_int(value) -> int | None:
             if not value:
                 return None
         return int(float(value))
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, OverflowError):
+        # OverflowError: int(float('inf')) — e.g. '1e400' inputs
         return None
 
 
@@ -125,11 +126,17 @@ class JsonRowExtractor:
     ``parse_report_to_row`` shape, ``cdm_parse.py:72-93``).
 
     ``fields`` maps output column -> callable(parsed_json) -> value.
+    ``types`` optionally pins an output column's Arrow type — without it,
+    a block whose extracted values are ALL None infers a null-typed column
+    that breaks cross-block schema unification (same hazard the GAF
+    explode documents); declare types for sparse fields.
     """
 
-    def __init__(self, fields: dict, json_column: str = "props"):
+    def __init__(self, fields: dict, json_column: str = "props",
+                 types: dict[str, pa.DataType] | None = None):
         self.fields = fields
         self.json_column = json_column
+        self.types = dict(types or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = []
@@ -140,7 +147,7 @@ class JsonRowExtractor:
                 parsed.append({})
         cols = {}
         for out, fn in self.fields.items():
-            cols[out] = pa.array([fn(p) for p in parsed])
+            cols[out] = pa.array([fn(p) for p in parsed], type=self.types.get(out))
         keep = batch.drop_columns([self.json_column])
         for name, arr in cols.items():
             keep = keep.append_column(name, arr)

@@ -93,13 +93,21 @@ class GafNormalizer:
         # predicate whitelist: invalid values RAISE, matching the reference
         ok = pc.fill_null(pc.is_in(predicate, value_set=pa.array(ALLOWED_PREDICATES)), False)
         if not pc.all(ok).as_py():
-            bad = sorted(set(predicate.filter(pc.invert(ok)).to_pylist()))
+            bad = sorted(
+                set(predicate.filter(pc.invert(ok)).to_pylist()),
+                key=lambda v: (v is None, v),  # null qualifiers sort first
+            )
             raise ValueError(f"Invalid predicate(s) found: {bad}")
-        # guarded to_date: 8-digit yyyyMMdd else null (normalize_dates)
+        # guarded to_date: 8-digit yyyyMMdd else null (normalize_dates).
+        # error_is_null also nulls 8-digit non-dates like '20231399' — the
+        # regex alone can't prove calendar validity
         date_raw = pc.cast(batch["Date"], pa.string())
         is_date = pc.fill_null(pc.match_substring_regex(date_raw, r"^[0-9]{8}$"), False)
         safe = pc.if_else(is_date, date_raw, pa.scalar("19700101"))
-        parsed = pc.cast(pc.strptime(safe, format="%Y%m%d", unit="us"), pa.date32())
+        parsed = pc.cast(
+            pc.strptime(safe, format="%Y%m%d", unit="us", error_is_null=True),
+            pa.date32(),
+        )
         annotation_date = pc.if_else(is_date, parsed, pa.nulls(n, pa.date32()))
         # publications: split(trim(coalesce(ref, ''))), then EXPLODE
         refs = pc.utf8_trim_whitespace(pc.fill_null(batch["DB_Reference"], ""))

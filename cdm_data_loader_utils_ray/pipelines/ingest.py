@@ -59,28 +59,45 @@ class ValidateQuarantineProject:
     """
 
     def __init__(self, validators, rejects_dir: str, run: PipelineRun,
-                 project: Callable[[pa.Table], pa.Table] | None):
+                 project: Callable[[pa.Table], pa.Table] | None,
+                 ts_us: int = 0):
         self.validators = validators
         self.rejects_dir = rejects_dir
         self.run = run
         self.project = project
+        self.ts_us = ts_us
 
     def _quarantine(self, rejects: pa.Table) -> None:
         os.makedirs(self.rejects_dir, exist_ok=True)
         errs = rejects[ERRORS_COLUMN]
         plain = rejects.drop_columns([ERRORS_COLUMN])
         raw = [json.dumps(r, default=str, sort_keys=True) for r in plain.to_pylist()]
+        # full REJECTS_SCHEMA: the quarantine dir doubles as the AuditLog
+        # 'rejects' table, so files here must carry the same columns or
+        # AuditLog.read('rejects') fails on mixed schemas
+        ts = pa.array([self.ts_us] * len(rejects), type=pa.timestamp("us"))
         tbl = pa.table(
             {
                 "run_id": pa.array([self.run.run_id] * len(rejects)),
                 "pipeline": pa.array([self.run.pipeline] * len(rejects)),
                 "source_path": pa.array([self.run.source_path] * len(rejects)),
                 "raw_record": pa.array(raw),
+                "parsed_record": pa.array(raw),
                 ERRORS_COLUMN: errs,
+                "timestamp": ts,
             }
         )
+        # run_id in the NAME keeps runs' audit files disjoint (an identical
+        # batch in a later run must not overwrite this run's record) and
+        # lets a same-run retry purge its own earlier generation up front;
+        # the content digest keeps a retried TASK overwrite-idempotent.
         digest = hashlib.sha256("\x00".join(raw).encode()).hexdigest()[:16]
-        pq.write_table(tbl, os.path.join(self.rejects_dir, f"rejects-{digest}.parquet"))
+        pq.write_table(
+            tbl,
+            os.path.join(
+                self.rejects_dir, f"rejects-{self.run.run_id}-{digest}.parquet"
+            ),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = annotate_errors(batch, self.validators)
@@ -181,7 +198,18 @@ def run_ingest(
     try:
         validators = [check_parse_errors(), check_non_nullable(schema),
                       *extra_validators]
-        stage = ValidateQuarantineProject(validators, rejects_dir, run, project)
+        # purge THIS run's earlier reject files (a retried run may form
+        # different batch boundaries, so its files would not all be
+        # overwritten by name and the same bad rows would count twice)
+        if os.path.isdir(rejects_dir):
+            for f in os.listdir(rejects_dir):
+                if f.startswith(f"rejects-{run.run_id}-"):
+                    os.unlink(os.path.join(rejects_dir, f))
+        import time as _time
+
+        stage = ValidateQuarantineProject(
+            validators, rejects_dir, run, project, ts_us=int(_time.time() * 1e6)
+        )
         # ATOMIC overwrite (r2 verdict: rmtree-then-write deleted the
         # committed table BEFORE the new one existed, so a mid-write crash
         # lost the previous data): the new table is written to a per-run

@@ -13,6 +13,7 @@ files (only touched partitions are rewritten; the manifest swap is atomic).
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -244,12 +245,16 @@ def migrate_partitions(
     live state outgrows partitions — the `num_partitions` migration the
     README scale notes describe).  One full rewrite shaped like an epoch:
     read committed state, re-bucket by the stable key hash mod new P, write
-    one file per new partition, commit.  hwm values carry over per new
-    partition (max of member rows' seq)."""
+    one file per new partition, commit.  Every new partition's hwm is the
+    MAX over all old partitions' hwm: routing changed, so any new partition
+    may own keys from any old one — recomputing hwm from surviving rows
+    would re-open the gate for already-applied (e.g. compacted-delete)
+    seqs and resurrect deleted keys on replay."""
     import ray.data as rd
 
     from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS, PARTITION_COLUMN
     from cdm_data_loader_utils_ray.stages.partition import add_partition_column
+    from cdm_data_loader_utils_ray.state.upsert import merge_states as _ms
 
     m = table.latest_manifest()
     if m is None:
@@ -285,16 +290,25 @@ def migrate_partitions(
             d = os.path.join(staging, f"pid={pid:05d}")
             os.makedirs(d, exist_ok=True)
             lo, hi = int(seqs[s:e].min()), int(seqs[s:e].max())
+            # a per-task unique suffix keeps two batches' slices for the
+            # same pid from colliding (seq ranges are NOT unique — e.g.
+            # after merge_into every row carries the same seq).  A retried
+            # task may leave an extra copy of its rows; exact duplicates
+            # collapse in the LWW merge below, loss would not.
+            tag = uuid.uuid4().hex[:8]
             pq.write_table(
                 b.slice(s, e - s).drop_columns([PARTITION_COLUMN]),
-                os.path.join(d, f"slice-{lo:012d}-{hi:012d}-{e - s}.parquet"),
+                os.path.join(d, f"slice-{lo:012d}-{hi:012d}-{e - s}-{tag}.parquet"),
                 compression="lz4",
             )
             out.append(pid)
         return pa.table({"pid": pa.array(out, type=pa.int32())})
 
     rd.read_parquet(files).map_batches(route, batch_format="pyarrow").take_all()
-    pids = sorted(int(d.split("=")[1]) for d in os.listdir(staging))
+    # EVERY new pid gets an entry (empty base file if no keys routed there):
+    # a missing entry would leave that partition's hwm at -1 and re-open
+    # the idempotence gate for its keys
+    pids = list(range(new_num_partitions))
 
     def write_one(batch: dict) -> pa.Table:
         rows = []
@@ -302,14 +316,15 @@ def migrate_partitions(
             pid = int(pid)
             lake = LakeTable(table_dir)
             d = os.path.join(staging, f"pid={pid:05d}")
-            from cdm_data_loader_utils_ray.state.upsert import merge_states as _ms
-
+            slices = sorted(os.listdir(d)) if os.path.isdir(d) else []
             t = _ms(
                 None,
                 pa.concat_tables(
-                    [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))],
+                    [pq.read_table(os.path.join(d, f)) for f in slices],
                     promote_options="permissive",
-                ),
+                )
+                if slices
+                else state_schema.empty_table(),
                 state_schema,
             )
             entry = lake.write_partition(t, pid, epoch)
@@ -323,9 +338,11 @@ def migrate_partitions(
         .map_batches(write_one, batch_size=1)
         .take_all()
     )
+    prev_hwm_global = max((p.hwm_seq for p in m.partitions.values()), default=-1)
     partitions = {
         r["pid"]: PartitionEntry(
-            pid=r["pid"], files=[r["file"]], rows=r["rows"], hwm_seq=r["hwm_seq"],
+            pid=r["pid"], files=[r["file"]], rows=r["rows"],
+            hwm_seq=max(int(r["hwm_seq"]), prev_hwm_global),
             live_keys=r["live_keys"], bytes=r["bytes"],
         )
         for r in results

@@ -82,17 +82,33 @@ def test_ingest_dsv_end_to_end(tmp_path):
 
 
 def test_ingest_idempotent_rejects(tmp_path):
-    """Re-running the same ingest overwrites (not duplicates) quarantine
-    files — deterministic content-hashed names."""
+    """Quarantine audit semantics: each run KEEPS its own reject record (a
+    later run must not erase an earlier run's audit trail), a same-run
+    retry purges its earlier generation instead of double-counting, and
+    per-run metrics always count only the current run."""
+    from cdm_data_loader_utils_ray.audit.tables import PipelineRun
+
     tsv = str(tmp_path / "x.tsv")
     _write_tsv(tsv, ["a\tb\tc", "broken"])
     out = str(tmp_path / "out")
+    rej_dir = os.path.join(out, "_audit", "rejects")
     r1 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
-    n_files_1 = len(os.listdir(os.path.join(out, "_audit", "rejects")))
     r2 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False)
-    n_files_2 = len(os.listdir(os.path.join(out, "_audit", "rejects")))
-    assert n_files_1 == n_files_2 == 1
+    assert len(os.listdir(rej_dir)) == 2  # both runs' audit records survive
     assert r1.records_invalid == r2.records_invalid == 1
+    # same-run retry: earlier generation purged, counts stay exact
+    run = PipelineRun.new("validated_ingest", tsv)
+    r3 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False, run=run)
+    r4 = ingest_dsv(tsv, out, SCHEMA, delimiter="\t", header=False, run=run)
+    assert len(os.listdir(rej_dir)) == 3
+    assert r3.records_invalid == r4.records_invalid == 1
+    # the quarantine dir doubles as the AuditLog 'rejects' table: files
+    # must carry the full REJECTS_SCHEMA so the audit API can read them
+    from cdm_data_loader_utils_ray.audit.tables import AuditLog
+
+    t = AuditLog(os.path.join(out, "_audit")).read("rejects")
+    assert t.num_rows == 3
+    assert "parsed_record" in t.column_names and "timestamp" in t.column_names
 
 
 def test_run_ingest_extra_validator(tmp_path):
