@@ -118,23 +118,39 @@ def cmd_read(args) -> int:
                 return v
 
         ranges[col] = (parse(lo), parse(hi))
+    ray = _ray_session(args.num_cpus)
     table = LakeTable(args.lake)
     manifest = None if args.epoch is None else table.read_manifest(args.epoch)
     ds = table.read_state(manifest=manifest, column_range=ranges or None)
     ds.write_parquet(args.out)
-    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    print(json.dumps({"rows": _parquet_dir_rows(args.out), "out": args.out}))
+    ray.shutdown()
     return 0
+
+
+def _parquet_dir_rows(out_dir: str) -> int:
+    """Row count of a just-written parquet dir from file footers — counting
+    via ds.count() would re-execute the whole unmaterialized read+merge."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
 
 
 def cmd_changes(args) -> int:
     """Export the Change Data Feed between two committed epochs."""
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
+    ray = _ray_session(args.num_cpus)
     ds = LakeTable(args.lake).read_changes(
         from_epoch=args.since, to_epoch=args.to
     )
     ds.write_parquet(args.out)
-    print(json.dumps({"rows": ds.count(), "out": args.out}))
+    print(json.dumps({"rows": _parquet_dir_rows(args.out), "out": args.out}))
+    ray.shutdown()
     return 0
 
 

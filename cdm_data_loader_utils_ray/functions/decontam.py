@@ -127,10 +127,19 @@ def contaminated_docs(
                 df = _doc_grams(batch[id_column], batch[text_column], k)
             if side == "b":
                 df = df[["gram"]].drop_duplicates()
-                df["id"] = -1  # schema-stable; bench ids never surface
-            df["__side__"] = side
-            t = pa.Table.from_pandas(df[["id", "gram", "__side__"]],
-                                     preserve_index=False)
+                df["__side__"] = side
+                # typed nulls matching THIS corpus's id dtype: an int64
+                # sentinel here made the union's schemas unmergeable for
+                # string doc ids (bench ids never surface either way)
+                t = pa.Table.from_pandas(df[["gram", "__side__"]],
+                                         preserve_index=False)
+                t = t.add_column(
+                    0, "id", pa.nulls(len(t), batch[id_column].type)
+                )
+            else:
+                df["__side__"] = side
+                t = pa.Table.from_pandas(df[["id", "gram", "__side__"]],
+                                         preserve_index=False)
             if hashed:
                 # avalanched uint64 grams are already uniform — bucket by
                 # modulo instead of re-hashing the key column

@@ -23,11 +23,20 @@ import pyarrow as pa
 
 def _to_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float32 matrix (zero-copy where Arrow
-    allows)."""
+    allows).  Null or ragged entries are rejected explicitly: silently
+    reshaping a short values buffer would either raise a cryptic error or
+    (when sizes happen to divide) misalign every following row."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     n = len(col)
+    if n and col.null_count:
+        raise ValueError(
+            f"null embedding vector(s) in batch ({col.null_count} of {n}) — "
+            "filter or impute them before kmeans/assign_clusters"
+        )
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    if n and len(flat) % n != 0:
+        raise ValueError("ragged embedding vectors: all rows must share one dim")
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 

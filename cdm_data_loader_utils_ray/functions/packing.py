@@ -57,7 +57,9 @@ def next_fit_pack(
     into ``budget``-sized bins, grouped by ``group_column``, visiting rows
     in ``order_columns`` order.  One hash-bucket shuffle on the group key
     (a bucket packs its groups independently — a group never spans
-    buckets)."""
+    buckets).  Null weights are rejected with a clear error (there is no
+    sensible token count for them); null group keys pack together as one
+    group, matching SQL GROUP BY."""
     order = list(order_columns)
 
     def bucketed(batch: pa.Table) -> pa.Table:
@@ -68,11 +70,21 @@ def next_fit_pack(
             [group_column] + order, kind="stable"
         )
         w = df[weight_column].to_numpy()
+        if pd.isna(w).any():
+            raise ValueError(
+                f"next_fit_pack: null values in weight column "
+                f"{weight_column!r} — fill or filter them before packing"
+            )
         gids = df[group_column].to_numpy()
+        # NaN != NaN would make every null-keyed row its own group; a
+        # both-NaN check groups them together (SQL GROUP BY semantics)
+        nan = pd.isna(gids)
         out = np.empty(len(df), dtype=np.int64)
         start = 0
         for i in range(1, len(df) + 1):
-            if i == len(df) or gids[i] != gids[start]:
+            if i == len(df) or (
+                gids[i] != gids[start] and not (nan[i] and nan[start])
+            ):
                 out[start:i] = _next_fit(w[start:i], budget)
                 start = i
         df[bin_column] = out

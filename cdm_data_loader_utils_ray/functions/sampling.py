@@ -68,6 +68,10 @@ def hash_sample(
     """
     if rate is None and rates is None:
         raise ValueError("pass rate= or (stratum_column=, rates=)")
+    if (rates is not None) and stratum_column is None:
+        # catch this on the driver — inside the tasks it surfaces as an
+        # opaque float(None) TypeError in _hex_threshold
+        raise ValueError("rates= requires stratum_column=")
 
     def keep(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

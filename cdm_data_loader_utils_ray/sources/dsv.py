@@ -27,12 +27,27 @@ import pyarrow.csv as pacsv
 
 from cdm_data_loader_utils_ray.core.schemas import INVALID_DATA_COLUMN
 
+# csv tuning a caller may pass via ``options=`` — forwarded verbatim into
+# ``pyarrow.csv.ParseOptions`` (anything else raises: a silently-ignored
+# option would mean silently-misparsed rows)
+_PARSE_OPTION_KEYS = {
+    "quote_char",
+    "double_quote",
+    "escape_char",
+    "newlines_in_values",
+    "ignore_empty_lines",
+}
+
 
 def _coerce_column(arr: pa.ChunkedArray | pa.Array, typ: pa.DataType) -> tuple[pa.Array, np.ndarray]:
     """Cast a string column to ``typ``; returns (values, failed_mask) where
     failed rows (non-null input that would not cast) become null."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type):
+        # belt-and-suspenders: the all-string forcing can miss (positional
+        # header mapping types columns by inference) — normalize first
+        arr = arr.cast(pa.string())
     trimmed = pc.utf8_trim_whitespace(arr)
     empty_as_null = pc.if_else(pc.equal(trimmed, ""), pa.nulls(len(arr), pa.string()), trimmed)
     if pa.types.is_string(typ):
@@ -104,11 +119,30 @@ class DsvParser:
             column_names=None if self.header else names,
             autogenerate_column_names=False,
         )
+        unknown = set(self.options) - _PARSE_OPTION_KEYS
+        if unknown:
+            raise ValueError(f"unsupported DSV options: {sorted(unknown)}")
         parse_opts = pacsv.ParseOptions(
-            delimiter=self.delimiter, invalid_row_handler=on_invalid
+            delimiter=self.delimiter, invalid_row_handler=on_invalid,
+            **self.options,
         )
+        # force EVERY column to string, including the file's own header
+        # names (with header=True the declared names may not match the
+        # header, and ConvertOptions is keyed by the names in the file —
+        # an inference-typed column would crash the coercion kernels)
+        force = {n: pa.string() for n in names}
+        if self.header:
+            import csv as _csv
+
+            first = (
+                payload.split(b"\n", 1)[0]
+                .decode("utf-8", errors="replace")
+                .lstrip("\ufeff")
+            )
+            for h in next(_csv.reader([first], delimiter=self.delimiter), []):
+                force[h] = pa.string()
         convert_opts = pacsv.ConvertOptions(
-            column_types={n: pa.string() for n in names},
+            column_types=force,
             strings_can_be_null=False,
         )
         try:

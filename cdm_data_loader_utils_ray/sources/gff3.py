@@ -11,6 +11,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cdm_data_loader_utils_ray.sources.dsv import _coerce_column
+
 GFF3_SCHEMA = pa.schema(
     [
         pa.field("seqid", pa.string()),
@@ -60,8 +62,11 @@ def gff3_lines_to_table(batch: pa.Table, text_column: str = "text") -> pa.Table:
     cols = [pc.list_element(parts, i) for i in range(9)]
 
     def num(arr, typ):
+        # '.' is the GFF3 null; anything else unparseable becomes null too
+        # (dsv's salvage kernel) instead of ArrowInvalid killing the task
         cleaned = pc.if_else(pc.equal(arr, "."), pa.nulls(len(arr), pa.string()), arr)
-        return cleaned.cast(typ)
+        vals, _failed = _coerce_column(cleaned, typ)
+        return vals
 
     start = num(cols[3], pa.int64())
     end = num(cols[4], pa.int64())
