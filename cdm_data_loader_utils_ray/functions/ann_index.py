@@ -137,6 +137,11 @@ def build_ann_index(
         dim = centroids.shape[1]
     elif kind == "lsh":
         first = ds.take(1)
+        if not first:
+            raise ValueError(
+                "cannot build an LSH ANN index over an empty corpus "
+                "(embedding dimension unknown)"
+            )
         dim = len(first[0][column])
         planes = random_hyperplanes(dim, n_planes, seed)
     else:
@@ -146,8 +151,17 @@ def build_ann_index(
         m = _batch_matrix(batch, column)
         cells = _cells_for(m, kind, centroids, planes)
         out = batch.append_column(_CELL_COL, pa.array(cells, type=pa.int64()))
-        if store_sq8 and m.size:
-            q8, sc = _sq8_columns(m)
+        if store_sq8:
+            if m.size:
+                q8, sc = _sq8_columns(m)
+            else:
+                # empty blocks must still carry the sq8 columns or the
+                # written files have heterogeneous schemas and a
+                # use_sq8=True search fails on the missing column
+                q8 = pa.FixedSizeListArray.from_arrays(
+                    pa.array([], type=pa.int8()), int(dim)
+                )
+                sc = pa.array([], type=pa.float32())
             out = out.append_column(_Q8_COL, q8).append_column(_Q8_SCALE_COL, sc)
         return out
 

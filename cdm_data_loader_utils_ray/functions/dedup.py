@@ -53,19 +53,26 @@ def dedup_exact(ds, text_column: str = "text", id_column: str = "doc_id",
     from cdm_data_loader_utils_ray.stages.keyed import lww_latest
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = sha256_array(batch[text_column])
-        out = batch.append_column("_content_hash", h)
-        sign = -1 if keep == "min" else 1
-        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        return out.append_column("_pref", pa.array(sign * ids, type=pa.int64()))
+        texts = batch[text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # null text hashes as '' — sha256_array maps null -> null, and a
+        # null key would make every null-text row survive lww_latest's
+        # "first per hash" (documented non-null-key precondition)
+        h = sha256_array(pc.fill_null(texts, ""))
+        return batch.append_column("_content_hash", h)
 
+    # the id column itself is the preference key (keep min/max id per
+    # hash) — works for string doc ids too, which the old int64 sign
+    # trick crashed on
     deduped = lww_latest(
         ds.map_batches(add_hash, batch_format="pyarrow"),
         ["_content_hash"],
-        "_pref",
+        id_column,
         num_buckets=num_buckets,
+        keep=keep,
     )
-    return deduped.drop_columns(["_pref", "_content_hash"])
+    return deduped.drop_columns(["_content_hash"])
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +239,8 @@ def _pool_size(requested: int | None) -> int:
     and the pipeline deadlocks (observed on a 4-CPU session with a 4-actor
     pool).  The dedup stages themselves now run as TASKS (r2: worker
     spin-up dominated small corpora); this helper remains for callers that
-    opt into actor pools (``PairVerifier``, ``analyze_documents``-style
-    stages).  ``concurrency`` parameters on the dedup entry points are
-    kept for API compatibility and honoured where an actor pool is used."""
+    opt into actor pools (``minhash_dedup(concurrency=...)`` selects the
+    ``PairVerifier`` actor-pool verifier through this cap)."""
     if requested is not None:
         return requested
     try:
@@ -248,7 +254,7 @@ def _pool_size(requested: int | None) -> int:
 
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                            seed: int = 42, text_column: str = "text",
-                           id_column: str = "doc_id", concurrency: int | None = None):
+                           id_column: str = "doc_id"):
     """Candidate near-dup pairs: minhash signatures -> band rows ->
     ``groupby`` buckets -> pairs within bucket.
 
@@ -258,6 +264,11 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
     downstream, so band false positives only cost verify time.  Skewed
     buckets (boilerplate corpora) pair O(m^2) within a bucket — pre-filter
     boilerplate upstream or raise ``bands`` rows-per-band."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a "
+            "truncated rows-per-band would fail the signature reshape"
+        )
     rows_per_band = num_perm // bands
 
     def emit_bands(batch: pa.Table) -> pa.Table:
@@ -814,7 +825,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 
 
     cands_ds = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, k=k, seed=seed,
-        text_column=text_column, id_column=id_column, concurrency=concurrency,
+        text_column=text_column, id_column=id_column,
     ).materialize()  # object-store resident; reused by count + verify
     n_raw = cands_ds.count()
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -829,14 +840,21 @@ def minhash_dedup(ds, threshold: float = 0.8, num_perm: int = 128, bands: int = 
         ids = set(cands["id_a"]) | set(cands["id_b"])
         shingles = candidate_shingle_map(ds, ids, k, text_column, id_column)
         sh_ref = ray.put(shingles)
-        verified = (
-            rd.from_pandas(cands)
-            .map_batches(
-                make_pair_verifier(sh_ref, threshold),
+        cand_ds = rd.from_pandas(cands)
+        if concurrency is not None:
+            # explicit opt-in to the actor-pool verifier (headroom-capped
+            # via _pool_size); default task form avoids pool spin-up
+            mapped = cand_ds.map_batches(
+                PairVerifier,
+                fn_constructor_args=(sh_ref, threshold),
+                concurrency=_pool_size(concurrency),
                 batch_format="pyarrow",
             )
-            .to_pandas()
-        )
+        else:
+            mapped = cand_ds.map_batches(
+                make_pair_verifier(sh_ref, threshold), batch_format="pyarrow"
+            )
+        verified = mapped.to_pandas()
         if verified.empty:
             return empty
         if len(verified) > 5_000_000:
@@ -944,7 +962,7 @@ class SimHasher:
 
 def simhash_near_dups(ds, max_hamming: int = 3, text_column: str = "text",
                       id_column: str = "doc_id", chunks: int = 4,
-                      concurrency: int | None = None, as_dataset: bool = False):
+                      as_dataset: bool = False):
     """Near-dup pairs by simhash, fully distributed.
 
     Pigeonhole: a pair within ``max_hamming < chunks`` bit flips must agree
@@ -1074,6 +1092,22 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 12,
 
     def add_sig(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
+        if m.size == 0:
+            # never CACHE planes off an empty batch (dim would be 0 and
+            # poison every later batch in this task); emit an empty block
+            # with the exact populated-path schema
+            return pa.table(
+                {
+                    id_column: pa.array([], type=batch[id_column].type),
+                    column: batch[column],
+                    "sigs": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], type=pa.uint64()), n_tables
+                    ),
+                    "table_id": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.uint64()),
+                    "shuffle_bucket": pa.array([], type=pa.int32()),
+                }
+            )
         if "p" not in state:
             rng_planes = [
                 random_hyperplanes(m.shape[1], n_planes, seed + 1000 * t)
@@ -1281,17 +1315,15 @@ def dedup_incremental(
         # null key would make every null-text row survive lww_latest's
         # "first per hash" (documented non-null-key precondition)
         h = sha256_array(pc.fill_null(texts, ""))
-        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("content_sha256", h).append_column(
-            "_pref", pa.array(-ids, type=pa.int64())
-        )
+        return batch.append_column("content_sha256", h)
 
     first = lww_latest(
         new_ds.map_batches(add_hash, batch_format="pyarrow"),
         ["content_sha256"],
-        "_pref",
+        id_column,  # min id per hash — string doc ids supported
         num_buckets=num_buckets,
-    ).drop_columns(["_pref"]).materialize()
+        keep="min",
+    ).materialize()
 
     def seen_hashes(batch: pa.Table) -> pa.Table:
         texts = batch[seen_col]

@@ -43,14 +43,23 @@ def _topk_frame(df: pd.DataFrame, k: int, id_column: str,
 
 def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
     """(n, d) float32 matrix from a list<float> column, zero-copy-ish via
-    the flattened values buffer."""
+    the flattened values buffer.  Null/ragged entries are rejected: flatten
+    drops null slots, so a recomputed 'dimension' would silently misalign
+    every following row (same guard as kmeans._to_matrix)."""
     arr = batch.column(column)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=np.float32)
+    if arr.null_count:
+        raise ValueError(
+            f"null embedding vector(s) in batch ({arr.null_count} of {n}) — "
+            "filter or impute them before similarity search"
+        )
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    if len(flat) % n != 0:
+        raise ValueError("ragged embedding vectors: all rows must share one dim")
     return flat.reshape(n, len(flat) // n)
 
 
@@ -64,6 +73,9 @@ def cosine_scores_stage(query: np.ndarray, column: str = "embedding",
 
     def score(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
+        if m.size == 0:  # empty block: (0,0) @ (d,) would raise
+            return pa.table({id_column: batch[id_column],
+                             out_column: pa.array([], type=pa.float64())})
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         cos = (m @ qn) / norms
@@ -96,15 +108,24 @@ class BruteForceTopK:
     per batch (SURVEY §4 broadcast pattern)."""
 
     def __init__(self, queries_ref, k: int, column: str = "embedding",
-                 id_column: str = "vec_id"):
+                 id_column: str = "vec_id", tie_ndigits: int | None = None):
         import ray
 
         q = ray.get(queries_ref).astype(np.float32)  # (m, d)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.k, self.column, self.id_column = k, column, id_column
+        self.tie_ndigits = tie_ndigits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.column)
+        if m.size == 0:  # empty block: (0,0) matmul would raise
+            return pa.table(
+                {
+                    "query_idx": pa.array([], type=pa.int32()),
+                    self.id_column: pa.array([], type=batch[self.id_column].type),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cos = (m / norms) @ self.qn.T  # (n, m)
@@ -112,10 +133,21 @@ class BruteForceTopK:
         out = {"query_idx": [], self.id_column: [], "cos_sim": []}
         k = min(self.k, len(ids))
         for qi in range(cos.shape[1]):
-            top = np.argpartition(-cos[:, qi], k - 1)[:k] if k else []
-            out["query_idx"].extend([qi] * len(top))
-            out[self.id_column].extend(ids[top])
-            out["cos_sim"].extend(cos[top, qi])
+            # argpartition by raw score, then order the candidate set under
+            # the same total order the final merge uses (_topk_frame: cos
+            # desc, id asc) so a boundary tie cannot evict a row the final
+            # order ranks higher; 4k+64 slack absorbs f32 tie noise
+            if not k:
+                continue
+            c = min(len(ids), 4 * k + 64)
+            cand = np.argpartition(-cos[:, qi], c - 1)[:c]
+            df = _topk_frame(
+                pd.DataFrame({self.id_column: ids[cand], "cos_sim": cos[cand, qi]}),
+                k, self.id_column, self.tie_ndigits,
+            )
+            out["query_idx"].extend([qi] * len(df))
+            out[self.id_column].extend(df[self.id_column])
+            out["cos_sim"].extend(df["cos_sim"])
         return pa.table(
             {
                 "query_idx": pa.array(out["query_idx"], type=pa.int32()),
@@ -169,6 +201,9 @@ def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10,
 
     def filter_and_score(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
+        if m.size == 0:
+            return pa.table({id_column: pa.array([], type=batch[id_column].type),
+                             "cos_sim": pa.array([], type=pa.float64())})
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cells = (mn @ centroids.T).argmax(axis=1)
         mask = np.isin(cells, list(probe))
@@ -208,13 +243,25 @@ def lsh_bucketed_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
     once and reads only the probe buckets' files."""
     planes = random_hyperplanes(len(query), n_planes, seed)
     qsig = int(lsh_signature(query.reshape(1, -1).astype(np.float32), planes)[0])
-    probe = {qsig} | (
-        {qsig ^ (1 << b) for b in range(n_planes)} if probe_hamming >= 1 else set()
-    )
+    # every signature within Hamming distance <= probe_hamming (same
+    # expansion as ann_index.probe_cells — the 1-bit-only version silently
+    # capped probe_hamming at 1); C(n_planes, d) buckets per distance d
+    from itertools import combinations
+
+    probe = {qsig}
+    for d in range(1, min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.add(qsig ^ flip)
     score = cosine_scores_stage(query, column, id_column)
 
     def filter_and_score(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
+        if m.size == 0:
+            return pa.table({id_column: pa.array([], type=batch[id_column].type),
+                             "cos_sim": pa.array([], type=pa.float64())})
         sig = lsh_signature(m, planes)
         mask = np.isin(sig, list(probe))
         cand = batch.filter(pa.array(mask))
@@ -254,7 +301,7 @@ def sq8_topk(ds, query: np.ndarray, k: int = 10, rescore: int = 64,
     def partial(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
         if m.size == 0:
-            return pa.table({id_column: pa.array([], type=pa.int64()),
+            return pa.table({id_column: pa.array([], type=batch[id_column].type),
                              "cos_sim": pa.array([], type=pa.float64())})
         # L2-normalize BEFORE quantizing: the int8 dot then approximates
         # COSINE, not raw dot — otherwise large-norm vectors crowd the

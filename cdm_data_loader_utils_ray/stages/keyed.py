@@ -48,15 +48,18 @@ def lww_latest(
     seq_column: str = "seq",
     num_buckets: int = 64,
     batch_size: int = 65536,
+    keep: str = "max",
 ):
     """Distributed argmax-by-``seq_column`` per key: returns one row per key,
-    the one with the greatest sequence value.  Ties broken by input order
-    (stable), matching ``keep='last'`` on a stably sorted frame.
+    the one with the greatest sequence value (``keep="min"`` flips to the
+    least — works for string seqs too, no sign trick).  Ties broken by
+    input order (stable), matching ``keep='last'`` on a stably sorted frame.
 
     PRECONDITION: key columns must be non-null (the CDC schema enforces
     this; validate upstream otherwise) — Arrow's boundary detection treats
     null keys as distinct, so every null-key row would survive."""
     keys = list(key_columns)
+    seq_order = "ascending" if keep == "max" else "descending"
 
     def combine(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -66,13 +69,13 @@ def lww_latest(
         # Arrow-native per-key argmax (state.upsert._lww_take_indices): one
         # multi-key sort_indices + boundary detection — no pandas round-trip
         # of the payload columns in the map stage.
-        out = batch.take(_lww_take_indices(batch, keys, seq_column))
+        out = batch.take(_lww_take_indices(batch, keys, seq_column, seq_order))
         return _add_bucket(out, keys, num_buckets)
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
-        return group.take(_lww_take_indices(group, keys, seq_column)).drop_columns(
-            [_BUCKET]
-        )
+        return group.take(
+            _lww_take_indices(group, keys, seq_column, seq_order)
+        ).drop_columns([_BUCKET])
 
     return (
         ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)

@@ -45,13 +45,16 @@ _KEYS = list(KEY_COLUMNS)
 
 
 def _lww_take_indices(
-    table: pa.Table, key_columns: Sequence[str], seq_column: str
+    table: pa.Table, key_columns: Sequence[str], seq_column: str,
+    seq_order: str = "ascending",
 ) -> pa.Array:
     """Indices of the winning (max-``seq``, ties -> later input order) row
     per key, ascending by key.  Pure Arrow: one multi-key ``sort_indices``
     + vectorized adjacent-row boundary detection; no Python objects, no
-    pandas round-trip of the payload strings."""
-    sort_keys = [(c, "ascending") for c in key_columns] + [(seq_column, "ascending")]
+    pandas round-trip of the payload strings.  ``seq_order="descending"``
+    flips the winner to the MIN-``seq`` row (works for any orderable seq
+    type, including strings — no sign trick needed)."""
+    sort_keys = [(c, "ascending") for c in key_columns] + [(seq_column, seq_order)]
     idx = pc.sort_indices(table, sort_keys=sort_keys)  # stable sort
     n = len(idx)
     if n == 0:
