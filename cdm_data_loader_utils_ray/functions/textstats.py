@@ -180,13 +180,7 @@ def quality_columns(texts, stops) -> dict:
     len_score = np.clip(nc / 500.0, 0, 1)
     tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)  # plausible word lengths
     score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
-    return {
-        "n_chars_f": pa.array(nc),
-        "space_ratio": pa.array(round6_half_up(space_ratio)),
-        "stopword_ratio": pa.array(round6_half_up(stop_arr)),
-        "mean_token_len": pa.array(round6_half_up(mt)),
-        "quality_score": pa.array(round6_half_up(score)),
-    }
+    return _null_masked_quality(texts, nc, space_ratio, stop_arr, mt, score)
 
 
 def quality_columns_rowwise(texts, stops) -> dict:
@@ -210,13 +204,26 @@ def quality_columns_rowwise(texts, stops) -> dict:
     len_score = np.clip(nc / 500.0, 0, 1)
     tok_score = np.exp(-0.5 * ((mt - 5.0) / 3.0) ** 2)
     score = 0.4 * len_score + 0.3 * np.minimum(stop_arr * 4, 1) + 0.3 * tok_score
-    return {
+    return _null_masked_quality(texts, nc, space_ratio, stop_arr, mt, score)
+
+
+def _null_masked_quality(texts, nc, space_ratio, stop_arr, mt, score) -> dict:
+    """Assemble the quality dict, nulling every output for null-text rows
+    (SQL aggregates over NULL text yield NULL, not NaN/0)."""
+    cols = {
         "n_chars_f": pa.array(nc),
         "space_ratio": pa.array(round6_half_up(space_ratio)),
         "stopword_ratio": pa.array(round6_half_up(stop_arr)),
         "mean_token_len": pa.array(round6_half_up(mt)),
         "quality_score": pa.array(round6_half_up(score)),
     }
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        valid = pc.is_valid(texts)
+        nulls = pa.nulls(len(texts), pa.float64())
+        cols = {k: pc.if_else(valid, v, nulls) for k, v in cols.items()}
+    return cols
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +280,9 @@ def _bpe_counts_vectorized(texts: pa.Array) -> np.ndarray:
 
 
 def bpe_token_count(texts) -> pa.Array:
-    """``len(_BPE.findall(t or ''))`` per row; null -> 0 tokens.  Vectorized
+    """``len(_BPE.findall(t))`` per row; null text -> null (the SQL twin's
+    ``len(regexp_extract_all(NULL, ...))`` is NULL, and n_tokens_ws is
+    already null there — 0 would be internally inconsistent).  Vectorized
     transition counting for apostrophe-free rows, exact regex scan for the
     rest (contractions make the scan genuinely sequential)."""
     if isinstance(texts, pa.ChunkedArray):
@@ -285,7 +294,10 @@ def bpe_token_count(texts) -> pa.Array:
         idx = np.where(has_apos)[0]
         sub = filled.take(pa.array(idx)).to_pylist()
         counts[idx] = [len(_BPE.findall(t)) for t in sub]
-    return pa.array(counts, type=pa.int64())
+    out = pa.array(counts, type=pa.int64())
+    if texts.null_count:
+        out = pc.if_else(pc.is_valid(texts), out, pa.nulls(len(texts), pa.int64()))
+    return out
 
 
 def token_count_columns(texts) -> dict:

@@ -147,7 +147,16 @@ def dedup_exact(sf_dir: str):
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         qt = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        seq = -((ln << 42) | (pk << 21) | qt)
+        # field widths: ln < 2^5 (TPC-H linenumber 1-7), pk < 2^44
+        # (partkey up to ~1.7*10^13, i.e. sf ~10^8), qt cents < 2^13
+        # (quantity <= 50); 5+44+13 = 62 bits < int64.  Checked loudly: a
+        # silent overflow would bleed into the next field and corrupt the
+        # preference order (the old 21-bit partkey field broke at sf>=10).
+        if len(ln) and (
+            ln.max() >= (1 << 5) or pk.max() >= (1 << 44) or qt.max() >= (1 << 13)
+        ):
+            raise ValueError("dedup_exact preference fields exceed packed widths")
+        seq = -((ln << 57) | (pk << 13) | qt)
         return batch.append_column("_pref", pa.array(seq, type=pa.int64()))
 
     first = lww_latest(ds.map_batches(neg, batch_format="pyarrow"),
@@ -413,7 +422,11 @@ def top_customers(sf_dir: str):
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         df["total_spent"] = _round_away(df["total_spent"], 2)
-        return df.nlargest(10, "total_spent")
+        # same total order as the final merge (spent DESC, custkey ASC) —
+        # a bare nlargest could drop a tied row the global top-10 keeps
+        return df.sort_values(
+            ["total_spent", "o_custkey"], ascending=[False, True]
+        ).head(10)
 
     # per-block partial top-k, tiny final merge on the driver (a global
     # ds.sort on an already-aggregated small result would shuffle for nothing)
@@ -729,7 +742,7 @@ def sliding_daily(sf_dir: str):
 SLIDING_DAILY_SQL = """
 SELECT user_id,
        strftime(ws, '%Y-%m-%d') AS window_start,
-       count(*) AS n_events,
+       count(value) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM (
   SELECT user_id, value,
@@ -2212,11 +2225,9 @@ def rollup_counts(sf_dir: str):
     per_type = grouped_partial_sums(
         pair_counts, ["event_type"], {"n_events": "n"}, count_alias="n_users"
     ).to_pandas()
-    per_type_events = per_type[["event_type", "n_events"]]
-    per_type_users = per_type[["event_type", "n_users"]]
     total_users = int(distinct_rows(pair_counts, ["user_id"], num_buckets=8).count())
 
-    out = per_type_events.merge(per_type_users, on="event_type", how="outer")
+    out = per_type[["event_type", "n_events", "n_users"]]
     total = pd.DataFrame(
         {
             "event_type": ["ALL"],

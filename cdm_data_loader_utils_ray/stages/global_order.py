@@ -37,10 +37,15 @@ from cdm_data_loader_utils_ray.functions.sketches import approx_quantiles
 def _bucket_of(scores: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Order-monotone bucket id: bucket 0 holds the HIGHEST scores.
     Equal scores always map to the same bucket (searchsorted is
-    deterministic), so ties never straddle a boundary."""
-    return (len(bounds) - np.searchsorted(bounds, scores, side="left")).astype(
-        np.int64
-    )
+    deterministic), so ties never straddle a boundary.  NaN scores get the
+    bucket PAST the lowest (DESC NULLS LAST, matching the SQL twin) —
+    searchsorted would otherwise place them in bucket 0, spending the
+    budget on null-score rows first."""
+    b = (len(bounds) - np.searchsorted(bounds, scores, side="left")).astype(np.int64)
+    nan = np.isnan(scores)
+    if nan.any():
+        b[nan] = len(bounds) + 1
+    return b
 
 
 def _empty_proto(ds, cum_alias: str):
@@ -60,6 +65,10 @@ def _empty_proto(ds, cum_alias: str):
             cum_alias, pa.array([], type=pa.float64())
         )
         return rd.from_arrow(tbl)
+    if base is None:  # schema-less lineage: nothing to type the proto from
+        raise TypeError("prefix/rank helpers need a dataset with a schema")
+    # pandas-block lineage: PandasBlockSchema carries numpy dtypes, which
+    # pd.Series(dtype=...) accepts directly
     df = pd.DataFrame(
         {n: pd.Series([], dtype=t) for n, t in zip(base.names, base.types)}
     )

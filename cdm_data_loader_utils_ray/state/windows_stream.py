@@ -84,7 +84,12 @@ class WindowShard:
                 "window_start_us": pa.array(
                     out["window_start_us"].to_numpy().astype("int64"), type=pa.int64()
                 ),
-                "key": pa.array(out["key"]),
+                # explicit type: an all-null-key emission would otherwise
+                # infer type null and break close()'s concat_tables
+                "key": pa.array(
+                    [None if pd.isna(k) else str(k) for k in out["key"]],
+                    type=pa.string(),
+                ),
                 "n": pa.array(out["n"].to_numpy().astype("int64"), type=pa.int64()),
                 "s": pa.array(out["s"].to_numpy(dtype="float64"), type=pa.float64()),
             }
@@ -118,9 +123,19 @@ class StreamingWindowAggregator:
         self.shards = [WindowShard.remote() for _ in range(num_shards)]
         self.max_ts = -(2**63)
         self.emitted: list[pa.Table] = []
+        self.null_ts_dropped = 0  # events with no event time (NaT/null ts)
 
     def _combine(self, df: pd.DataFrame) -> pd.DataFrame:
         ts = df[self.ts_column]
+        # null/NaT timestamps have no window: NaT casts to int64-min, whose
+        # window arithmetic WRAPS to a phantom far-future window no
+        # watermark ever closes (permanent shard-state leak).  Drop and
+        # count them — there is no event time to assign.
+        na = ts.isna()
+        if na.any():
+            self.null_ts_dropped += int(na.sum())
+            df = df[~na]
+            ts = df[self.ts_column]
         if np.issubdtype(ts.dtype, np.datetime64):
             # normalize EVERY datetime64 unit (ns/us/ms/s — pandas 2.x keeps
             # the source parquet's unit) to microseconds before the integer

@@ -57,7 +57,8 @@ def test_quality_columns_match_rowwise(corpus):
 def test_bpe_count_matches_regex(corpus):
     rows, arr = corpus
     got = ts.bpe_token_count(arr).to_pylist()
-    want = [len(ts._BPE.findall(t or "")) for t in rows]
+    # null text -> null count (SQL len(regexp_extract_all(NULL,...)) is NULL)
+    want = [None if t is None else len(ts._BPE.findall(t)) for t in rows]
     assert got == want
 
 
@@ -87,7 +88,7 @@ def test_fused_analyzer_consistent(corpus):
     li = ts.LangId()
     assert out["lang_pred"].to_pylist() == [li.classify(t or "") for t in rows]
     assert out["n_tokens_bpe"].to_pylist() == [
-        len(ts._BPE.findall(t or "")) for t in rows
+        None if t is None else len(ts._BPE.findall(t)) for t in rows
     ]
     assert out["fingerprint"].to_pylist() == [
         rolling_fingerprint(t or "") for t in rows
