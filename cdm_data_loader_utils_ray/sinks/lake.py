@@ -254,7 +254,11 @@ class LakeTable:
         both atomic renames.  Re-committing the same epoch is idempotent."""
         cur = self.latest_epoch()
         if cur is not None and manifest.epoch <= cur:
-            existing = self.read_manifest(manifest.epoch) if manifest.epoch <= cur else None
+            try:
+                existing = self.read_manifest(manifest.epoch)
+            except FileNotFoundError:
+                existing = None  # epoch inside the committed range but no
+                # manifest on disk (foreign/corrupt history): clear error below
             if existing is not None and existing.run_id == manifest.run_id:
                 return  # replayed commit of an already-applied epoch: no-op
             raise ValueError(

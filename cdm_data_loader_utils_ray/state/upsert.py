@@ -60,13 +60,21 @@ def _lww_take_indices(
     if n == 0:
         return idx
     taken = table.select(list(key_columns)).take(idx)
-    # row i is the LAST of its key-group iff any key column differs at i+1
+    # row i is the LAST of its key-group iff any key column differs at i+1.
+    # Nulls group TOGETHER (SQL GROUP BY semantics): null-vs-null is NOT a
+    # boundary, null-vs-value is — not_equal alone yields null for both
+    # cases, so the null geometry is resolved explicitly with is_null.
     last = np.ones(n, dtype=bool)
     boundary = np.zeros(n - 1, dtype=bool)
     for c in key_columns:
         col = taken.column(c).combine_chunks()
-        neq = pc.not_equal(col.slice(0, n - 1), col.slice(1, n))
-        boundary |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        a, b = col.slice(0, n - 1), col.slice(1, n)
+        neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+        if col.null_count:
+            na = pc.is_null(a).to_numpy(zero_copy_only=False)
+            nb = pc.is_null(b).to_numpy(zero_copy_only=False)
+            neq |= na ^ nb
+        boundary |= neq
     last[: n - 1] = boundary
     return idx.filter(pa.array(last))
 
