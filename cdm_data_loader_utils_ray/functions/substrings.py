@@ -1,0 +1,200 @@
+"""Substring-level duplicate detection: maximal duplicated character
+k-gram spans across a corpus — the primitive behind substring-granular
+training-data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better", public algorithm: their suffix-array dedup
+marks exactly the substrings covered by a duplicated length-k window).
+
+Document-level dedup (``functions/dedup.py``) drops whole near-identical
+documents; this finds the duplicated PASSAGES — boilerplate headers,
+license blocks, quoted text — inside otherwise-unique documents, as
+``(doc_id, span_start, span_end)`` intervals the caller can cut or weigh.
+
+Shape (two bucket shuffles, everything vectorized):
+
+1. ``map_batches``: every k-byte window of every document is hashed by
+   the batched Rabin-Karp prefix-sum kernel
+   (``stages/hashing.char_window_hashes`` — one pass over the batch's
+   concatenated utf-8 bytes, no per-row loop), emitting
+   ``(gram_hash, doc_id, pos)`` rows, bucketed by gram hash.
+2. per gram-bucket: a vectorized ``groupby(gram).transform('size')``
+   keeps occurrences of grams seen ``>= min_count`` times in the corpus
+   (a gram lives in exactly one bucket, so bucket counts are exact
+   global counts); survivors re-bucket by document.
+3. per doc-bucket: sort by (doc, pos); adjacent duplicated windows merge
+   into maximal spans (gaps-and-islands — a window starting <= k bytes
+   after its predecessor overlaps or abuts it, because all windows have
+   length exactly k, so sorted starts give monotone ends and the running
+   island test is just ``diff(pos) > k``).
+
+Exactness: hashes are 61-bit polynomial fingerprints mod 2^61-1; two
+different grams collide with probability ~n²/2^62 (vanishing for any
+bucket's gram population; the same documented trade the hashed decontam
+kernel makes).  Positions are 1-based BYTE offsets (== character offsets
+for ASCII corpora), chosen so a SQL twin over ``substring(text, pos, k)``
+reproduces spans bit-for-bit.
+
+Scale: the stage-1 exchange carries one ~20-byte row per text byte — the
+inherent cost of exact substring-level detection (Lee et al. pay the same
+via distributed suffix arrays).  At 100 TB, shard the corpus and run
+per-shard (duplicates within a shard; cross-shard boilerplate is caught
+by any shard that holds two copies), or raise ``min_count`` with a
+count-min prefilter.  Reference repo has no analogue (LLM-corpus family,
+builder brief).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.functions.sketches import _hash64
+from cdm_data_loader_utils_ray.stages.hashing import char_window_hashes
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def duplicate_spans(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 24,
+    min_count: int = 2,
+    num_buckets: int = 64,
+    doc_buckets: int = 64,
+):
+    """Dataset of ``(id_column, span_start, span_end)`` — maximal intervals
+    of each document covered by at least one k-byte window that occurs
+    ``>= min_count`` times corpus-wide.  ``span_start`` is 1-based,
+    ``span_end`` exclusive (``span_end - span_start`` = span bytes).
+    Documents shorter than ``k`` bytes (and null texts) emit nothing."""
+    import ray.data as rd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2 (got {min_count})")
+
+    base = getattr(ds.schema(), "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        raise TypeError("duplicate_spans needs a dataset with an Arrow schema")
+    id_type = base.field(id_column).type
+    proto = pa.table(
+        {
+            id_column: pa.array([], type=id_type),
+            "span_start": pa.array([], type=pa.int64()),
+            "span_end": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def windows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        row_of, pos, h = char_window_hashes(texts, k)
+        # spread the P61 hash before the modulus (its low bits carry the
+        # last bytes' contribution; fine, but mixing costs nothing)
+        bucket = (((h * _GOLD) >> np.uint64(32)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(row_of)),
+                "pos": pa.array(pos + 1, type=pa.int64()),
+                "gram": pa.array(h, type=pa.uint64()),
+                "__gbucket__": pa.array(bucket, type=pa.int32()),
+            }
+        )
+
+    # Two NULL-id sentinel rows (their own bucket -1, identical gram so
+    # they survive the >= min_count gate) ride the whole pipeline and are
+    # filtered at the end.  They guarantee every groupby input is
+    # NON-empty: Ray's map_groups over an all-empty upstream (an
+    # all-unique corpus) short-circuits the fn and emits a COLUMN-LESS
+    # pandas block that poisons the union's schema — and map_batches is
+    # skipped on that block, so no downstream stage can repair it.
+    sentinels = pa.table(
+        {
+            id_column: pa.nulls(2, id_type),
+            "pos": pa.array([1, 1], type=pa.int64()),
+            "gram": pa.array([0, 0], type=pa.uint64()),
+            "__gbucket__": pa.array([-1, -1], type=pa.int32()),
+        }
+    )
+
+    def dup_occurrences(t: pa.Table) -> pa.Table:
+        # arrow in/out with index takes: the id column keeps its declared
+        # type (a pandas round-trip would promote int64-with-null —
+        # the sentinels — to float64 and split the block schemas)
+        gram = t["gram"].to_numpy(zero_copy_only=False)
+        g = pd.Series(gram)
+        cnt = g.groupby(g, sort=False).transform("size").to_numpy()
+        keep = np.flatnonzero(cnt >= min_count)
+        hit = t.select([id_column, "pos"]).take(pa.array(keep))
+        dbucket = (
+            _hash64(hit[id_column].to_pandas()) % np.uint64(doc_buckets)
+        ).astype(np.int32)
+        return hit.append_column("__dbucket__", pa.array(dbucket, type=pa.int32()))
+
+    def merge_spans(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "id": t[id_column].to_pandas(),
+                "pos": t["pos"].to_numpy(zero_copy_only=False),
+            }
+        )
+        order = df.sort_values(["id", "pos"], kind="stable").index.to_numpy()
+        t2 = t.take(pa.array(order))
+        ids = df["id"].to_numpy()[order]
+        pos = df["pos"].to_numpy()[order]
+        # island starts: doc change (nulls never merge — they are the
+        # sentinels) or a gap wider than one window length
+        change = np.ones(len(pos), dtype=bool)
+        if len(pos) > 1:
+            same_doc = pd.Series(ids[1:]).eq(pd.Series(ids[:-1])).to_numpy()
+            change[1:] = ~same_doc | (pos[1:] - pos[:-1] > k)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pos)) - 1
+        return pa.table(
+            {
+                id_column: t2[id_column].take(pa.array(starts)),
+                "span_start": pa.array(pos[starts], type=pa.int64()),
+                "span_end": pa.array(pos[ends] + k, type=pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t[id_column]))
+
+    spans = (
+        rd.from_arrow(sentinels)
+        .union(ds.map_batches(windows, batch_format="pyarrow"))
+        .groupby("__gbucket__")
+        .map_groups(
+            lambda t: dup_occurrences(t.drop_columns(["__gbucket__"])),
+            batch_format="pyarrow",
+        )
+        .groupby("__dbucket__")
+        .map_groups(
+            lambda t: merge_spans(t.drop_columns(["__dbucket__"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return rd.from_arrow(proto).union(spans)
+
+
+def span_stats(spans_ds, id_column: str = "doc_id"):
+    """Per-document rollup of :func:`duplicate_spans` output: number of
+    duplicated spans and total duplicated bytes — the quantity substring-
+    aware corpus weighting uses.  One combiner pass + one tiny shuffle."""
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    return grouped_partial_sums(
+        spans_ds,
+        [id_column],
+        {"dup_bytes": "span_end - span_start"},
+        count_alias="n_spans",
+    )

@@ -3519,6 +3519,46 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# 74. Substring-level duplicate spans (Lee et al. substring-dedup primitive,
+#     functions/substrings.py): maximal intervals covered by a character
+#     24-gram occurring >= 2 times corpus-wide.  Two bucket shuffles; the
+#     window hashing is the batched Rabin-Karp prefix-sum kernel.  The corpus
+#     is pure ASCII (TESTDATA), so byte positions == SQL character positions
+#     and the DuckDB twin reproduces spans bit-for-bit.
+# ---------------------------------------------------------------------------
+_DUPSPAN_K = 24
+
+
+def duplicate_substrings(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(docs, "text", "doc_id", k=_DUPSPAN_K)
+
+
+DUPLICATE_SUBSTRINGS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, t.pos::BIGINT AS pos, substring(text, t.pos, {_DUPSPAN_K}) AS gram
+  FROM documents, unnest(range(1, length(text) - {_DUPSPAN_K} + 2)) AS t(pos)
+  WHERE length(text) >= {_DUPSPAN_K}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > {_DUPSPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM i)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {_DUPSPAN_K})::BIGINT AS span_end
+FROM s GROUP BY doc_id, island
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -3557,6 +3597,7 @@ def registry() -> dict:
         # -- (2) new in r4 (inserted here as they land) ----------------------
         "sketch_topk_skewed": (sketch_topk_skewed, SKETCH_TOPK_SKEWED_SQL),
         "knn_ivf_indexed": (knn_ivf_indexed, KNN_IVF_SQL),
+        "duplicate_substrings": (duplicate_substrings, DUPLICATE_SUBSTRINGS_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

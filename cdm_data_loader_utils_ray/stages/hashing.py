@@ -284,6 +284,80 @@ def rolling_fingerprint_batch(
     return pa.array(out, type=pa.uint64())
 
 
+def char_window_hashes(
+    arr: pa.Array | pa.ChunkedArray, k: int, base: int = 257
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Polynomial hash of EVERY ``k``-byte window of every row — the
+    position-preserving sibling of :func:`rolling_fingerprint_batch`
+    (same prefix-sum construction, same per-window H as
+    ``rolling_fingerprint`` over a ``k``-byte string, golden-tested
+    against it), feeding substring-level duplicate detection
+    (``functions/substrings.py``).
+
+    Returns ``(row_of, pos, hash)`` — parallel arrays with one entry per
+    window: the row index within ``arr``, the 0-based BYTE offset of the
+    window start (== character offset for ASCII text), and the uint64
+    hash mod 2^61-1.  Rows shorter than ``k`` bytes (and nulls) emit
+    nothing, matching a SQL twin's ``WHERE length(text) >= k``."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64))
+    if n == 0:
+        return empty
+    arr = pc.fill_null(arr, "")
+    off0 = arr.offset
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt, count=n + 1 + off0)[off0:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = (offs - offs[0]).astype(np.int64)
+    total = len(data)
+    lens = np.diff(offs)
+    rows = np.where(lens >= k)[0]
+    if len(rows) == 0 or total == 0:
+        return empty
+
+    binv = pow(base, _FP_P_INT - 2, _FP_P_INT)
+    tbl_n = int(lens.max()) + k + 1
+    pow_b = _pow_table_p61(base, tbl_n)
+    pow_binv = _pow_table_p61(binv, tbl_n)
+    arena = np.empty((5, max(total, 1)), dtype=np.uint64)
+    w1, w2, w3, w4 = arena[1], arena[2], arena[3], arena[4]
+    pos_local_all = np.arange(total, dtype=np.int64)
+    pos_local_all -= np.repeat(offs[:-1], lens)
+    v = arena[0, :total]
+    v[:] = pow_binv[pos_local_all]
+    _mulmod_p61_into(data.astype(np.uint64), v, v, w1[:total], w2[:total], w3[:total])
+    np.bitwise_and(v, np.uint64(0xFFFFFFFF), out=w1[:total])
+    cs_lo = np.cumsum(w1[:total], out=w1[:total])
+    np.right_shift(v, np.uint64(32), out=w2[:total])
+    cs_hi = np.cumsum(w2[:total], out=w2[:total])
+    _mod_p61_ip(cs_hi, w3[:total])
+    _mod_p61_ip(cs_lo, w3[:total])
+    prefix = np.zeros(total + 1, dtype=np.uint64)
+    _mulmod_p61_into(cs_hi, (1 << 32) % _FP_P_INT, prefix[1:],
+                     w3[:total], w4[:total], v)
+    prefix[1:] += cs_lo
+    _mod_p61_ip(prefix[1:], w3[:total])
+
+    nw = lens[rows] - k + 1
+    seg = np.zeros(len(nw) + 1, dtype=np.int64)
+    np.cumsum(nw, out=seg[1:])
+    idx = np.arange(seg[-1], dtype=np.int64)
+    local = idx - np.repeat(seg[:-1], nw)
+    g = np.repeat(offs[rows], nw) + local
+    span = prefix[g + k]
+    span += _FP_P
+    span -= prefix[g]
+    m = len(span)
+    _mod_p61_ip(span, arena[0, :m] if m <= total else np.empty(m, np.uint64))
+    scratch = np.empty((3, m), dtype=np.uint64)
+    hashes = _mulmod_p61_into(pow_b[local + k - 1], span, span,
+                              scratch[0], scratch[1], scratch[2])
+    row_of = np.repeat(rows, nw)
+    return row_of, local, hashes.copy()
+
+
 def non_null_count(batch: pa.Table, column: str) -> int:
     """Vectorized non-null count helper (``pc.count``)."""
     return pc.count(batch[column], mode="only_valid").as_py()

@@ -1,0 +1,164 @@
+"""Substring-level duplicate spans (functions/substrings.py) and the
+all-window Rabin-Karp kernel (stages/hashing.char_window_hashes)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cdm_data_loader_utils_ray.stages.hashing import (
+    char_window_hashes,
+    rolling_fingerprint,
+)
+
+
+def test_char_window_hashes_matches_scalar_reference():
+    texts = ["abcdefabcdef", "xxabcdefyy", "zz", None, "", "abcdef",
+             "ababababab", "The quick brown fox jumps over the lazy dog"]
+    k = 6
+    row_of, pos, h = char_window_hashes(pa.array(texts, type=pa.string()), k)
+    expected = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        for p in range(max(0, len(t) - k + 1)):
+            expected.append((i, p, rolling_fingerprint(t[p : p + k], k)))
+    assert list(zip(row_of.tolist(), pos.tolist(), h.tolist())) == expected
+
+
+def test_char_window_hashes_sliced_and_chunked():
+    base = pa.array(["padpad", "abcdefgh", "abcdeXgh"], type=pa.string())
+    sl = base.slice(1, 2)  # non-zero offset path
+    r1, p1, h1 = char_window_hashes(sl, 4)
+    chunked = pa.chunked_array([base.slice(1, 1), base.slice(2, 1)])
+    r2, p2, h2 = char_window_hashes(chunked, 4)
+    assert (h1 == h2).all() and (r1 == r2).all() and (p1 == p2).all()
+    # shared prefix "abcd" collides (equal), divergent windows differ
+    assert h1[0] == h2[0]
+
+
+def _spans_df(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+
+
+def test_duplicate_spans_basic(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    boiler = "LICENSE HEADER v1.0 --"  # 22 chars, k=8 windows inside
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    boiler + " unique tail one",
+                    boiler + " zz different tail",
+                    "totally unrelated document body",
+                    None,
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = _spans_df(duplicate_spans(rd.from_arrow(docs), k=8, num_buckets=4, doc_buckets=4))
+    # docs 1 and 2 share boiler + the following space (23 bytes); doc 3/4
+    # emit nothing
+    import os.path
+
+    shared = len(os.path.commonprefix([boiler + " unique tail one",
+                                       boiler + " zz different tail"]))
+    assert set(out["doc_id"]) == {1, 2}
+    for _, r in out.iterrows():
+        assert r["span_start"] == 1
+        assert r["span_end"] == shared + 1  # maximal shared prefix
+    # spans are 1-based, end-exclusive: bytes == span_end - span_start
+    assert (out["span_end"] - out["span_start"]).tolist() == [shared] * 2
+
+
+def test_duplicate_spans_within_doc_and_gap_split(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    # the same 8-gram twice WITHIN one doc, separated by > k unique bytes:
+    # two islands, not one
+    t = "abcdefgh" + "0123456789012345" + "abcdefgh"
+    docs = pa.table(
+        {"doc_id": pa.array([7], type=pa.int64()),
+         "text": pa.array([t], type=pa.string())}
+    )
+    out = _spans_df(duplicate_spans(rd.from_arrow(docs), k=8, num_buckets=4, doc_buckets=4))
+    assert out["span_start"].tolist() == [1, 25]
+    assert out["span_end"].tolist() == [9, 33]
+
+
+def test_duplicate_spans_empty_corpus_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": pa.array(["all unique text with no repeats"], type=pa.string())}
+    )
+    out = duplicate_spans(rd.from_arrow(docs), k=16, num_buckets=4, doc_buckets=4)
+    # Dataset-level schema survives the empty result (ray's to_pandas()
+    # drops columns for any fully-empty dataset — even a plain
+    # from_arrow(empty_table) — so block schemas are the guarantee here;
+    # every bundle stays schema-consistent thanks to the sentinel rows)
+    assert out.schema().names == ["doc_id", "span_start", "span_end"]
+    assert out.count() == 0
+
+
+def test_duplicate_spans_string_ids(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = pa.table(
+        {"doc_id": pa.array(["a", "b"], type=pa.string()),
+         "text": pa.array(["shared-prefix-here xx", "shared-prefix-here yy"],
+                          type=pa.string())}
+    )
+    out = _spans_df(duplicate_spans(rd.from_arrow(docs), k=8, num_buckets=4, doc_buckets=4))
+    assert set(out["doc_id"]) == {"a", "b"}
+
+
+def test_duplicate_spans_validates_params(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1]), "text": pa.array(["x"])}))
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(docs, min_count=1)
+    with pytest.raises(ValueError, match="k must"):
+        duplicate_spans(docs, k=0)
+
+
+def test_span_stats(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import (
+        duplicate_spans,
+        span_stats,
+    )
+
+    boiler = "BOILERPLATE-BLOCK-9000 :: "
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([boiler + "alpha", boiler + "beta"], type=pa.string()),
+        }
+    )
+    spans = duplicate_spans(rd.from_arrow(docs), k=8, num_buckets=4, doc_buckets=4)
+    stats = (
+        span_stats(spans).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert stats["doc_id"].tolist() == [1, 2]
+    assert (stats["dup_bytes"] == len(boiler)).all()
+    assert (stats["n_spans"] == 1).all()
