@@ -403,35 +403,47 @@ def _extract_cross_refs(dbref, cluster_id: str, is_representative: bool) -> dict
 
 def parse_uniref_entry(entry, uniref_variant: str = "UniRef100",
                        file_path: str = "", updated: str | None = None) -> dict:
-    """One UniRef <entry> -> {table: rows} (reference ``uniref.py:128-173``)."""
-    cluster, entity = _extract_cluster(entry)
-    cluster_id = cluster.get("cluster_id")
-    if not cluster_id:
+    """One UniRef <entry> -> {table: rows} (reference ``uniref.py:128-173``).
+    Like :func:`parse_uniprot_entry`, any parse failure becomes a
+    ``_parse_error`` row — the module contract is that extractors never
+    raise into the streaming XML source."""
+    try:
+        cluster, entity = _extract_cluster(entry)
+        cluster_id = cluster.get("cluster_id")
+        if not cluster_id:
+            return {
+                "_parse_error": [
+                    {"xml": dump_xml_element(entry),
+                     "error": "No cluster ID found in entry",
+                     "source_file": str(file_path)}
+                ]
+            }
+        entity["updated"] = updated
+        cluster["protocol"] = uniref_variant
+        members = []
+        repr_refs = _find_path(entry, "representativeMember", "dbReference")
+        if repr_refs:
+            members.append(_extract_cross_refs(repr_refs[0], cluster_id, True))
+        members.extend(
+            _extract_cross_refs(m, cluster_id, False)
+            for m in _find_path(entry, "member", "dbReference")
+        )
+        return {
+            "entity": [entity],
+            "entity_x_source_file": [
+                {ENTITY_ID: cluster_id, "data_source": entity.get("data_source"),
+                 "source_file": str(file_path)}
+            ],
+            "cluster": [cluster],
+            "clustermember": [m for m in members if m],
+        }
+    except Exception as exc:  # errors -> rows, never raises
         return {
             "_parse_error": [
-                {"xml": dump_xml_element(entry), "error": "No cluster ID found in entry",
+                {"xml": dump_xml_element(entry), "error": str(exc),
                  "source_file": str(file_path)}
             ]
         }
-    entity["updated"] = updated
-    cluster["protocol"] = uniref_variant
-    members = []
-    repr_refs = _find_path(entry, "representativeMember", "dbReference")
-    if repr_refs:
-        members.append(_extract_cross_refs(repr_refs[0], cluster_id, True))
-    members.extend(
-        _extract_cross_refs(m, cluster_id, False)
-        for m in _find_path(entry, "member", "dbReference")
-    )
-    return {
-        "entity": [entity],
-        "entity_x_source_file": [
-            {ENTITY_ID: cluster_id, "data_source": entity.get("data_source"),
-             "source_file": str(file_path)}
-        ],
-        "cluster": [cluster],
-        "clustermember": [m for m in members if m],
-    }
 
 
 def uniprot_extract_hook(file_path: str = "", updated: str | None = None):

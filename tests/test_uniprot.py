@@ -205,3 +205,24 @@ def test_uniprot_through_ray_xml_source(tmp_path):
     assert set(idents["entity_id"]) == {"uniprot:P12345"}
     errors = parsed.to_pandas()
     assert (errors["table"] == "_parse_error").sum() == 1
+
+
+def test_uniref_parse_failure_becomes_error_row(monkeypatch):
+    """Module contract: extractors never raise into the XML source — an
+    unexpected failure in UniRef parsing becomes a _parse_error row (the
+    KB parser always wrapped; the UniRef wrap was added in r4 review)."""
+    import xml.etree.ElementTree as ET
+
+    from cdm_data_loader_utils_ray.sources import uniprot as U
+
+    entry = ET.fromstring('<entry id="UniRef100_P1"><name>n</name></entry>')
+
+    def boom(_entry):
+        raise RuntimeError("synthetic parse failure")
+
+    monkeypatch.setattr(U, "_extract_cluster", boom)
+    out = U.parse_uniref_entry(entry, file_path="f.xml")
+    assert list(out) == ["_parse_error"]
+    row = out["_parse_error"][0]
+    assert "synthetic parse failure" in row["error"]
+    assert row["source_file"] == "f.xml"
