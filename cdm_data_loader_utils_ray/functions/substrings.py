@@ -62,18 +62,38 @@ def duplicate_spans(
     min_count: int = 2,
     num_buckets: int = 64,
     doc_buckets: int = 64,
+    anchor_mod: int = 1,
+    merge_gap: int | None = None,
 ):
     """Dataset of ``(id_column, span_start, span_end)`` — maximal intervals
     of each document covered by at least one k-byte window that occurs
     ``>= min_count`` times corpus-wide.  ``span_start`` is 1-based,
     ``span_end`` exclusive (``span_end - span_start`` = span bytes).
-    Documents shorter than ``k`` bytes (and null texts) emit nothing."""
+    Documents shorter than ``k`` bytes (and null texts) emit nothing.
+
+    ``anchor_mod > 1`` is the 100-TB knob: only windows whose hash is
+    ``0 mod anchor_mod`` enter the exchange — content-defined anchor
+    selection (the 0-mod-p fingerprinting of LBFS/rsync-style CDC, public
+    algorithm), cutting stage-1 volume by ~``anchor_mod``x.  The SAME
+    duplicated block selects the SAME anchors in every copy (selection is
+    a function of content alone), so any shared region of ~``anchor_mod``
+    or more windows is still found; detection becomes probabilistic only
+    for shared regions shorter than the expected anchor gap, and reported
+    spans cover the duplicated anchors rather than the exact extent.
+    Pass ``merge_gap`` (default ``k``) >= ``k + anchor_mod`` in anchored
+    mode so consecutive anchors of one duplicated block merge into one
+    span."""
     import ray.data as rd
 
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 (got {min_count})")
+    if anchor_mod < 1:
+        raise ValueError(f"anchor_mod must be >= 1 (got {anchor_mod})")
+    gap = k if merge_gap is None else int(merge_gap)
+    if gap < k:
+        raise ValueError(f"merge_gap must be >= k (got {merge_gap} < {k})")
 
     base = getattr(ds.schema(), "base_schema", None)
     if not isinstance(base, pa.Schema):
@@ -92,6 +112,11 @@ def duplicate_spans(
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         row_of, pos, h = char_window_hashes(texts, k)
+        if anchor_mod > 1:
+            # content-defined selection: mix first so the anchor predicate
+            # is independent of the bucket assignment below
+            sel = ((h * _GOLD) % np.uint64(anchor_mod)) == 0
+            row_of, pos, h = row_of[sel], pos[sel], h[sel]
         # spread the P61 hash before the modulus (its low bits carry the
         # last bytes' contribution; fine, but mixing costs nothing)
         bucket = (((h * _GOLD) >> np.uint64(32)) % np.uint64(num_buckets)).astype(
@@ -148,11 +173,12 @@ def duplicate_spans(
         ids = df["id"].to_numpy()[order]
         pos = df["pos"].to_numpy()[order]
         # island starts: doc change (nulls never merge — they are the
-        # sentinels) or a gap wider than one window length
+        # sentinels) or a gap wider than the merge tolerance (= one window
+        # length exact; larger under anchor selection)
         change = np.ones(len(pos), dtype=bool)
         if len(pos) > 1:
             same_doc = pd.Series(ids[1:]).eq(pd.Series(ids[:-1])).to_numpy()
-            change[1:] = ~same_doc | (pos[1:] - pos[:-1] > k)
+            change[1:] = ~same_doc | (pos[1:] - pos[:-1] > gap)
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pos)) - 1
         return pa.table(

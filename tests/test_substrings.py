@@ -162,3 +162,57 @@ def test_span_stats(ray_session):
     assert stats["doc_id"].tolist() == [1, 2]
     assert (stats["dup_bytes"] == len(boiler)).all()
     assert (stats["n_spans"] == 1).all()
+
+
+def test_anchored_mode_finds_long_shared_blocks(ray_session):
+    """anchor_mod selects ~1/mod of windows content-deterministically: the
+    same shared block selects the same anchors in both copies, so a long
+    duplicated block is still found; merge_gap bridges the anchor gaps."""
+    import numpy as np
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+    from cdm_data_loader_utils_ray.stages.hashing import char_window_hashes
+
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", dtype="S1")
+    shared = b"".join(rng.choice(alphabet, 400)).decode()
+    u1 = b"".join(rng.choice(alphabet, 150)).decode()
+    u2 = b"".join(rng.choice(alphabet, 150)).decode()
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([u1 + shared, shared + u2], type=pa.string()),
+        }
+    )
+    k, mod = 16, 8
+    out = _spans_df(
+        duplicate_spans(
+            rd.from_arrow(docs), k=k, num_buckets=4, doc_buckets=4,
+            anchor_mod=mod, merge_gap=k + 8 * mod,
+        )
+    )
+    # both docs report a span covering most of the 400-byte shared block
+    assert set(out["doc_id"]) == {1, 2}
+    for doc, lo in ((1, len(u1)), (2, 0)):
+        spans = out[out["doc_id"] == doc]
+        covered = (spans["span_end"] - spans["span_start"]).sum()
+        assert covered >= 250  # most of the shared block, few spans
+        assert (spans["span_start"] >= lo + 1 - (k + 8 * mod)).all()
+
+    # density: anchors are a small fraction of all windows
+    _r, _p, h = char_window_hashes(docs["text"], k)
+    sel = ((h * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(mod)) == 0
+    assert 0 < sel.sum() < len(h) / 3
+
+
+def test_anchored_mode_validates_params(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1]), "text": pa.array(["x"])}))
+    with pytest.raises(ValueError, match="anchor_mod"):
+        duplicate_spans(docs, anchor_mod=0)
+    with pytest.raises(ValueError, match="merge_gap"):
+        duplicate_spans(docs, k=8, merge_gap=4)
