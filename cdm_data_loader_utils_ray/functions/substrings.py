@@ -212,6 +212,117 @@ def duplicate_spans(
     return rd.from_arrow(proto).union(spans)
 
 
+def remove_spans(
+    docs_ds,
+    spans_ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    out_column: str | None = None,
+    doc_buckets: int = 64,
+):
+    """Cut the given ``(id, span_start, span_end)`` intervals out of each
+    document's text — the ACTION half of substring dedup (the detection
+    half is :func:`duplicate_spans`).  Returns the docs dataset with
+    ``out_column`` (default: ``<text_column>_dedup``) holding the text
+    with every listed span removed; docs with no spans pass through with
+    their text unchanged (and null text stays null).
+
+    Removing ALL duplicated spans drops every copy of the duplicated
+    bytes — the aggressive boilerplate-stripping mode.  To keep one copy,
+    filter ``spans_ds`` first (e.g. anti-join a per-region keep-list);
+    the cut itself is policy-free.
+
+    Shape: both sides bucket by document id — one co-locating shuffle;
+    inside a bucket the spans (few per doc by construction) sort and cut
+    per doc, docs without spans take a vectorized passthrough.  Spans
+    must be non-overlapping within a doc (``duplicate_spans`` output is,
+    by the maximal-interval merge); overlapping input raises."""
+    import ray.data as rd
+
+    base = getattr(docs_ds.schema(), "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        raise TypeError("remove_spans needs datasets with an Arrow schema")
+    out_col = out_column or f"{text_column}_dedup"
+    out_schema = base.append(pa.field(out_col, pa.string()))
+    proto = out_schema.empty_table()
+
+    # one shared exchange schema for BOTH sides (doc columns + span bounds
+    # + routing): heterogeneous block schemas through one shuffle are
+    # exactly the trap the proto/sentinel machinery above exists for
+    union_schema = base
+    for f in (pa.field("span_start", pa.int64()), pa.field("span_end", pa.int64())):
+        if f.name not in union_schema.names:
+            union_schema = union_schema.append(f)
+    union_schema = union_schema.append(pa.field("__side__", pa.string()))
+
+    from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
+
+    def tag(side):
+        def _t(batch: pa.Table) -> pa.Table:
+            db = (
+                _hash64(batch[id_column].to_pandas()) % np.uint64(doc_buckets)
+            ).astype(np.int32)
+            b = align_to_schema(batch, union_schema.remove(
+                union_schema.get_field_index("__side__")))
+            b = b.append_column("__side__", pa.array([side] * len(batch)))
+            return b.append_column("__dbucket__", pa.array(db, type=pa.int32()))
+
+        return _t
+
+    doc_cols = list(base.names)
+
+    def cut(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["__side__"].to_pandas() == "d")
+        docs = t.filter(pa.array(side))
+        spans = t.filter(pa.array(~side))
+        n = len(docs)
+        if n == 0:
+            return proto
+        texts = docs[text_column].to_pandas()
+        if len(spans) == 0:
+            out = docs.select(doc_cols)
+            return out.append_column(
+                out_col, pa.array(texts, type=pa.string())
+            )
+        sp = pd.DataFrame(
+            {
+                "id": spans[id_column].to_pandas(),
+                "s": spans["span_start"].to_numpy(zero_copy_only=False),
+                "e": spans["span_end"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["id", "s"], kind="stable")
+        by_doc: dict = {}
+        for i, s, e in zip(sp["id"], sp["s"], sp["e"]):
+            by_doc.setdefault(i, []).append((int(s), int(e)))
+        ids = docs[id_column].to_pandas()
+        new_texts: list[str | None] = []
+        for did, txt in zip(ids, texts):
+            cuts = by_doc.get(did)
+            if cuts is None or txt is None:
+                new_texts.append(txt)
+                continue
+            parts, prev = [], 0
+            for s, e in cuts:  # 1-based, end-exclusive -> 0-based slices
+                if s - 1 < prev:
+                    raise ValueError(
+                        f"overlapping spans for {id_column}={did!r}"
+                    )
+                parts.append(txt[prev : s - 1])
+                prev = e - 1
+            parts.append(txt[prev:])
+            new_texts.append("".join(parts))
+        out = docs.select(doc_cols)
+        return out.append_column(out_col, pa.array(new_texts, type=pa.string()))
+
+    tagged = docs_ds.map_batches(tag("d"), batch_format="pyarrow").union(
+        spans_ds.map_batches(tag("s"), batch_format="pyarrow")
+    )
+    cut_ds = tagged.groupby("__dbucket__").map_groups(
+        lambda t: cut(t.drop_columns(["__dbucket__"])), batch_format="pyarrow"
+    )
+    return rd.from_arrow(proto).union(cut_ds)
+
+
 def span_stats(spans_ds, id_column: str = "doc_id"):
     """Per-document rollup of :func:`duplicate_spans` output: number of
     duplicated spans and total duplicated bytes — the quantity substring-

@@ -3559,6 +3559,67 @@ FROM s GROUP BY doc_id, island
 """
 
 
+# ---------------------------------------------------------------------------
+# 75. Substring dedup, ACTION half: documents with every duplicated 24-gram
+#     span cut out (functions/substrings.remove_spans over the spans of
+#     entry 74) — the aggressive boilerplate-strip mode; the DuckDB twin
+#     reconstructs each text from the kept segments between spans.
+# ---------------------------------------------------------------------------
+def substring_dedup_text(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.substrings import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicate_spans(docs, "text", "doc_id", k=_DUPSPAN_K)
+    docs2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_spans(docs2, spans, "text", "doc_id", out_column="text_dedup")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text_dedup"]), batch_format="pyarrow"
+    )
+
+
+SUBSTRING_DEDUP_TEXT_SQL = f"""
+WITH g AS (
+  SELECT doc_id, t.pos::BIGINT AS pos, substring(text, t.pos, {_DUPSPAN_K}) AS gram
+  FROM documents, unnest(range(1, length(text) - {_DUPSPAN_K} + 2)) AS t(pos)
+  WHERE length(text) >= {_DUPSPAN_K}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > {_DUPSPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM i),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {_DUPSPAN_K} AS span_end
+          FROM s GROUP BY doc_id, island),
+segs AS (
+  SELECT doc_id, coalesce(lag(span_end) OVER w, 1) AS seg_start,
+         span_start AS seg_end
+  FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)
+  UNION ALL
+  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT seg.doc_id,
+         string_agg(
+           CASE WHEN seg.seg_end IS NULL THEN substring(doc.text, seg.seg_start::INT)
+                ELSE substring(doc.text, seg.seg_start::INT,
+                               (seg.seg_end - seg.seg_start)::INT) END,
+           '' ORDER BY seg.seg_start) AS text_dedup
+  FROM segs seg JOIN documents doc USING (doc_id)
+  GROUP BY seg.doc_id
+)
+SELECT doc.doc_id, coalesce(r.text_dedup, doc.text) AS text_dedup
+FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -3598,6 +3659,7 @@ def registry() -> dict:
         "sketch_topk_skewed": (sketch_topk_skewed, SKETCH_TOPK_SKEWED_SQL),
         "knn_ivf_indexed": (knn_ivf_indexed, KNN_IVF_SQL),
         "duplicate_substrings": (duplicate_substrings, DUPLICATE_SUBSTRINGS_SQL),
+        "substring_dedup_text": (substring_dedup_text, SUBSTRING_DEDUP_TEXT_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

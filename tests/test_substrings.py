@@ -216,3 +216,113 @@ def test_anchored_mode_validates_params(ray_session):
         duplicate_spans(docs, anchor_mod=0)
     with pytest.raises(ValueError, match="merge_gap"):
         duplicate_spans(docs, k=8, merge_gap=4)
+
+
+def test_remove_spans_basic(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["aaBBBBcc", "untouched", None], type=pa.string()),
+        }
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "span_start": pa.array([3], type=pa.int64()),  # 1-based
+            "span_end": pa.array([7], type=pa.int64()),    # exclusive
+        }
+    )
+    out = (
+        remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist()[0] == "aacc"
+    assert out["text_dedup"].tolist()[1] == "untouched"
+    assert out["text_dedup"].isna().tolist()[2]
+    # original column preserved
+    assert list(out.columns) == ["doc_id", "text", "text_dedup"]
+
+
+def test_remove_spans_multi_and_edges(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    # spans at the very start and very end, plus a middle one
+    docs = pa.table(
+        {"doc_id": pa.array([9], type=pa.int64()),
+         "text": pa.array(["XXabYYcdZZ"], type=pa.string())}
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([9, 9, 9], type=pa.int64()),
+            "span_start": pa.array([1, 5, 9], type=pa.int64()),
+            "span_end": pa.array([3, 7, 11], type=pa.int64()),
+        }
+    )
+    out = remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=4).to_pandas()
+    assert out["text_dedup"].tolist() == ["abcd"]
+
+
+def test_remove_spans_overlap_raises(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    docs = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": pa.array(["abcdefgh"], type=pa.string())}
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([1, 1], type=pa.int64()),
+            "span_start": pa.array([1, 3], type=pa.int64()),
+            "span_end": pa.array([5, 7], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="overlapping spans"):
+        remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=4).to_pandas()
+
+
+def test_detect_then_remove_roundtrip(ray_session):
+    """End-to-end: detect duplicated spans, cut them, re-detect — the
+    deduped corpus has no duplicated k-grams left (aggressive mode cuts
+    every copy)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    boiler = "SHARED-BOILERPLATE-BLOCK :: "
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [boiler + "alpha body", boiler + "beta body", "clean unique doc"],
+                type=pa.string(),
+            ),
+        }
+    )
+    k = 8
+    spans = duplicate_spans(rd.from_arrow(tbl), k=k, num_buckets=4, doc_buckets=4)
+    deduped = remove_spans(rd.from_arrow(tbl), spans, doc_buckets=4).to_pandas()
+    deduped = deduped.sort_values("doc_id").reset_index(drop=True)
+    assert deduped["text_dedup"][2] == "clean unique doc"
+    # the shared prefix is gone from both copies
+    for i in (0, 1):
+        assert boiler not in deduped["text_dedup"][i]
+    # re-detect over the deduped text: nothing left
+    re_tbl = pa.table(
+        {"doc_id": pa.array(deduped["doc_id"], type=pa.int64()),
+         "text": pa.array(deduped["text_dedup"], type=pa.string())}
+    )
+    again = duplicate_spans(rd.from_arrow(re_tbl), k=k, num_buckets=4, doc_buckets=4)
+    assert again.count() == 0
