@@ -326,3 +326,35 @@ def test_detect_then_remove_roundtrip(ray_session):
     )
     again = duplicate_spans(rd.from_arrow(re_tbl), k=k, num_buckets=4, doc_buckets=4)
     assert again.count() == 0
+
+
+def test_char_window_hashes_property_unicode():
+    """Byte-level semantics on arbitrary unicode: kernel output equals the
+    scalar reference over each row's utf-8 BYTE windows (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=8),
+        st.integers(min_value=1, max_value=9),
+    )
+    def check(texts, k):
+        arr = pa.array(texts, type=pa.string())
+        row_of, pos, h = char_window_hashes(arr, k)
+        P = (1 << 61) - 1
+        expected = []
+        for i, t in enumerate(texts):
+            data = (t or "").encode("utf-8")
+            for p in range(max(0, len(data) - k + 1)):
+                # reference: the scalar Rabin-Karp loop over the raw BYTE
+                # window (rolling_fingerprint's formula, re-applied here
+                # because it only accepts str and would re-encode)
+                acc = 0
+                for b in data[p : p + k]:
+                    acc = (acc * 257 + b) % P
+                expected.append((i, p, acc))
+        got = list(zip(row_of.tolist(), pos.tolist(), h.tolist()))
+        assert got == expected
+
+    check()
