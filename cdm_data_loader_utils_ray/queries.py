@@ -3620,6 +3620,85 @@ FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 76. Substring dedup, KEEP-ONE-COPY policy (Lee et al. semantics): spans
+#     group by exact text, the globally-first occurrence (min doc_id,
+#     span_start) survives, the rest are cut (functions/substrings.
+#     keep_first_cut_list -> remove_spans).  Singleton-text spans are kept
+#     everywhere (conservative).  DuckDB twin: row_number over the span-text
+#     partition picks the same survivor, segments rebuild the text.
+# ---------------------------------------------------------------------------
+def substring_dedup_keep_first(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.substrings import (
+        duplicate_spans,
+        keep_first_cut_list,
+        remove_spans,
+    )
+
+    def docs():
+        return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    spans = duplicate_spans(docs(), "text", "doc_id", k=_DUPSPAN_K)
+    cut_list = keep_first_cut_list(docs(), spans, "text", "doc_id")
+    out = remove_spans(docs(), cut_list, "text", "doc_id", out_column="text_dedup")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text_dedup"]), batch_format="pyarrow"
+    )
+
+
+SUBSTRING_DEDUP_KEEP_FIRST_SQL = f"""
+WITH g AS (
+  SELECT doc_id, t.pos::BIGINT AS pos, substring(text, t.pos, {_DUPSPAN_K}) AS gram
+  FROM documents, unnest(range(1, length(text) - {_DUPSPAN_K} + 2)) AS t(pos)
+  WHERE length(text) >= {_DUPSPAN_K}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > {_DUPSPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM i),
+spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {_DUPSPAN_K} AS span_end
+          FROM s GROUP BY doc_id, island),
+st AS (
+  SELECT sp.doc_id, sp.span_start, sp.span_end,
+         substring(doc.text, sp.span_start::INT,
+                   (sp.span_end - sp.span_start)::INT) AS span_text
+  FROM spans sp JOIN documents doc USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span_text
+                               ORDER BY doc_id, span_start) AS rn,
+            count(*) OVER (PARTITION BY span_text) AS cnt
+  FROM st
+),
+cuts AS (SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1 AND cnt >= 2),
+segs AS (
+  SELECT doc_id, coalesce(lag(span_end) OVER w, 1) AS seg_start,
+         span_start AS seg_end
+  FROM cuts WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)
+  UNION ALL
+  SELECT doc_id, max(span_end), NULL FROM cuts GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT seg.doc_id,
+         string_agg(
+           CASE WHEN seg.seg_end IS NULL THEN substring(doc.text, seg.seg_start::INT)
+                ELSE substring(doc.text, seg.seg_start::INT,
+                               (seg.seg_end - seg.seg_start)::INT) END,
+           '' ORDER BY seg.seg_start) AS text_dedup
+  FROM segs seg JOIN documents doc USING (doc_id)
+  GROUP BY seg.doc_id
+)
+SELECT doc.doc_id, coalesce(r.text_dedup, doc.text) AS text_dedup
+FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -3660,6 +3739,10 @@ def registry() -> dict:
         "knn_ivf_indexed": (knn_ivf_indexed, KNN_IVF_SQL),
         "duplicate_substrings": (duplicate_substrings, DUPLICATE_SUBSTRINGS_SQL),
         "substring_dedup_text": (substring_dedup_text, SUBSTRING_DEDUP_TEXT_SQL),
+        "substring_dedup_keep_first": (
+            substring_dedup_keep_first,
+            SUBSTRING_DEDUP_KEEP_FIRST_SQL,
+        ),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -358,3 +358,48 @@ def test_char_window_hashes_property_unicode():
         assert got == expected
 
     check()
+
+
+def test_keep_first_cut_list(ray_session):
+    """Two exact copies of a block: the (doc_id, span_start)-first survives,
+    the other is cut; a singleton-text span is never cut."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import (
+        duplicate_spans,
+        keep_first_cut_list,
+        remove_spans,
+    )
+
+    boiler = "EXACT-COPY-BLOCK-123456 :: "
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [boiler + "alpha", boiler + "beta", "unique text here"],
+                type=pa.string(),
+            ),
+        }
+    )
+    def docs():
+        return rd.from_arrow(tbl)
+
+    spans = duplicate_spans(docs(), k=8, num_buckets=4, doc_buckets=4)
+    cuts = (
+        keep_first_cut_list(docs(), spans, doc_buckets=4, group_buckets=4)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    # both spans have identical text (the shared prefix); doc 1 is first,
+    # so exactly doc 2's copy lands on the cut list
+    assert cuts["doc_id"].tolist() == [2]
+    out = (
+        remove_spans(docs(), rd.from_arrow(pa.Table.from_pandas(cuts)), doc_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"][0] == boiler + "alpha"  # kept copy intact
+    assert boiler not in out["text_dedup"][1]        # second copy cut
+    assert out["text_dedup"][2] == "unique text here"
