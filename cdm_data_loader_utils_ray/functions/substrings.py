@@ -64,12 +64,28 @@ def duplicate_spans(
     doc_buckets: int = 64,
     anchor_mod: int = 1,
     merge_gap: int | None = None,
+    emit: str = "all",
 ):
     """Dataset of ``(id_column, span_start, span_end)`` — maximal intervals
     of each document covered by at least one k-byte window that occurs
     ``>= min_count`` times corpus-wide.  ``span_start`` is 1-based,
     ``span_end`` exclusive (``span_end - span_start`` = span bytes).
     Documents shorter than ``k`` bytes (and null texts) emit nothing.
+
+    ``emit`` selects the POLICY the spans encode, at zero extra shuffles
+    (each gram's group already holds all its occurrences):
+
+    * ``"all"`` (default) — every occurrence of duplicated content; with
+      :func:`remove_spans` this is the aggressive strip-every-copy mode.
+    * ``"losers"`` — keep-one-copy (Lee et al. semantics): per duplicated
+      gram the globally-first occurrence (min ``(doc_id, pos)``) is
+      withheld, so the emitted spans cover every copy EXCEPT the first —
+      feed them to :func:`remove_spans` and exactly one copy of each
+      duplicated block survives (aligned copies pick one consistent
+      winner because every gram of the block ranks the same way; a gram
+      shared between two *different* overlapping blocks can cost the
+      later block one k-window — the same per-duplicated-substring
+      granularity as the suffix-array formulation).
 
     ``anchor_mod > 1`` is the 100-TB knob: only windows whose hash is
     ``0 mod anchor_mod`` enter the exchange — content-defined anchor
@@ -94,6 +110,8 @@ def duplicate_spans(
     gap = k if merge_gap is None else int(merge_gap)
     if gap < k:
         raise ValueError(f"merge_gap must be >= k (got {merge_gap} < {k})")
+    if emit not in ("all", "losers"):
+        raise ValueError(f"emit must be 'all' or 'losers' (got {emit!r})")
 
     base = getattr(ds.schema(), "base_schema", None)
     if not isinstance(base, pa.Schema):
@@ -154,7 +172,26 @@ def duplicate_spans(
         gram = t["gram"].to_numpy(zero_copy_only=False)
         g = pd.Series(gram)
         cnt = g.groupby(g, sort=False).transform("size").to_numpy()
-        keep = np.flatnonzero(cnt >= min_count)
+        mask = cnt >= min_count
+        if emit == "losers":
+            # withhold each gram's globally-first occurrence: a gram lives
+            # in exactly one bucket, so the per-bucket (gram, id, pos)-min
+            # IS the global winner
+            df = pd.DataFrame(
+                {
+                    "gram": gram,
+                    "id": t[id_column].to_pandas(),
+                    "pos": t["pos"].to_numpy(zero_copy_only=False),
+                }
+            )
+            order = df.sort_values(
+                ["gram", "id", "pos"], kind="stable"
+            ).index.to_numpy()
+            first_sorted = ~pd.Series(gram[order]).duplicated(keep="first").to_numpy()
+            is_first = np.zeros(len(df), dtype=bool)
+            is_first[order] = first_sorted
+            mask &= ~is_first
+        keep = np.flatnonzero(mask)
         hit = t.select([id_column, "pos"]).take(pa.array(keep))
         dbucket = (
             _hash64(hit[id_column].to_pandas()) % np.uint64(doc_buckets)
@@ -321,139 +358,6 @@ def remove_spans(
         lambda t: cut(t.drop_columns(["__dbucket__"])), batch_format="pyarrow"
     )
     return rd.from_arrow(proto).union(cut_ds)
-
-
-def keep_first_cut_list(
-    docs_ds,
-    spans_ds,
-    text_column: str = "text",
-    id_column: str = "doc_id",
-    doc_buckets: int = 64,
-    group_buckets: int = 64,
-):
-    """KEEP-ONE-COPY policy for substring dedup (Lee et al. semantics):
-    group spans by their exact TEXT, keep the globally-first occurrence
-    per group (min ``(doc_id, span_start)``), and return the REST as a
-    spans Dataset — the cut list for :func:`remove_spans`.
-
-    A span whose text matches no other span (copies whose maximal extents
-    differ — e.g. one copy merged with a nearby duplicate, the other
-    didn't) is conservatively KEPT in every copy rather than cut; the
-    aggressive remove-everything mode is plain
-    ``remove_spans(docs, spans)``.
-
-    Shape: one doc-bucket shuffle co-locates spans with their documents
-    to extract each span's text (spans are result-sized — few per doc —
-    so carrying the text is cheap), then one group-bucket shuffle on the
-    span text picks the survivor per exact-text group.  Output columns:
-    ``(id_column, span_start, span_end)``."""
-    import ray.data as rd
-
-    base = getattr(docs_ds.schema(), "base_schema", None)
-    if not isinstance(base, pa.Schema):
-        raise TypeError("keep_first_cut_list needs datasets with an Arrow schema")
-    id_type = base.field(id_column).type
-    proto = pa.table(
-        {
-            id_column: pa.array([], type=id_type),
-            "span_start": pa.array([], type=pa.int64()),
-            "span_end": pa.array([], type=pa.int64()),
-        }
-    )
-
-    # stage 1: co-locate (same machinery as remove_spans) and extract the
-    # span texts; both sides share one exchange schema
-    union_schema = pa.schema(
-        [
-            pa.field(id_column, id_type),
-            pa.field(text_column, pa.string()),
-            pa.field("span_start", pa.int64()),
-            pa.field("span_end", pa.int64()),
-        ]
-    )
-    from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema
-
-    def tag(side):
-        def _t(batch: pa.Table) -> pa.Table:
-            db = (
-                _hash64(batch[id_column].to_pandas()) % np.uint64(doc_buckets)
-            ).astype(np.int32)
-            b = align_to_schema(batch, union_schema)
-            b = b.append_column("__side__", pa.array([side] * len(batch)))
-            return b.append_column("__dbucket__", pa.array(db, type=pa.int32()))
-
-        return _t
-
-    def extract(t: pa.Table) -> pa.Table:
-        side = np.asarray(t["__side__"].to_pandas() == "d")
-        docs = t.filter(pa.array(side))
-        spans = t.filter(pa.array(~side))
-        if len(spans) == 0 or len(docs) == 0:
-            return pa.table(
-                {
-                    id_column: pa.array([], type=id_type),
-                    "span_start": pa.array([], type=pa.int64()),
-                    "span_end": pa.array([], type=pa.int64()),
-                    "span_text": pa.array([], type=pa.string()),
-                }
-            )
-        texts = dict(zip(docs[id_column].to_pandas(), docs[text_column].to_pandas()))
-        ids = spans[id_column].to_pandas()
-        ss = spans["span_start"].to_numpy(zero_copy_only=False)
-        se = spans["span_end"].to_numpy(zero_copy_only=False)
-        span_text = [
-            None if texts.get(i) is None else texts[i][int(s) - 1 : int(e) - 1]
-            for i, s, e in zip(ids, ss, se)
-        ]
-        out = spans.select([id_column, "span_start", "span_end"])
-        return out.append_column("span_text", pa.array(span_text, type=pa.string()))
-
-    with_text = (
-        docs_ds.map_batches(tag("d"), batch_format="pyarrow")
-        .union(spans_ds.map_batches(tag("s"), batch_format="pyarrow"))
-        .groupby("__dbucket__")
-        .map_groups(
-            lambda t: extract(t.drop_columns(["__dbucket__"])),
-            batch_format="pyarrow",
-        )
-    )
-
-    # stage 2: group by exact span text; emit all but the first occurrence
-    def gtag(batch: pa.Table) -> pa.Table:
-        gb = (
-            _hash64(batch["span_text"].to_pandas()) % np.uint64(group_buckets)
-        ).astype(np.int32)
-        return batch.append_column("__gbucket__", pa.array(gb, type=pa.int32()))
-
-    def losers(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "id": t[id_column].to_pandas(),
-                "s": t["span_start"].to_numpy(zero_copy_only=False),
-                "text": t["span_text"].to_pandas(),
-            }
-        )
-        order = df.sort_values(["text", "id", "s"], kind="stable").index.to_numpy()
-        df2 = df.iloc[order]
-        grp_first = ~df2["text"].duplicated(keep="first")
-        # singleton groups keep their only span (never cut); multi groups
-        # cut everything after the (id, start)-first occurrence
-        sizes = df2.groupby("text", sort=False, dropna=False)["text"].transform("size")
-        cut_mask = (~grp_first.to_numpy()) & (sizes.to_numpy() >= 2)
-        keep_idx = order[cut_mask]
-        return t.select([id_column, "span_start", "span_end"]).take(
-            pa.array(np.sort(keep_idx))
-        )
-
-    cut_list = (
-        with_text.map_batches(gtag, batch_format="pyarrow")
-        .groupby("__gbucket__")
-        .map_groups(
-            lambda t: losers(t.drop_columns(["__gbucket__"])),
-            batch_format="pyarrow",
-        )
-    )
-    return rd.from_arrow(proto).union(cut_list)
 
 
 def span_stats(spans_ds, id_column: str = "doc_id"):

@@ -3621,26 +3621,24 @@ FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
-# 76. Substring dedup, KEEP-ONE-COPY policy (Lee et al. semantics): spans
-#     group by exact text, the globally-first occurrence (min doc_id,
-#     span_start) survives, the rest are cut (functions/substrings.
-#     keep_first_cut_list -> remove_spans).  Singleton-text spans are kept
-#     everywhere (conservative).  DuckDB twin: row_number over the span-text
-#     partition picks the same survivor, segments rebuild the text.
+# 76. Substring dedup, KEEP-ONE-COPY policy (Lee et al. semantics): per
+#     duplicated gram the globally-first occurrence (min doc_id, pos) is
+#     withheld inside the detection shuffle itself (duplicate_spans
+#     emit='losers' — zero extra shuffles), so the emitted spans cover every
+#     copy except the first; remove_spans cuts them.  DuckDB twin: row_number
+#     over the gram partition picks the same winners, islands over the loser
+#     positions, segments rebuild the text.
 # ---------------------------------------------------------------------------
 def substring_dedup_keep_first(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.substrings import (
         duplicate_spans,
-        keep_first_cut_list,
         remove_spans,
     )
 
-    def docs():
-        return _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    spans = duplicate_spans(docs(), "text", "doc_id", k=_DUPSPAN_K)
-    cut_list = keep_first_cut_list(docs(), spans, "text", "doc_id")
-    out = remove_spans(docs(), cut_list, "text", "doc_id", out_column="text_dedup")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cut_list = duplicate_spans(docs, "text", "doc_id", k=_DUPSPAN_K, emit="losers")
+    docs2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_spans(docs2, cut_list, "text", "doc_id", out_column="text_dedup")
     return out.map_batches(
         lambda b: b.select(["doc_id", "text_dedup"]), batch_format="pyarrow"
     )
@@ -3653,30 +3651,20 @@ WITH g AS (
   WHERE length(text) >= {_DUPSPAN_K}
 ),
 d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+p AS (SELECT doc_id, pos,
+        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g JOIN d USING (gram)),
+losers AS (SELECT doc_id, pos FROM p WHERE rn > 1),
 i AS (SELECT doc_id, pos,
         CASE WHEN lag(pos) OVER w IS NULL
                OR pos - lag(pos) OVER w > {_DUPSPAN_K} THEN 1 ELSE 0 END AS brk
-      FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      FROM losers WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 s AS (SELECT doc_id, pos,
         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                        ROWS UNBOUNDED PRECEDING) AS island
       FROM i),
-spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {_DUPSPAN_K} AS span_end
-          FROM s GROUP BY doc_id, island),
-st AS (
-  SELECT sp.doc_id, sp.span_start, sp.span_end,
-         substring(doc.text, sp.span_start::INT,
-                   (sp.span_end - sp.span_start)::INT) AS span_text
-  FROM spans sp JOIN documents doc USING (doc_id)
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY span_text
-                               ORDER BY doc_id, span_start) AS rn,
-            count(*) OVER (PARTITION BY span_text) AS cnt
-  FROM st
-),
-cuts AS (SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1 AND cnt >= 2),
+cuts AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {_DUPSPAN_K} AS span_end
+         FROM s GROUP BY doc_id, island),
 segs AS (
   SELECT doc_id, coalesce(lag(span_end) OVER w, 1) AS seg_start,
          span_start AS seg_end

@@ -360,14 +360,14 @@ def test_char_window_hashes_property_unicode():
     check()
 
 
-def test_keep_first_cut_list(ray_session):
-    """Two exact copies of a block: the (doc_id, span_start)-first survives,
-    the other is cut; a singleton-text span is never cut."""
+def test_keep_first_policy_emit_losers(ray_session):
+    """Two exact copies of a block: emit='losers' withholds the
+    (doc_id, pos)-first occurrence of every duplicated gram, so cutting
+    the emitted spans leaves exactly one copy intact."""
     import ray.data as rd
 
     from cdm_data_loader_utils_ray.functions.substrings import (
         duplicate_spans,
-        keep_first_cut_list,
         remove_spans,
     )
 
@@ -381,21 +381,18 @@ def test_keep_first_cut_list(ray_session):
             ),
         }
     )
+
     def docs():
         return rd.from_arrow(tbl)
 
-    spans = duplicate_spans(docs(), k=8, num_buckets=4, doc_buckets=4)
-    cuts = (
-        keep_first_cut_list(docs(), spans, doc_buckets=4, group_buckets=4)
-        .to_pandas()
-        .sort_values(["doc_id", "span_start"])
-        .reset_index(drop=True)
+    cuts = duplicate_spans(
+        docs(), k=8, num_buckets=4, doc_buckets=4, emit="losers"
     )
-    # both spans have identical text (the shared prefix); doc 1 is first,
-    # so exactly doc 2's copy lands on the cut list
-    assert cuts["doc_id"].tolist() == [2]
+    cuts_df = cuts.to_pandas().sort_values(["doc_id", "span_start"])
+    # only doc 2's copy lands on the cut list (doc 1 wins every gram)
+    assert set(cuts_df["doc_id"]) == {2}
     out = (
-        remove_spans(docs(), rd.from_arrow(pa.Table.from_pandas(cuts)), doc_buckets=4)
+        remove_spans(docs(), cuts, doc_buckets=4)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -403,3 +400,34 @@ def test_keep_first_cut_list(ray_session):
     assert out["text_dedup"][0] == boiler + "alpha"  # kept copy intact
     assert boiler not in out["text_dedup"][1]        # second copy cut
     assert out["text_dedup"][2] == "unique text here"
+
+
+def test_emit_losers_within_doc(ray_session):
+    """Within-doc copies: the earlier occurrence wins, the later is cut."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    t = "abcdefgh" + "0123456789012345" + "abcdefgh"
+    docs = pa.table(
+        {"doc_id": pa.array([7], type=pa.int64()),
+         "text": pa.array([t], type=pa.string())}
+    )
+    out = (
+        duplicate_spans(rd.from_arrow(docs), k=8, num_buckets=4,
+                        doc_buckets=4, emit="losers")
+        .to_pandas()
+    )
+    assert out["span_start"].tolist() == [25]
+    assert out["span_end"].tolist() == [33]
+
+
+def test_emit_validates(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1]), "text": pa.array(["x"])}))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="emit"):
+        duplicate_spans(docs, emit="bogus")
