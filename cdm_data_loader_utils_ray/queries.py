@@ -3687,6 +3687,49 @@ FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 77. Semantic dedup clusters (SemDeDup-style, over embeddings): the
+#     embedding near-dup PAIR machinery (multi-table hyperplane LSH, exact
+#     cosine within buckets) composed into connected components with the
+#     min-id representative — the cluster/representative view the minhash
+#     family already has, for the embedding family.  Planted copies make
+#     LSH recall exactly 1.0 (same fixture as embedding_dups), so the
+#     components equal the DuckDB recursive-CTE twin exactly.
+# ---------------------------------------------------------------------------
+def semantic_dedup_clusters(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components,
+        embedding_near_dups,
+    )
+
+    aug = _augmented_embeddings(sf_dir)
+    pairs = embedding_near_dups(aug, threshold=0.99, n_planes=8, n_tables=4)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.rename(columns={"doc_id": "vec_id"})
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+edges AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+),
+nodes AS (SELECT ia AS n FROM edges UNION SELECT ib FROM edges),
+und AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+walk(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.a, w.l FROM und u JOIN walk w ON w.n = u.b
+)
+SELECT n AS vec_id, min(l) AS cluster FROM walk GROUP BY n
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -3730,6 +3773,10 @@ def registry() -> dict:
         "substring_dedup_keep_first": (
             substring_dedup_keep_first,
             SUBSTRING_DEDUP_KEEP_FIRST_SQL,
+        ),
+        "semantic_dedup_clusters": (
+            semantic_dedup_clusters,
+            SEMANTIC_DEDUP_CLUSTERS_SQL,
         ),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
