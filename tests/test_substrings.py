@@ -431,3 +431,65 @@ def test_emit_validates(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="emit"):
         duplicate_spans(docs, emit="bogus")
+
+
+def test_duplicate_spans_property_vs_bruteforce(ray_session):
+    """Random small corpora: the distributed pipeline equals a brute-force
+    substring-count + island-merge reference (hypothesis)."""
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdm_data_loader_utils_ray.functions.substrings import duplicate_spans
+
+    def brute(texts, k):
+        from collections import Counter
+
+        counts = Counter()
+        occ = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            for p in range(len(t) - k + 1):
+                g = t[p : p + k]
+                counts[g] += 1
+                occ.append((i, p + 1, g))
+        spans = {}
+        for i, p, g in occ:
+            if counts[g] >= 2:
+                spans.setdefault(i, []).append(p)
+        out = []
+        for i, ps in spans.items():
+            ps.sort()
+            start = prev = ps[0]
+            for p in ps[1:]:
+                if p - prev > k:
+                    out.append((i, start, prev + k))
+                    start = p
+                prev = p
+            out.append((i, start, prev + k))
+        return sorted(out)
+
+    # small alphabet so duplicates actually occur
+    text_st = st.text(alphabet="abc", max_size=30)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.one_of(st.none(), text_st), min_size=1, max_size=6),
+           st.integers(min_value=2, max_value=5))
+    def check(texts, k):
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        got = (
+            duplicate_spans(rd.from_arrow(docs), k=k, num_buckets=3, doc_buckets=3)
+            .to_pandas()
+        )
+        got_t = sorted(
+            zip(got["doc_id"].astype(int), got["span_start"].astype(int),
+                got["span_end"].astype(int))
+        ) if len(got) else []
+        assert got_t == brute(texts, k)
+
+    check()
