@@ -47,6 +47,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from cdm_data_loader_utils_ray.functions.sketches import _hash64
 from cdm_data_loader_utils_ray.stages.hashing import char_window_hashes
@@ -315,41 +316,81 @@ def remove_spans(
         n = len(docs)
         if n == 0:
             return proto
-        texts = docs[text_column].to_pandas()
+        text_arr = docs[text_column]
+        if isinstance(text_arr, pa.ChunkedArray):
+            text_arr = text_arr.combine_chunks()
         if len(spans) == 0:
-            out = docs.select(doc_cols)
-            return out.append_column(
-                out_col, pa.array(texts, type=pa.string())
+            return docs.select(doc_cols).append_column(
+                out_col, text_arr.cast(pa.string())
             )
-        sp = pd.DataFrame(
-            {
-                "id": spans[id_column].to_pandas(),
-                "s": spans["span_start"].to_numpy(zero_copy_only=False),
-                "e": spans["span_end"].to_numpy(zero_copy_only=False),
-            }
-        ).sort_values(["id", "s"], kind="stable")
-        by_doc: dict = {}
-        for i, s, e in zip(sp["id"], sp["s"], sp["e"]):
-            by_doc.setdefault(i, []).append((int(s), int(e)))
-        ids = docs[id_column].to_pandas()
-        new_texts: list[str | None] = []
-        for did, txt in zip(ids, texts):
-            cuts = by_doc.get(did)
-            if cuts is None or txt is None:
-                new_texts.append(txt)
-                continue
-            parts, prev = [], 0
-            for s, e in cuts:  # 1-based, end-exclusive -> 0-based slices
-                if s - 1 < prev:
-                    raise ValueError(
-                        f"overlapping spans for {id_column}={did!r}"
-                    )
-                parts.append(txt[prev : s - 1])
-                prev = e - 1
-            parts.append(txt[prev:])
-            new_texts.append("".join(parts))
-        out = docs.select(doc_cols)
-        return out.append_column(out_col, pa.array(new_texts, type=pa.string()))
+        # VECTORIZED byte surgery over the bucket's docs: one keep-mask
+        # over the concatenated utf-8 buffer (span coverage via +1/-1
+        # deltas + cumsum), then the output string column is rebuilt
+        # directly from (masked data, cumsum offsets) — no Python loop
+        # over documents or bytes (a dup-saturated corpus cuts something
+        # in EVERY doc, so this is a hot path).
+        text_filled = pc.fill_null(text_arr.cast(pa.string()), "")
+        off0 = text_filled.offset
+        odt = np.int64 if pa.types.is_large_string(text_filled.type) else np.int32
+        offs = np.frombuffer(
+            text_filled.buffers()[1], dtype=odt, count=n + 1 + off0
+        )[off0:]
+        data = np.frombuffer(text_filled.buffers()[2], dtype=np.uint8)[
+            offs[0] : offs[-1]
+        ]
+        offs = (offs - offs[0]).astype(np.int64)
+        lens = np.diff(offs)
+        total = len(data)
+
+        # map each span to its doc's row (orphan spans — no such doc in
+        # this bucket — are dropped, matching the lookup semantics)
+        ids_doc = pd.Series(docs[id_column].to_pandas())
+        ids_span = pd.Series(spans[id_column].to_pandas())
+        row_map = pd.Series(np.arange(n), index=ids_doc)
+        rows = ids_span.map(row_map)
+        ok = rows.notna().to_numpy()
+        rows = rows.to_numpy(dtype="float64")[ok].astype(np.int64)
+        s0 = spans["span_start"].to_numpy(zero_copy_only=False)[ok] - 1
+        e0 = spans["span_end"].to_numpy(zero_copy_only=False)[ok] - 1
+        # clamp to the row (same as Python slicing) and detect overlap
+        s0 = np.minimum(np.maximum(s0, 0), lens[rows])
+        e0 = np.minimum(np.maximum(e0, s0), lens[rows])
+        order = np.lexsort((s0, rows))
+        r_s, s_s, e_s = rows[order], s0[order], e0[order]
+        same = r_s[1:] == r_s[:-1]
+        if np.any(same & (s_s[1:] < e_s[:-1])):
+            bad = r_s[1:][same & (s_s[1:] < e_s[:-1])][0]
+            raise ValueError(
+                f"overlapping spans for {id_column}={ids_doc.iloc[int(bad)]!r}"
+            )
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, offs[rows] + s0, 1)
+        np.add.at(delta, offs[rows] + e0, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        new_data = data[keep]
+        if total:
+            # reduceat quirks: bool input would stay bool (logical, not a
+            # count) and an index == total (trailing empty rows) is out of
+            # bounds — cast and clamp, then zero out the empty rows whose
+            # segment degenerated
+            idx = np.minimum(offs[:-1], total - 1)
+            kept_per_row = np.add.reduceat(keep.astype(np.int64), idx)
+        else:
+            kept_per_row = np.zeros(n, dtype=np.int64)
+        kept_per_row = np.where(lens == 0, 0, kept_per_row).astype(np.int64)
+        new_offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_per_row, out=new_offs[1:])
+        nulls = pc.is_null(text_arr)
+        new_text = pa.StringArray.from_buffers(
+            n,
+            pa.py_buffer(new_offs.tobytes()),
+            pa.py_buffer(new_data.tobytes()),
+        )
+        # null texts stay null (the mask was built over fill_null'd data)
+        if text_arr.null_count:
+            new_text = pc.if_else(nulls, pa.nulls(n, pa.string()), new_text)
+        return docs.select(doc_cols).append_column(out_col, new_text)
 
     tagged = docs_ds.map_batches(tag("d"), batch_format="pyarrow").union(
         spans_ds.map_batches(tag("s"), batch_format="pyarrow")

@@ -493,3 +493,37 @@ def test_duplicate_spans_property_vs_bruteforce(ray_session):
         assert got_t == brute(texts, k)
 
     check()
+
+
+def test_remove_spans_vectorized_edges(ray_session):
+    """Edge rows for the byte-mask cut kernel: whole-doc span, empty text,
+    trailing empty row (reduceat clamp), null text, span clamped past the
+    end of its doc."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(["WHOLE", "abcXdef", None, "tail", ""], type=pa.string()),
+        }
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 4], type=pa.int64()),
+            "span_start": pa.array([1, 4, 2], type=pa.int64()),
+            "span_end": pa.array([6, 5, 99], type=pa.int64()),  # 99 clamps
+        }
+    )
+    out = (
+        remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist()[0] == ""        # whole doc cut
+    assert out["text_dedup"].tolist()[1] == "abcdef"  # middle byte cut
+    assert out["text_dedup"].isna().tolist()[2]       # null stays null
+    assert out["text_dedup"].tolist()[3] == "t"       # clamped tail cut
+    assert out["text_dedup"].tolist()[4] == ""        # empty stays empty
