@@ -209,6 +209,24 @@ def cmd_dedup(args) -> int:
         out = dedup_exact(ds, text_column=args.text_col, id_column=args.id_col)
         out.write_parquet(args.out)
         n = "unknown (streamed)"
+    elif args.method == "substring":
+        # substring-granular keep-one-copy (Lee et al.): detect duplicated
+        # k-gram spans (losers only), cut them, write docs with text_dedup
+        from cdm_data_loader_utils_ray.functions.substrings import (
+            duplicate_spans,
+            remove_spans,
+        )
+
+        cuts = duplicate_spans(
+            ds, text_column=args.text_col, id_column=args.id_col,
+            k=args.gram_k, emit="losers",
+        )
+        ds2 = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        out = remove_spans(
+            ds2, cuts, text_column=args.text_col, id_column=args.id_col
+        )
+        out.write_parquet(args.out)
+        n = "unknown (streamed)"
     else:
         if args.method == "fuzzy":
             from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_dedup_clusters
@@ -373,10 +391,12 @@ def main(argv=None) -> int:
     dd.add_argument("--input", required=True)
     dd.add_argument("--out", required=True)
     dd.add_argument("--method", default="minhash",
-                    choices=["minhash", "exact", "fuzzy"])
+                    choices=["minhash", "exact", "fuzzy", "substring"])
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--max-dist", type=int, default=2,
                     help="fuzzy method: max edit distance")
+    dd.add_argument("--gram-k", type=int, default=24,
+                    help="substring method: duplicated k-gram length")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)
