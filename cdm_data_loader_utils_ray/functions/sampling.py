@@ -91,6 +91,126 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
 
 
+_PORTABLE_MOD = 1_000_003          # prime; bounds the product below 2^51
+_PORTABLE_MULT = 2_654_435_761     # Knuth multiplicative-hash constant
+_PORTABLE_RANGE = 1 << 32
+
+
+def portable_uniform(ids: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Engine-portable per-row uniform draw from an integer id:
+    ``((id % 1000003) * 2654435761) % 2^32`` — pure int64 arithmetic that
+    ANSI SQL reproduces token-for-token (no md5/hex conversion needed when
+    the comparison threshold is itself data-derived, e.g. a per-group rate).
+    The product is < 2^51 so it never overflows int64 on either engine.
+
+    Returns ``(u int64 in [0, 2^32), valid-mask)``; null ids get u=0 and
+    valid=False (SQL: NULL arithmetic yields NULL, WHERE drops the row).
+    Negative ids are rejected — C-style ``%`` on negatives diverges between
+    engines.
+    """
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    valid = np.asarray(ids.is_valid())
+    v = np.asarray(ids.cast(pa.int64()).fill_null(0))
+    if (v < 0).any():
+        raise ValueError("portable_uniform requires non-negative integer ids")
+    u = ((v % _PORTABLE_MOD) * _PORTABLE_MULT) % _PORTABLE_RANGE
+    return u, valid
+
+
+def temperature_sample(
+    ds,
+    group_column: str,
+    id_column: str,
+    temperature: float = 0.5,
+    batch_size: int = 65536,
+):
+    """Temperature-based data mixing: downsample each group toward the size
+    of the SMALLEST group, keeping rate ``(n_min / n_g) ** (1 - temperature)``
+    of group g.  ``temperature=1`` keeps everything; ``temperature=0``
+    equalises group sizes (in expectation).  The standard training-data
+    recipe for re-balancing a multi-source / multi-language corpus.
+
+    Two passes, both scale-shaped for 100 TB: (1) per-group counts via the
+    combiner aggregate (exchange carries one row per group per block, the
+    folded result is k-sized and legitimately driver-resident — k = number
+    of languages/domains, not rows); (2) an embarrassingly-parallel filter
+    where each row's portable uniform draw (``portable_uniform``) is
+    compared to its group's rate.  Deterministic, rerun/resume-stable, no
+    RNG state.
+
+    At ``temperature=0.5`` the rate is ``sqrt(n_min/n_g)`` computed with one
+    correctly-rounded IEEE sqrt, so a SQL oracle reproduces the row set
+    bit-for-bit; other temperatures use ``pow`` (engines agree in practice
+    but the last ulp is not guaranteed by IEEE).
+    """
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    counts = grouped_partial_sums(ds, [group_column], {}, count_alias="n").take_all()
+    if not counts:
+        return ds
+    n_min = float(min(r["n"] for r in counts))
+    expo = 1.0 - float(temperature)
+
+    def _rate(n: float) -> float:
+        frac = np.float64(n_min) / np.float64(n)
+        if expo == 0.5:
+            return float(np.sqrt(frac))
+        return float(frac ** np.float64(expo))
+
+    rates = {r[group_column]: _rate(float(r["n"])) for r in counts}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        u, valid = portable_uniform(batch[id_column])
+        frac = u.astype(np.float64) / float(_PORTABLE_RANGE)
+        grp = batch[group_column].to_pylist()
+        thr = np.array([rates.get(g, 0.0) for g in grp], dtype=np.float64)
+        return batch.filter(pa.array((frac < thr) & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+def cap_per_group(
+    ds,
+    group_column: str,
+    id_column: str,
+    k: int,
+    uniform_column: str = "uh",
+    rank_column: str = "rn",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Per-domain document cap (the Common-Crawl "at most k pages per host"
+    rule): keep a deterministic pseudo-random k rows per group, selected by
+    portable-uniform order with the id as tiebreak.
+
+    Delegates to ``top_n_per_group`` so the exchange is combiner-bounded:
+    each block ships at most k rows per group it contains, never the raw
+    rows — the shuffle carries O(groups x k) regardless of skew.  Appends
+    ``uniform_column`` (the draw) and ``rank_column`` (1-based rank within
+    the group, SQL row_number semantics).
+    """
+    from cdm_data_loader_utils_ray.functions.aggregates import top_n_per_group
+
+    def add_u(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(uniform_column,
+                                       pa.array([], type=pa.int64()))
+        u, valid = portable_uniform(batch[id_column])
+        batch = batch.filter(pa.array(valid))
+        return batch.append_column(uniform_column, pa.array(u[valid],
+                                                            type=pa.int64()))
+
+    withu = ds.map_batches(add_u, batch_format="pyarrow", batch_size=batch_size)
+    return top_n_per_group(
+        withu, [group_column], uniform_column, k, tiebreak=[id_column],
+        ascending=True, rank_column=rank_column, num_buckets=num_buckets,
+        batch_size=batch_size,
+    )
+
+
 def hash_split(
     ds,
     id_column: str,

@@ -3730,6 +3730,84 @@ SELECT n AS vec_id, min(l) AS cluster FROM walk GROUP BY n
 """
 
 
+# ---------------------------------------------------------------------------
+# 78. Temperature data mixing (training-data rebalancing): downsample each
+#     language toward the smallest one at tau=0.5 — rate sqrt(n_min/n_g),
+#     one correctly-rounded IEEE sqrt so the DuckDB twin is bit-identical.
+#     Pass 1 is a combiner count (one row per lang per block), pass 2 an
+#     embarrassingly-parallel filter on the portable arithmetic uniform
+#     ((doc_id % 1000003) * 2654435761) % 2^32 / 2^32 — no md5, no RNG, the
+#     SQL reproduces the exact row set with plain int64 arithmetic.
+def temperature_mix(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import temperature_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    kept = temperature_sample(docs, "lang", "doc_id", temperature=0.5)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
+TEMPERATURE_MIX_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (SELECT min(n) AS nmin FROM g),
+r AS (
+  SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+  FROM g, m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE (((d.doc_id % 1000003) * 2654435761) % 4294967296) / 4294967296.0
+      < r.rate
+"""
+
+
+# ---------------------------------------------------------------------------
+# 79. Per-source document cap (the Common-Crawl "at most k pages per host"
+#     rule): keep a deterministic pseudo-random 10 docs per source, chosen
+#     by portable-uniform order with doc_id tiebreak.  Combiner-bounded:
+#     each block ships at most k rows per source before the one hash-bucket
+#     shuffle, so the exchange is O(sources x k) however skewed the corpus.
+def source_cap(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import cap_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    capped = cap_per_group(docs, "source", "doc_id", k=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "rn": df["rn"].astype("int64"),
+            }
+        )
+
+    return capped.map_batches(finish, batch_format="pandas")
+
+
+SOURCE_CAP_SQL = """
+WITH u AS (
+  SELECT doc_id, source,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS uh
+  FROM documents
+), r AS (
+  SELECT doc_id, source, uh,
+         row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rn
+  FROM u
+)
+SELECT doc_id, source, rn FROM r WHERE rn <= 10
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -3778,6 +3856,8 @@ def registry() -> dict:
             semantic_dedup_clusters,
             SEMANTIC_DEDUP_CLUSTERS_SQL,
         ),
+        "temperature_mix": (temperature_mix, TEMPERATURE_MIX_SQL),
+        "source_cap": (source_cap, SOURCE_CAP_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
