@@ -3794,6 +3794,153 @@ def source_cap(sf_dir: str):
     return capped.map_batches(finish, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# 80. Near-dup dedup APPLIED (the action half of MinHash dedup): emit the
+#     kept corpus — every unclustered doc plus the min-doc_id representative
+#     of each near-dup cluster.  Composition of existing primitives: the
+#     MinHash+LSH cluster pipeline yields the (small, cluster-sized) loser
+#     set, which subtracts from the corpus via the distributed keyed
+#     anti-join — the exchange carries the loser ids, never the texts.
+def near_dedup_corpus(sf_dir: str):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.dedup import minhash_dedup
+    from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    clusters = minhash_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.6, num_perm=128, bands=32,
+    )
+    losers = clusters[clusters["doc_id"] != clusters["cluster"]][["doc_id"]]
+    if len(losers) == 0:
+        kept = docs
+    else:
+        kept = anti_join_keys(docs, rd.from_pandas(losers), ["doc_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
+NEAR_DEDUP_CORPUS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END AS s
+  FROM toks
+),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s || b.s)) >= 0.6
+),
+nodes AS (SELECT ia AS n FROM edges UNION SELECT ib FROM edges),
+und AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+walk(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.a, w.l FROM und u JOIN walk w ON w.n = u.b
+),
+comp AS (SELECT n AS doc_id, min(l) AS cluster FROM walk GROUP BY n)
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster
+"""
+
+
+# ---------------------------------------------------------------------------
+# 81-82. Paragraph-level dedup (CCNet/C4 line dedup; functions/paragraphs.py).
+#     Paragraph = 10-word window (SQL-reproducible on a corpus without line
+#     structure; real corpora use mode="newline").  Detection emits the
+#     losers — every occurrence of an exact paragraph text except the
+#     global (doc_id, idx)-first — from ONE sha-bucket shuffle that never
+#     ships text; the apply entry subtracts them and reassembles each doc
+#     with pc.binary_join.  At sf0.01 the corpus has 151 duplicate
+#     10-word windows, so both entries bind without planted copies.
+def duplicate_paragraphs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.paragraphs import (
+        duplicate_paragraph_losers,
+        split_paragraphs,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    paras = split_paragraphs(docs, mode="word_window", window=10)
+    losers = duplicate_paragraph_losers(paras)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "idx": df["idx"].astype("int64"),
+            }
+        )
+
+    return losers.map_batches(finish, batch_format="pandas")
+
+
+DUPLICATE_PARAGRAPHS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS ptext
+  FROM w, UNNEST(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)
+),
+r AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id, idx FROM r WHERE rn > 1
+"""
+
+
+def paragraph_dedup_text(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.paragraphs import paragraph_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = paragraph_dedup(docs, mode="word_window", window=10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_dedup": df["text_dedup"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+PARAGRAPH_DEDUP_TEXT_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS ptext
+  FROM w, UNNEST(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)
+),
+r AS (
+  SELECT doc_id, idx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id, string_agg(ptext, ' ' ORDER BY idx) AS text_dedup
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 SOURCE_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, source,
@@ -3858,6 +4005,9 @@ def registry() -> dict:
         ),
         "temperature_mix": (temperature_mix, TEMPERATURE_MIX_SQL),
         "source_cap": (source_cap, SOURCE_CAP_SQL),
+        "near_dedup_corpus": (near_dedup_corpus, NEAR_DEDUP_CORPUS_SQL),
+        "duplicate_paragraphs": (duplicate_paragraphs, DUPLICATE_PARAGRAPHS_SQL),
+        "paragraph_dedup_text": (paragraph_dedup_text, PARAGRAPH_DEDUP_TEXT_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
