@@ -13,7 +13,8 @@ vectorized Arrow/numpy; the only per-group work is a C-speed sort.
 
 Scale shape for 100 TB:
   split          embarrassingly parallel, zero exchange
-  loser detect   ONE hash-bucket shuffle of 8+8+32-byte rows (no text)
+  loser detect   ONE hash-bucket shuffle of (hex sha256, doc_id, idx) rows
+                 — ~80 bytes each, never the paragraph text
   subtract       anti_join_keys — one bucket shuffle per side on (doc, idx)
   reassemble     ONE doc-co-locating shuffle; ``pc.binary_join`` builds each
                  doc's text from its paragraph list without a Python loop
@@ -91,8 +92,10 @@ def split_paragraphs(
             )
             starts = np.repeat(doc_start, counts) + within * window
             offsets = np.concatenate([starts, [int(nwords.sum())]])
-            lists = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()), flat
+            # large_list: int64 offsets never overflow on huge batches, and
+            # binary_join(large_list<string>, string) joins in one kernel
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), flat
             )
             ptext = pc.binary_join(lists, " ")
         total = int(counts.sum())
@@ -168,8 +171,8 @@ def assemble_paragraphs(
         if len(d) > 1:
             first[1:] = ids[1:] != ids[:-1]
         offsets = np.concatenate([np.flatnonzero(first), [len(d)]])
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
             pa.array(d["ptext"].to_numpy(), type=pa.string()),
         )
         joined = pc.binary_join(lists, sep)

@@ -96,26 +96,38 @@ _PORTABLE_MULT = 2_654_435_761     # Knuth multiplicative-hash constant
 _PORTABLE_RANGE = 1 << 32
 
 
-def portable_uniform(ids: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Engine-portable per-row uniform draw from an integer id:
-    ``((id % 1000003) * 2654435761) % 2^32`` — pure int64 arithmetic that
-    ANSI SQL reproduces token-for-token (no md5/hex conversion needed when
-    the comparison threshold is itself data-derived, e.g. a per-group rate).
-    The product is < 2^51 so it never overflows int64 on either engine.
+_MD5_RANGE = 1 << 52  # 16^13: 13 hex digits, exactly representable in double
 
-    Returns ``(u int64 in [0, 2^32), valid-mask)``; null ids get u=0 and
-    valid=False (SQL: NULL arithmetic yields NULL, WHERE drops the row).
-    Negative ids are rejected — C-style ``%`` on negatives diverges between
-    engines.
+
+def portable_uniform(ids: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+    """Engine-portable per-row uniform draw, SQL-reproducible either way:
+
+    * integer ids: ``((id % 1000003) * 2654435761) % 2^32`` — pure int64
+      arithmetic that ANSI SQL reproduces token-for-token (no md5/hex
+      conversion needed when the comparison threshold is itself
+      data-derived, e.g. a per-group rate).  The product is < 2^51 so it
+      never overflows int64 on either engine.
+    * string ids: the first 13 hex digits of md5 as an integer — DuckDB:
+      ``CAST(('0x' || substr(md5(id), 1, 13)) AS BIGINT)``.  16^13 = 2^52,
+      so the value (and its fraction of the range) is exact in a double.
+
+    Returns ``(u int64, valid-mask, range)`` with ``u`` uniform in
+    ``[0, range)``; null ids get u=0 and valid=False (SQL: NULL arithmetic
+    / md5(NULL) yields NULL, WHERE drops the row).  Negative integer ids
+    are rejected — C-style ``%`` on negatives diverges between engines.
     """
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
     valid = np.asarray(ids.is_valid())
+    if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+        hx, _ = _digests(ids)
+        u = np.array([int(h[:13], 16) if h else 0 for h in hx], dtype=np.int64)
+        return u, valid, _MD5_RANGE
     v = np.asarray(ids.cast(pa.int64()).fill_null(0))
     if (v < 0).any():
         raise ValueError("portable_uniform requires non-negative integer ids")
     u = ((v % _PORTABLE_MOD) * _PORTABLE_MULT) % _PORTABLE_RANGE
-    return u, valid
+    return u, valid, _PORTABLE_RANGE
 
 
 def temperature_sample(
@@ -163,8 +175,8 @@ def temperature_sample(
     def keep(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        u, valid = portable_uniform(batch[id_column])
-        frac = u.astype(np.float64) / float(_PORTABLE_RANGE)
+        u, valid, rng = portable_uniform(batch[id_column])
+        frac = u.astype(np.float64) / float(rng)
         grp = batch[group_column].to_pylist()
         thr = np.array([rates.get(g, 0.0) for g in grp], dtype=np.float64)
         return batch.filter(pa.array((frac < thr) & valid))
@@ -198,7 +210,7 @@ def cap_per_group(
         if len(batch) == 0:
             return batch.append_column(uniform_column,
                                        pa.array([], type=pa.int64()))
-        u, valid = portable_uniform(batch[id_column])
+        u, valid, _rng = portable_uniform(batch[id_column])
         batch = batch.filter(pa.array(valid))
         return batch.append_column(uniform_column, pa.array(u[valid],
                                                             type=pa.int64()))

@@ -3941,6 +3941,127 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 83. Nearest-centroid assignment (the kmeans apply path under a hard
+#     oracle): every embedding labeled with its closest of 8 fixed
+#     centroids (the vec_id<8 embeddings).  Distances are EXACT integers —
+#     components quantize to round(x*10^4) (the float32->double product is
+#     exact, so both engines round the same double), and the squared
+#     distance is an int64 sum — no float argmin, no ulp-tie risk that a
+#     float32 list_distance twin would carry.  One broadcast of the 8xd
+#     centroid matrix; the scan is embarrassingly parallel.
+def centroid_assign(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    c_tbl = pq.read_table(path, filters=[("vec_id", "<", 8)],
+                          columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(c_tbl["vec_id"], dtype=np.int64))
+    c_mat = np.asarray(c_tbl["embedding"].to_pylist(), dtype=np.float32)[order]
+    qc = _round_away(c_mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        emb = batch["embedding"].combine_chunks()
+        x = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
+        qx = _round_away(x * 10000.0, 0).astype(np.int64)
+        d2 = ((qx[:, None, :] - qc[None, :, :]) ** 2).sum(axis=-1)
+        cl = d2.argmin(axis=1)  # ties: lowest centroid id (argmin is first)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "dist2": pa.array(d2[np.arange(len(cl)), cl].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+
+
+CENTROID_ASSIGN_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  -- CAST ... AS DOUBLE before the multiply: FLOAT * 10000 would round the
+  -- product to float32 and diverge from the engine's exact float64 product
+  SELECT e.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 10000, 0) AS BIGINT))
+                   * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+                      - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 10000, 0) AS BIGINT))))
+              AS BIGINT) AS dist2
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d
+)
+SELECT vec_id, cid AS cluster, dist2 FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 84. Event debounce (at-least-once stream cleanup): keep an event iff the
+#     previous event of the same (user_id, event_type) is more than 1 hour
+#     older — SQL lag() semantics (gap from previous OCCURRENCE, kept or
+#     not).  One user-bucket shuffle; per bucket a C-speed sort + shifted
+#     vector compare.  Timestamp gaps are exact integer microseconds, so
+#     the oracle is tie-free.  At sf0.01, 184 of 10000 events debounce out.
+def debounce_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["user_id"], 64)
+
+    keyed = ev.map_batches(bucket, batch_format="pyarrow")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="stable")
+        u = d["user_id"].to_numpy()
+        e = d["event_type"].to_numpy()
+        ts = d["ts"].to_numpy()
+        ok = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            same = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+            prev_nat = np.isnat(ts[:-1])
+            # SQL: prev_ts IS NULL keeps; ts - prev > interval keeps; a NaT
+            # current ts yields NULL -> drop (unless prev is NULL)
+            ok[1:] = (~same | prev_nat
+                      | ((ts[1:] - ts[:-1]) > np.timedelta64(3600, "s")))
+        out = d.loc[ok, ["event_id", "user_id", "event_type"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    return keyed.groupby(_BUCKET).map_groups(keep, batch_format="pandas")
+
+
+DEBOUNCE_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type FROM x
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 3600 SECOND
+"""
+
+
 SOURCE_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, source,
@@ -4008,6 +4129,8 @@ def registry() -> dict:
         "near_dedup_corpus": (near_dedup_corpus, NEAR_DEDUP_CORPUS_SQL),
         "duplicate_paragraphs": (duplicate_paragraphs, DUPLICATE_PARAGRAPHS_SQL),
         "paragraph_dedup_text": (paragraph_dedup_text, PARAGRAPH_DEDUP_TEXT_SQL),
+        "centroid_assign": (centroid_assign, CENTROID_ASSIGN_SQL),
+        "debounce_events": (debounce_events, DEBOUNCE_EVENTS_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -287,12 +287,45 @@ def test_portable_uniform_matches_arithmetic_and_drops_nulls():
     from cdm_data_loader_utils_ray.functions.sampling import portable_uniform
 
     ids = pa.array([0, 7, 1_000_003, 999_999_999, None], type=pa.int64())
-    u, valid = portable_uniform(ids)
+    u, valid, rng = portable_uniform(ids)
     ref = _portable_u(np.array([0, 7, 1_000_003, 999_999_999, 0], dtype=np.int64))
-    assert (u == ref).all()
+    assert (u == ref).all() and rng == 1 << 32
     assert valid.tolist() == [True, True, True, True, False]
     with pytest.raises(ValueError, match="non-negative"):
         portable_uniform(pa.array([-1], type=pa.int64()))
+
+
+def test_portable_uniform_string_ids_match_duckdb_hexcast():
+    import duckdb
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.functions.sampling import portable_uniform
+
+    vals = ["abc", "", "doc-42", None]
+    u, valid, rng = portable_uniform(pa.array(vals, type=pa.string()))
+    assert rng == 1 << 52
+    assert valid.tolist() == [True, True, True, False]
+    con = duckdb.connect()
+    for s, got in zip(vals[:3], u[:3]):
+        want = con.sql(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 13)) AS BIGINT)", params=[s]
+        ).fetchone()[0]
+        assert got == want, s
+
+
+def test_cap_per_group_string_ids():
+    from cdm_data_loader_utils_ray.functions.sampling import cap_per_group
+
+    df = pd.DataFrame(
+        {
+            "id": [f"doc-{i}" for i in range(60)],
+            "host": [f"h{i % 2}" for i in range(60)],
+        }
+    )
+    out = cap_per_group(_ds(df), "host", "id", k=5).to_pandas()
+    assert (out.groupby("host").size() == 5).all()
+    again = cap_per_group(_ds(df, blocks=7), "host", "id", k=5).to_pandas()
+    assert set(zip(out["id"], out["rn"])) == set(zip(again["id"], again["rn"]))
 
 
 def test_temperature_sample_keeps_min_group_and_downsamples_large():
