@@ -4062,6 +4062,238 @@ WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 3600 SECOND
 """
 
 
+# ---------------------------------------------------------------------------
+# 85. Unpivot / melt (wide -> long reshaping, D-family): four lineitem
+#     measures become (measure, value) rows.  Embarrassingly parallel —
+#     each batch emits its 4x stacked rows, zero exchange; the measure
+#     label column is dictionary-encoded so the 4x blow-up ships ints,
+#     not repeated strings.
+# ---------------------------------------------------------------------------
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def melt_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"] + _MELT_MEASURES)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parts = []
+        for c in _MELT_MEASURES:
+            label = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int32)), pa.array([c])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": batch["l_orderkey"],
+                        "l_linenumber": batch["l_linenumber"],
+                        "measure": label.cast(pa.string()),
+                        "value": pa.array(
+                            _round_away(
+                                batch[c].to_numpy(zero_copy_only=False).astype(
+                                    np.float64
+                                ),
+                                6,
+                            )
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=65536)
+
+
+MELT_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       round(l_quantity, 6) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(l_extendedprice, 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(l_discount, 6) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 6) FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 86. Grouped Pearson correlation with EXACT integer moments (A-family
+#     robust stats): corr(l_quantity, l_extendedprice) per l_returnflag.
+#     Quantized x (e0) / y (cents, e2) make every moment an exact integer:
+#     int64 per-batch partials (batch size bounded so sum(y^2) cannot
+#     overflow), arbitrary-precision Python-int driver fold of the k-sized
+#     partial set, one int->double conversion at the very end — the same
+#     exact pipeline DuckDB runs through HUGEINT, so round(corr, 6) is
+#     bit-identical with no stable-accumulator drift (the float-sum corr()
+#     of either engine would not be).
+# ---------------------------------------------------------------------------
+def corr_qty_price(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas()
+        x = _round_away(d["l_quantity"].to_numpy(np.float64), 0).astype(np.int64)
+        y = _round_away(d["l_extendedprice"].to_numpy(np.float64) * 100.0,
+                        0).astype(np.int64)
+        # int64 headroom: batch<=16384 rows of y^2<=~1e14 stays < 2^62
+        if np.abs(y).max(initial=0) > 150_000_000:
+            raise ValueError("corr_qty_price: y cents exceed partial-sum headroom")
+        g = pd.DataFrame(
+            {"k": d["l_returnflag"], "x": x, "y": y, "xy": x * y,
+             "xx": x * x, "yy": y * y}
+        ).groupby("k", sort=False)
+        out = g.agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=16384).take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:  # k-sized exact fold (Python ints never overflow)
+        a = acc.setdefault(r["k"], [0, 0, 0, 0, 0, 0])
+        for i, f in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            a[i] += int(r[f])
+    rows = []
+    for k in sorted(acc):
+        n, sx, sy, sxy, sxx, syy = acc[k]
+        num = float(n * sxy - sx * sy)
+        den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        den = float(np.sqrt(den))
+        corr = None if den == 0.0 else float(_round_away(num / den, 6))
+        rows.append({"l_returnflag": k, "n": n, "corr_qty_price": corr})
+    return pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qty_price"])
+
+
+CORR_QTY_PRICE_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) AS corr_qty_price
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 87. Exact global NTILE deciles (O-family): every order ranked in
+#     (o_totalprice DESC, o_orderkey) order WITHOUT a global sort — the
+#     budget-select prefix machinery with unit weights yields the exact
+#     global row_number (quantile range buckets -> exact per-bucket offsets
+#     -> one bucket shuffle) — then SQL NTILE(10) bucket arithmetic and a
+#     10-group aggregate with exact-cents averages (HUGEINT-identical).
+# ---------------------------------------------------------------------------
+def ntile_deciles(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.global_order import prefix_budget_select
+
+    def feat(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = _round_away(price.astype(np.float64) * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    feats = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_totalprice"]).map_batches(
+        feat, batch_format="pyarrow"
+    ).materialize()
+    n_total = feats.count()
+    if n_total == 0:
+        return pd.DataFrame(
+            columns=["decile", "n", "avg_price", "min_price", "max_price"]
+        )
+    ranked = prefix_budget_select(
+        lambda: feats, "o_totalprice", "o_orderkey", "one",
+        budget=float("inf"), num_buckets=16, cum_alias="rn",
+    )
+    q10, rem = divmod(n_total, 10)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        head = rem * (q10 + 1)
+        decile = np.where(
+            rn <= head,
+            (rn - 1) // (q10 + 1),
+            rem + (rn - head - 1) // max(q10, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                "decile": decile.astype(np.int64),
+                "o_totalprice": df["o_totalprice"],
+                "cents": df["cents"].astype("int64"),
+            }
+        )
+
+    # ONE pass over the ranked rows: per-batch (n, sum, min, max) partials
+    # per decile (<=10 rows each), folded on the driver — the prefix
+    # pipeline executes once, not once per aggregate
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = tag(df)
+        g = d.groupby("decile", sort=False)
+        return pd.DataFrame(
+            {
+                "decile": g.size().index.astype("int64"),
+                "n": g.size().to_numpy(),
+                "sc": g["cents"].sum().to_numpy(),
+                "mn": g["o_totalprice"].min().to_numpy(),
+                "mx": g["o_totalprice"].max().to_numpy(),
+            }
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("decile", sort=True)
+    out = pd.DataFrame(
+        {
+            "decile": g.size().index.astype("int64"),
+            "n": g["n"].sum().astype("int64").to_numpy(),
+            "avg_price": _round_away(
+                g["sc"].sum().to_numpy(np.float64)
+                / (100.0 * g["n"].sum().to_numpy(np.float64)),
+                6,
+            ),
+            "min_price": _round_away(g["mn"].min().to_numpy(np.float64), 2),
+            "max_price": _round_away(g["mx"].max().to_numpy(np.float64), 2),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+NTILE_DECILES_SQL = """
+WITH w AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+       round(sum(cents) / (100.0 * count(*)), 6) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM w GROUP BY decile
+"""
+
+
 SOURCE_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, source,
@@ -4131,6 +4363,9 @@ def registry() -> dict:
         "paragraph_dedup_text": (paragraph_dedup_text, PARAGRAPH_DEDUP_TEXT_SQL),
         "centroid_assign": (centroid_assign, CENTROID_ASSIGN_SQL),
         "debounce_events": (debounce_events, DEBOUNCE_EVENTS_SQL),
+        "melt_lineitem": (melt_lineitem, MELT_LINEITEM_SQL),
+        "corr_qty_price": (corr_qty_price, CORR_QTY_PRICE_SQL),
+        "ntile_deciles": (ntile_deciles, NTILE_DECILES_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

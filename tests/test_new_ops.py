@@ -391,3 +391,52 @@ def test_cap_per_group_small_groups_pass_through():
     df = pd.DataFrame({"id": np.arange(5, dtype=np.int64), "host": list("aabbc")})
     out = cap_per_group(_ds(df, blocks=2), "host", "id", k=10).to_pandas()
     assert len(out) == 5
+
+
+def test_ntile_formula_matches_duckdb_for_uneven_n():
+    # the sf tables have N % 10 == 0, so the remainder branch of the NTILE
+    # bucket arithmetic is never oracle-exercised — pin it against DuckDB
+    # ntile() directly for uneven sizes and several k
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 7, 10, 37, 101, 1003):
+        for k in (1, 3, 10):
+            rn = np.arange(1, n + 1, dtype=np.int64)
+            q, rem = divmod(n, k)
+            head = rem * (q + 1)
+            got = (
+                np.where(rn <= head, (rn - 1) // (q + 1),
+                         rem + (rn - head - 1) // max(q, 1)) + 1
+            )
+            want = con.sql(
+                f"SELECT ntile({k}) OVER (ORDER BY i) AS b"
+                f" FROM range(1, {n + 1}) t(i) ORDER BY i"
+            ).df()["b"].to_numpy()
+            assert (got == want).all(), (n, k)
+
+
+def test_corr_partial_fold_is_exact_vs_float_drift():
+    # the int-moment pipeline equals an arbitrary-precision reference on a
+    # corpus engineered so float64 sums would drift (huge values + many rows)
+    from fractions import Fraction
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 51, size=5000).astype(np.int64)
+    y = rng.integers(90_000_000, 150_000_001, size=5000).astype(np.int64)
+    n, sx, sy = len(x), int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    syy = sum(int(v) * int(v) for v in y)  # exceeds float53 precision
+    num = Fraction(n * sxy - sx * sy)
+    den2 = Fraction(n * sxx - sx * sx) * Fraction(n * syy - sy * sy)
+    import math
+
+    ref = float(num) / math.sqrt(float(Fraction(n * sxx - sx * sx))
+                                 * float(Fraction(n * syy - sy * sy)))
+    # engine-side expression from queries.corr_qty_price
+    got = float(n * sxy - sx * sy) / float(
+        np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    )
+    assert got == ref
+    assert den2 > 0
