@@ -207,3 +207,64 @@ def top_n_per_group(
         .groupby("__bucket__")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_exact_sums(
+    ds,
+    key: str,
+    prepare,
+    moment_columns: Sequence[str],
+    batch_size: int = 16384,
+    fold_batch: int = 65536,
+):
+    """Exact integer GROUP BY sums whose TOTALS may exceed int64 (moment
+    tables for correlation/variance over quantized values, money sums at
+    corpus scale, ...).  Three levels, none of which ever rounds:
+
+    1. per-batch int64 partials — ``prepare(df) -> DataFrame`` must return
+       ``key`` + int64 moment columns per row, and the caller sizes
+       ``batch_size`` so one batch's column sum stays inside int64;
+    2. one distributed fold over the partial stream with PYTHON-INT
+       accumulation (pandas object dtype adds arbitrary-precision ints),
+       emitted as decimal strings — this bounds what reaches the driver by
+       ``#fold-batches x k``, not ``#blocks x k``, so a 100-TB scan's
+       partial stream never lands on the driver;
+    3. a driver fold of the string partials with Python ints.
+
+    Returns ``{key_value: (n, *moment sums)}`` with exact ``int`` values —
+    the same numbers a DuckDB ``sum(BIGINT) -> HUGEINT`` twin produces.
+    """
+    cols = list(moment_columns)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = prepare(df)
+        g = d.groupby(key, sort=False, dropna=False)
+        out = g[cols].sum()
+        out.insert(0, "__n__", g.size())
+        return out.reset_index()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # object dtype FORCED via an explicit object Series: pandas re-infers
+        # int64 from .map(int)/astype(object) chains, silently wrapping sums
+        # past 2^63 — the explicit dtype makes groupby.sum add Python ints
+        for c in ["__n__"] + cols:
+            df[c] = pd.Series([int(v) for v in df[c]], dtype=object,
+                              index=df.index)
+        g = df.groupby(key, sort=False, dropna=False)[["__n__"] + cols].sum()
+        out = g.reset_index()
+        for c in ["__n__"] + cols:
+            out[c] = out[c].map(str)  # decimal strings survive Arrow exactly
+        return out
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .map_batches(fold, batch_format="pandas", batch_size=fold_batch)
+        .take_all()
+    )
+    acc: dict = {}
+    for r in folded:
+        a = acc.setdefault(r[key], [0] * (1 + len(cols)))
+        a[0] += int(r["__n__"])
+        for i, c in enumerate(cols):
+            a[i + 1] += int(r[c])
+    return {k: tuple(v) for k, v in acc.items()}

@@ -4131,37 +4131,28 @@ SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 6) FROM lineitem
 #     of either engine would not be).
 # ---------------------------------------------------------------------------
 def corr_qty_price(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
+
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        d = batch.to_pandas()
+    def prepare(d: pd.DataFrame) -> pd.DataFrame:
         x = _round_away(d["l_quantity"].to_numpy(np.float64), 0).astype(np.int64)
         y = _round_away(d["l_extendedprice"].to_numpy(np.float64) * 100.0,
                         0).astype(np.int64)
-        # int64 headroom: batch<=16384 rows of y^2<=~1e14 stays < 2^62
+        # int64 headroom: batch<=16384 rows of y^2<=~2.25e16 stays < 2^62
         if np.abs(y).max(initial=0) > 150_000_000:
             raise ValueError("corr_qty_price: y cents exceed partial-sum headroom")
-        g = pd.DataFrame(
+        return pd.DataFrame(
             {"k": d["l_returnflag"], "x": x, "y": y, "xy": x * y,
              "xx": x * x, "yy": y * y}
-        ).groupby("k", sort=False)
-        out = g.agg(
-            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
-            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=16384).take_all()
-    acc: dict[str, list[int]] = {}
-    for r in parts:  # k-sized exact fold (Python ints never overflow)
-        a = acc.setdefault(r["k"], [0, 0, 0, 0, 0, 0])
-        for i, f in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
-            a[i] += int(r[f])
+    moments = grouped_exact_sums(ds, "k", prepare,
+                                 ["x", "y", "xy", "xx", "yy"])
     rows = []
-    for k in sorted(acc):
-        n, sx, sy, sxy, sxx, syy = acc[k]
+    for k in sorted(moments):
+        n, sx, sy, sxy, sxx, syy = moments[k]
         num = float(n * sxy - sx * sy)
         den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
         den = float(np.sqrt(den))

@@ -440,3 +440,32 @@ def test_corr_partial_fold_is_exact_vs_float_drift():
     )
     assert got == ref
     assert den2 > 0
+
+
+def test_grouped_exact_sums_is_arbitrary_precision():
+    # totals engineered to exceed both int64 and float53 — the three-level
+    # fold must still be exact, and the distributed fold stage (object-dtype
+    # Python-int sums over string-emitting batches) must bound driver rows
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
+
+    big = (1 << 61) + 12345  # one partial already near int64 ceiling
+    df = pd.DataFrame(
+        {
+            "k": ["a", "b"] * 300,
+            "v": np.full(600, 10**15, dtype=np.int64),
+        }
+    )
+
+    def prepare(d):
+        return pd.DataFrame({"k": d["k"], "v": d["v"].to_numpy()})
+
+    out = grouped_exact_sums(_ds(df, blocks=6), "k", prepare, ["v"],
+                             batch_size=50)
+    assert out["a"] == (300, 300 * 10**15)
+    assert out["b"] == (300, 300 * 10**15)
+    assert isinstance(out["a"][1], int)
+    # a second call whose exact total exceeds 2^63 (int64) round-trips
+    df2 = pd.DataFrame({"k": ["z"] * 40, "v": np.full(40, big, dtype=np.int64)})
+    out2 = grouped_exact_sums(_ds(df2, blocks=4), "k", prepare, ["v"],
+                              batch_size=2)
+    assert out2["z"] == (40, 40 * big)  # 9.2e19 > int64 max
