@@ -263,7 +263,14 @@ def grouped_exact_sums(
     )
     acc: dict = {}
     for r in folded:
-        a = acc.setdefault(r[key], [0] * (1 + len(cols)))
+        k = r[key]
+        # float-typed keys surface NaN (not Arrow null) through take_all,
+        # and NaN objects from different fold batches are neither identical
+        # nor equal — normalize every null-like key to None so the group
+        # dropna=False preserved doesn't fragment in the dict fold
+        if k is not None and pd.isna(k):
+            k = None
+        a = acc.setdefault(k, [0] * (1 + len(cols)))
         a[0] += int(r["__n__"])
         for i, c in enumerate(cols):
             a[i + 1] += int(r[c])

@@ -4036,15 +4036,22 @@ def debounce_events(sf_dir: str):
         ts = d["ts"].to_numpy()
         ok = np.ones(len(d), dtype=bool)
         if len(d) > 1:
-            same = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+            # SQL PARTITION BY groups NULL keys TOGETHER (null-null is no
+            # boundary) — NaN != NaN would make every null-keyed row its own
+            # partition (same class as the r4 LWW-kernel fix)
+            u_na, e_na = pd.isna(u), pd.isna(e)
+            same = ((u[1:] == u[:-1]) | (u_na[1:] & u_na[:-1])) & (
+                (e[1:] == e[:-1]) | (e_na[1:] & e_na[:-1])
+            )
             prev_nat = np.isnat(ts[:-1])
             # SQL: prev_ts IS NULL keeps; ts - prev > interval keeps; a NaT
             # current ts yields NULL -> drop (unless prev is NULL)
             ok[1:] = (~same | prev_nat
                       | ((ts[1:] - ts[:-1]) > np.timedelta64(3600, "s")))
         out = d.loc[ok, ["event_id", "user_id", "event_type"]].copy()
-        out["event_id"] = out["event_id"].astype("int64")
-        out["user_id"] = out["user_id"].astype("int64")
+        for c in ("event_id", "user_id"):
+            # nullable ints only when nulls exist — plain int64 otherwise
+            out[c] = out[c].astype("Int64" if out[c].isna().any() else "int64")
         return out
 
     return keyed.groupby(_BUCKET).map_groups(keep, batch_format="pandas")
@@ -4064,10 +4071,10 @@ WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 3600 SECOND
 
 # ---------------------------------------------------------------------------
 # 85. Unpivot / melt (wide -> long reshaping, D-family): four lineitem
-#     measures become (measure, value) rows.  Embarrassingly parallel —
-#     each batch emits its 4x stacked rows, zero exchange; the measure
-#     label column is dictionary-encoded so the 4x blow-up ships ints,
-#     not repeated strings.
+#     measures become (measure, value) rows.  Embarrassingly parallel,
+#     zero exchange — the 4x blow-up streams straight to the consumer, so
+#     plain string labels are fine here; a melt feeding a SHUFFLE should
+#     dictionary-encode the label column end-to-end (don't cast back).
 # ---------------------------------------------------------------------------
 _MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -4080,15 +4087,12 @@ def melt_lineitem(sf_dir: str):
         n = len(batch)
         parts = []
         for c in _MELT_MEASURES:
-            label = pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(n, dtype=np.int32)), pa.array([c])
-            )
             parts.append(
                 pa.table(
                     {
                         "l_orderkey": batch["l_orderkey"],
                         "l_linenumber": batch["l_linenumber"],
-                        "measure": label.cast(pa.string()),
+                        "measure": pa.array(np.full(n, c)),
                         "value": pa.array(
                             _round_away(
                                 batch[c].to_numpy(zero_copy_only=False).astype(
@@ -4137,12 +4141,21 @@ def corr_qty_price(sf_dir: str):
                columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def prepare(d: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         x = _round_away(d["l_quantity"].to_numpy(np.float64), 0).astype(np.int64)
         y = _round_away(d["l_extendedprice"].to_numpy(np.float64) * 100.0,
                         0).astype(np.int64)
-        # int64 headroom: batch<=16384 rows of y^2<=~2.25e16 stays < 2^62
-        if np.abs(y).max(initial=0) > 150_000_000:
-            raise ValueError("corr_qty_price: y cents exceed partial-sum headroom")
+        # int64 headroom for the per-batch sum of y^2: |y| must stay under
+        # sqrt(2^62 / batch_rows) (~1.67e7 cents at 16384 rows) or the int64
+        # partial silently wraps — the bound is derived from the ACTUAL
+        # batch length, never a hardcoded envelope
+        bound = math.isqrt((1 << 62) // max(len(d), 1))
+        if np.abs(y).max(initial=0) > bound:
+            raise ValueError(
+                "corr_qty_price: |cents| exceeds per-batch int64 headroom "
+                f"({bound} at {len(d)} rows) — lower batch_size"
+            )
         return pd.DataFrame(
             {"k": d["l_returnflag"], "x": x, "y": y, "xy": x * y,
              "xx": x * x, "yy": y * y}

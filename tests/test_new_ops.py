@@ -7,6 +7,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -416,30 +417,50 @@ def test_ntile_formula_matches_duckdb_for_uneven_n():
             assert (got == want).all(), (n, k)
 
 
-def test_corr_partial_fold_is_exact_vs_float_drift():
-    # the int-moment pipeline equals an arbitrary-precision reference on a
-    # corpus engineered so float64 sums would drift (huge values + many rows)
-    from fractions import Fraction
+def test_grouped_exact_sums_beats_float_accumulation():
+    # a corpus engineered so float64 accumulation of y^2 provably drifts
+    # (each term > 2^53, so even the FIRST add rounds): the distributed
+    # int-moment pipeline must equal the arbitrary-precision reference
+    # while the float64 pipeline does not
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
 
     rng = np.random.default_rng(7)
-    x = rng.integers(1, 51, size=5000).astype(np.int64)
-    y = rng.integers(90_000_000, 150_000_001, size=5000).astype(np.int64)
-    n, sx, sy = len(x), int(x.sum()), int(y.sum())
-    sxy = int((x * y).sum())
-    sxx = int((x * x).sum())
-    syy = sum(int(v) * int(v) for v in y)  # exceeds float53 precision
-    num = Fraction(n * sxy - sx * sy)
-    den2 = Fraction(n * sxx - sx * sx) * Fraction(n * syy - sy * sy)
-    import math
+    # 4001 ODD values: each y^2 is odd, so the exact total (sum of an odd
+    # count of odd ints) is odd — but every float64 integer above 2^53 is
+    # even, so NO float pipeline can land on it
+    y = (rng.integers(95_000_000, 150_000_001, size=4001) | 1).astype(np.int64)
+    exact_syy = sum(int(v) * int(v) for v in y)  # Python ints, exact
+    float_syy = float(np.sum(y.astype(np.float64) ** 2))
+    assert exact_syy % 2 == 1 and exact_syy > 2**53
+    assert int(float_syy) != exact_syy  # drift is structural on this corpus
 
-    ref = float(num) / math.sqrt(float(Fraction(n * sxx - sx * sx))
-                                 * float(Fraction(n * syy - sy * sy)))
-    # engine-side expression from queries.corr_qty_price
-    got = float(n * sxy - sx * sy) / float(
-        np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    df = pd.DataFrame({"k": ["g"] * len(y), "yy": y * y})  # yy fits int64/row
+
+    def prepare(d):
+        return pd.DataFrame({"k": d["k"], "yy": d["yy"].to_numpy()})
+
+    out = grouped_exact_sums(_ds(df, blocks=5), "k", prepare, ["yy"],
+                             batch_size=100)
+    assert out["g"] == (len(y), exact_syy)
+
+
+def test_grouped_exact_sums_null_keys_fold_to_one_group():
+    # float-typed NaN keys cross fold batches as distinct NaN objects —
+    # the driver fold must still land them in ONE null group
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
+
+    df = pd.DataFrame(
+        {"k": [np.nan, 1.0, np.nan, 1.0] * 50, "v": np.ones(200, dtype=np.int64)}
     )
-    assert got == ref
-    assert den2 > 0
+
+    def prepare(d):
+        return pd.DataFrame({"k": d["k"], "v": d["v"].to_numpy()})
+
+    out = grouped_exact_sums(_ds(df, blocks=8), "k", prepare, ["v"],
+                             batch_size=7)
+    assert out[None] == (100, 100)
+    assert out[1.0] == (100, 100)
+    assert len(out) == 2
 
 
 def test_grouped_exact_sums_is_arbitrary_precision():
@@ -469,3 +490,33 @@ def test_grouped_exact_sums_is_arbitrary_precision():
     out2 = grouped_exact_sums(_ds(df2, blocks=4), "k", prepare, ["v"],
                               batch_size=2)
     assert out2["z"] == (40, 40 * big)  # 9.2e19 > int64 max
+
+
+def test_debounce_events_null_user_ids_group_together(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from cdm_data_loader_utils_ray.queries import DEBOUNCE_EVENTS_SQL, debounce_events
+
+    base = pd.Timestamp("2024-01-01")
+    t = [base + pd.Timedelta(minutes=m) for m in (0, 10, 90, 95, 200)]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            # SQL PARTITION BY groups the NULLs together: of the five
+            # null-user 'click's only rows 0, 2(?), 4 survive the 1h gap
+            "user_id": pd.array([None] * 5, dtype="Int64"),
+            "event_type": ["click"] * 5,
+            "ts": t,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = debounce_events(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(DEBOUNCE_EVENTS_SQL).df()
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+    assert got["user_id"].isna().all() and len(got) == len(want)
