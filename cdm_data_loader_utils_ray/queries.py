@@ -4298,6 +4298,118 @@ FROM w GROUP BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# 88. Ordered string aggregation (SQL string_agg ... ORDER BY): each user's
+#     event-type sequence joined '|'-delimited in (ts, event_id) order.
+#     One user-bucket shuffle; per bucket a C-speed sort + run-offset
+#     ``pc.binary_join`` emits every user's string in one kernel (the same
+#     zero-Python-loop reassembly as the paragraph family).  NULL types are
+#     filtered on BOTH engines (string_agg skips NULLs but would still emit
+#     the group row; the filter makes the semantics identical).
+# ---------------------------------------------------------------------------
+def string_agg_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
+        return _add_bucket(batch, ["user_id"], 64)
+
+    keyed = ev.map_batches(bucket, batch_format="pyarrow")
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ids = d["user_id"].to_numpy()
+        na = pd.isna(ids)
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            # SQL GROUP BY: null keys form ONE group (null-null no boundary)
+            first[1:] = (ids[1:] != ids[:-1]) & ~(na[1:] & na[:-1])
+        offsets = np.concatenate([np.flatnonzero(first), [len(d)]])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(d["event_type"].to_numpy(), type=pa.string()),
+        )
+        uid = pd.Series(ids[first])
+        return pd.DataFrame(
+            {
+                "user_id": uid.astype("Int64" if na.any() else "int64"),
+                "type_seq": pc.binary_join(lists, "|").to_pandas(),
+                "n_events": np.diff(offsets).astype("int64"),
+            }
+        )
+
+    return keyed.groupby(_BUCKET).map_groups(join, batch_format="pandas")
+
+
+STRING_AGG_EVENTS_SQL = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq,
+       count(*) AS n_events
+FROM events WHERE event_type IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 89. Median absolute deviation per group (robust dispersion, A-family):
+#     two exact grouped-median passes — medians broadcast via ray.put
+#     between them (the fact table shuffles its pruned (key, value) pairs
+#     twice; group count is small, the lookup is k-sized).
+# ---------------------------------------------------------------------------
+def mad_per_type(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_quantiles(ds, ["event_type"], "value", {"m": 0.5}).to_pandas()
+    med_ref = ray.put(dict(zip(med["event_type"], med["m"])))
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(med_ref)
+        codes, uniques = pd.factorize(df["event_type"], sort=False)
+        marr = np.array([lut[u] for u in uniques], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "ad": np.abs(df["value"].to_numpy(np.float64) - marr[codes]),
+            }
+        )
+
+    mad = grouped_quantiles(
+        ds.map_batches(dev, batch_format="pandas"), ["event_type"], "ad",
+        {"mad": 0.5},
+    )
+    lut = dict(zip(med["event_type"], med["m"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "median_value": _round_away(
+                    df["event_type"].map(lut).to_numpy(np.float64), 6
+                ),
+                "mad": _round_away(df["mad"], 6),
+            }
+        )
+
+    return mad.map_batches(finish, batch_format="pandas")
+
+
+MAD_PER_TYPE_SQL = """
+WITH m AS (
+  SELECT event_type, median(value) AS mv FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(any_value(m.mv), 6) AS median_value,
+       round(median(abs(e.value - m.mv)), 6) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 SOURCE_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, source,
@@ -4370,6 +4482,8 @@ def registry() -> dict:
         "melt_lineitem": (melt_lineitem, MELT_LINEITEM_SQL),
         "corr_qty_price": (corr_qty_price, CORR_QTY_PRICE_SQL),
         "ntile_deciles": (ntile_deciles, NTILE_DECILES_SQL),
+        "string_agg_events": (string_agg_events, STRING_AGG_EVENTS_SQL),
+        "mad_per_type": (mad_per_type, MAD_PER_TYPE_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -520,3 +520,35 @@ def test_debounce_events_null_user_ids_group_together(tmp_path):
     want = con.sql(DEBOUNCE_EVENTS_SQL).df()
     assert sorted(got["event_id"]) == sorted(want["event_id"])
     assert got["user_id"].isna().all() and len(got) == len(want)
+
+
+def test_string_agg_events_null_users_group_together(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from cdm_data_loader_utils_ray.queries import (
+        STRING_AGG_EVENTS_SQL,
+        string_agg_events,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": pd.array([None, 7, None, 7, None, None], dtype="Int64"),
+            "event_type": ["a", "b", "c", None, "d", "e"],
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = string_agg_events(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(STRING_AGG_EVENTS_SQL).df()
+    g = got.sort_values("user_id", na_position="last").reset_index(drop=True)
+    w = want.sort_values("user_id", na_position="last").reset_index(drop=True)
+    assert g["type_seq"].tolist() == w["type_seq"].tolist()  # null user: a|c|d|e
+    assert g["n_events"].tolist() == w["n_events"].tolist()
