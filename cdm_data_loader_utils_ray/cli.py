@@ -227,6 +227,18 @@ def cmd_dedup(args) -> int:
         )
         out.write_parquet(args.out)
         n = "unknown (streamed)"
+    elif args.method == "paragraph":
+        # paragraph-granular keep-first (CCNet/C4 line dedup): drop every
+        # repeated paragraph, reassemble docs as text_dedup (docs whose
+        # paragraphs ALL repeat produce no row)
+        from cdm_data_loader_utils_ray.functions.paragraphs import paragraph_dedup
+
+        out = paragraph_dedup(
+            ds, text_column=args.text_col, id_column=args.id_col,
+            mode=args.para_mode, window=args.para_window,
+        )
+        out.write_parquet(args.out)
+        n = "unknown (streamed)"
     else:
         if args.method == "fuzzy":
             from cdm_data_loader_utils_ray.functions.fuzzy import fuzzy_dedup_clusters
@@ -391,12 +403,17 @@ def main(argv=None) -> int:
     dd.add_argument("--input", required=True)
     dd.add_argument("--out", required=True)
     dd.add_argument("--method", default="minhash",
-                    choices=["minhash", "exact", "fuzzy", "substring"])
+                    choices=["minhash", "exact", "fuzzy", "substring", "paragraph"])
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--max-dist", type=int, default=2,
                     help="fuzzy method: max edit distance")
     dd.add_argument("--gram-k", type=int, default=24,
                     help="substring method: duplicated k-gram length")
+    dd.add_argument("--para-mode", default="newline",
+                    choices=["newline", "word_window"],
+                    help="paragraph method: paragraph definition")
+    dd.add_argument("--para-window", type=int, default=20,
+                    help="paragraph method: words per word_window paragraph")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)
