@@ -1,0 +1,143 @@
+"""Distributed PCA / whitening over an embedding column (`list<float>`).
+
+The curriculum/semantic-dedup preprocessing step (SemDeDup-style pipelines
+whiten embeddings before clustering): fit on one streaming pass, project
+statelessly.
+
+Scale shape for 100 TB:
+  fit      ONE pass — each batch contributes (n, sum(x), X^T X), a
+           (d^2 + d + 1)-sized partial; the driver folds k partials and
+           eigendecomposes the d x d covariance (d is the embedding width,
+           64-4096 — driver-trivial).  The corpus never gathers.
+  project  embarrassingly parallel map_batches matmul against the
+           broadcast (d x k) component matrix.
+
+Library + pytest only (like ``functions/sketches``): the fit is float64
+and iterative-free but its fold order follows block arrival, so results
+are deterministic only up to float addition order — no bit-exact SQL twin
+is possible, and the catalog stays all-oracle-checked without it.
+
+No reference counterpart (the reference has no embedding ops); the
+combiner shape follows ``functions/kmeans.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.functions.kmeans import _to_matrix
+
+
+def fit_pca(
+    ds,
+    embedding_column: str = "embedding",
+    n_components: int | None = None,
+    whiten: bool = False,
+    eps: float = 1e-8,
+    batch_size: int = 4096,
+):
+    """One-pass PCA fit: returns ``(mean (d,), components (k, d),
+    explained_variance (k,))`` with components sign-normalized (largest
+    |loading| positive) so reruns agree up to fold-order float noise.
+
+    ``whiten=True`` scales components by ``1/sqrt(var + eps)`` so the
+    projected coordinates have ~unit variance.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"n": [], "s": [], "g": []})
+        x = _to_matrix(batch[embedding_column]).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tobytes()],
+                "g": [(x.T @ x).ravel().tobytes()],
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # distributed pre-fold: the driver sees fold-batches, not blocks
+        if len(df) == 0:
+            return df
+        return pd.DataFrame(
+            {
+                "n": [int(df["n"].sum())],
+                "s": [np.sum([np.frombuffer(b, dtype=np.float64)
+                              for b in df["s"]], axis=0).tobytes()],
+                "g": [np.sum([np.frombuffer(b, dtype=np.float64)
+                              for b in df["g"]], axis=0).tobytes()],
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(fold, batch_format="pandas", batch_size=256)
+        .take_all()
+    )
+    if not parts:
+        raise ValueError("fit_pca: empty dataset")
+    n = 0
+    s = None
+    g = None
+    for r in parts:
+        n += int(r["n"])
+        sv = np.frombuffer(r["s"], dtype=np.float64)
+        gv = np.frombuffer(r["g"], dtype=np.float64)
+        s = sv if s is None else s + sv
+        g = gv if g is None else g + gv
+    d = s.shape[0]
+    mean = s / n
+    # covariance from the raw Gram: E[xx^T] - mean mean^T (population).
+    # NOTE the one-pass form loses precision when |mean| >> sd (the zscore
+    # two-pass fix, r3); embeddings are near-zero-mean so it holds here —
+    # for wildly off-center data, center first and pass the residuals.
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    k = d if n_components is None else min(n_components, d)
+    var = np.maximum(evals[order][:k], 0.0)
+    comp = evecs[:, order][:, :k].T  # (k, d)
+    # sign convention: the largest-|loading| coordinate of each component
+    # is positive (numpy eigenvector signs are arbitrary)
+    flip = np.sign(comp[np.arange(k), np.abs(comp).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comp = comp * flip[:, None]
+    if whiten:
+        comp = comp / np.sqrt(var + eps)[:, None]
+    return mean, comp, var
+
+
+def project_pca(
+    ds,
+    mean: np.ndarray,
+    components: np.ndarray,
+    embedding_column: str = "embedding",
+    output_column: str = "pca",
+    batch_size: int = 4096,
+):
+    """Stateless projection: ``(x - mean) @ components.T`` per batch, the
+    (k, d) matrix broadcast once via ``ray.put`` (read per task, never
+    re-shipped per batch)."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, dtype=np.float64),
+                   np.asarray(components, dtype=np.float64)))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        if len(batch) == 0:
+            out = pa.array([], type=pa.list_(pa.float64()))
+            return batch.append_column(output_column, out)
+        x = _to_matrix(batch[embedding_column]).astype(np.float64)
+        p = (x - m) @ c.T
+        k = p.shape[1]
+        out = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (len(p) + 1) * k, k, dtype=np.int64)),
+            pa.array(p.ravel()),
+        )
+        return batch.append_column(output_column, out.cast(pa.list_(pa.float64())))
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=batch_size)
