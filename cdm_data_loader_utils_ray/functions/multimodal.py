@@ -54,29 +54,62 @@ class MediaFeatureExtractor:
     must be sized by BYTES (a handful of rows), not row count — pass e.g.
     ``batch_size=8`` and ``concurrency=N`` to ``map_batches``.
 
-    ``mode='fake'`` produces deterministic features; ``mode='strict'``
-    raises ``NotImplementedError`` at the codec boundary (the container has
-    no image/audio libraries — STUB, clearly marked).
+    Modes:
+      ``'real'``   REAL decode for the self-describing uncompressed formats
+                   (``functions/codecs.py``): WAV-PCM audio (stdlib wave +
+                   numpy) and PPM/PGM images — real RMS/zero-crossing /
+                   channel-stat/histogram features, padded or truncated to
+                   ``dim``.  Compressed mimes (png/jpeg/mp4/...) still raise
+                   ``NotImplementedError`` — that codec boundary genuinely
+                   needs libraries this container lacks.
+      ``'fake'``   deterministic hash-expansion features (plumbing tests).
+      ``'strict'`` raises at every decode (the documented stub).
     """
 
     def __init__(self, dim: int = 64, mode: str = "fake", seed: int = 42):
         self.dim, self.mode, self.seed = dim, mode, seed
-        # real version: self.model = load_model(...) — once per actor
+        # once-per-actor setup: bind the real kernels here, not per batch
+        if mode == "real":
+            from cdm_data_loader_utils_ray.functions import codecs
 
-    def decode(self, payload: bytes, kind: str) -> np.ndarray:
+            self._codecs = codecs
+
+    def _real_decode(self, payload: bytes, mime: str) -> np.ndarray:
+        c = self._codecs
+        if mime == "audio/wav":
+            f = c.wav_features(payload)
+        elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+            f = c.image_features(payload)
+        else:
+            raise NotImplementedError(
+                f"real decode of {mime!r} requires codec libraries not in "
+                "this container (WAV-PCM and PPM/PGM are fully supported)"
+            )
+        out = np.zeros(self.dim, dtype=np.float32)
+        out[: min(self.dim, len(f))] = f[: self.dim]
+        return out
+
+    def decode(self, payload: bytes, kind: str, mime: str | None = None) -> np.ndarray:
         if self.mode == "strict":
             raise NotImplementedError(
                 "media decode requires image/audio codecs not present in this "
                 "container; use mode='fake' for plumbing tests"
             )
+        if self.mode == "real":
+            return self._real_decode(payload, mime or "")
         return _fake_decode(payload, self.dim, self.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
+        mimes = (
+            batch["mime"].to_pylist()
+            if "mime" in batch.schema.names
+            else [None] * len(batch)
+        )
         feats = [
-            self.decode(p.as_py() if hasattr(p, "as_py") else p, k)
-            for p, k in zip(batch["payload"], kinds)
+            self.decode(p.as_py() if hasattr(p, "as_py") else p, k, m)
+            for p, k, m in zip(batch["payload"], kinds, mimes)
         ]
         flat = np.concatenate(feats) if feats else np.empty(0, dtype=np.float32)
         return pa.Table.from_arrays(
@@ -198,6 +231,42 @@ def documents_as_media(batch: pa.Table, id_column: str = "doc_id",
         ],
         schema=MEDIA_SCHEMA,
     )
+
+
+def synth_real_media(n: int = 12, seed: int = 7) -> pa.Table:
+    """Deterministic REAL media payloads — decodable WAV sines and PPM
+    gradients (``functions/codecs``), no fixtures or media libs needed."""
+    from cdm_data_loader_utils_ray.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            freq = 110.0 * (1 + i % 5)
+            t = np.arange(int(16000 * 0.25)) / 16000.0
+            payload = codecs.encode_wav(0.5 * np.sin(2 * np.pi * freq * t))
+            rows.append(
+                {
+                    "media_id": f"r{i:04d}", "kind": "audio",
+                    "mime": "audio/wav", "payload": payload,
+                    "width": None, "height": None, "duration_ms": 250,
+                }
+            )
+        else:
+            h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            img = (
+                np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+                * np.ones((h, 1, 3))
+            ).astype(np.uint8)
+            rows.append(
+                {
+                    "media_id": f"r{i:04d}", "kind": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "payload": codecs.encode_ppm(img),
+                    "width": w, "height": h, "duration_ms": None,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def synth_media(n: int = 32, seed: int = 7) -> pa.Table:

@@ -1,0 +1,90 @@
+"""Real pure-stdlib/numpy media codecs (WAV-PCM, PPM/PGM) and the 'real'
+extractor mode through the actor pool."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+
+def test_wav_roundtrip_and_analytic_rms():
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    t = np.arange(16000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    for sw in (1, 2, 4):
+        payload = encode_wav(x, 16000, sampwidth=sw)
+        y, rate = decode_wav(payload)
+        assert rate == 16000 and len(y) == len(x)
+        tol = {1: 1e-2, 2: 1e-4, 4: 1e-8}[sw]
+        np.testing.assert_allclose(y, x, atol=tol)
+    f = wav_features(encode_wav(x, 16000))
+    assert f[0] == pytest.approx(1.0)                      # duration s
+    assert f[1] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)  # sine RMS
+    assert f[2] == pytest.approx(2 * 440 / 16000, rel=0.02)   # ZCR
+    assert f[3] == pytest.approx(0.5, rel=1e-3)               # peak
+    assert len(f) == 12 and np.allclose(f[4:], f[4], rtol=0.05)
+
+
+def test_ppm_roundtrip_comments_and_features():
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    # spec: comments and arbitrary whitespace in the header
+    body = encode_ppm(img)
+    hacked = b"P6\n# a comment\n 7\t9 \n255\n" + body.split(b"255\n", 1)[1]
+    assert (decode_ppm(hacked) == img).all()
+    f = image_features(encode_ppm(img))
+    assert f[0] == 9 and f[1] == 7
+    np.testing.assert_allclose(f[2:5], img.reshape(-1, 3).mean(axis=0), rtol=1e-5)
+    assert f[8:].sum() == pytest.approx(1.0)  # histogram normalized
+
+
+def test_resize_nearest_gather():
+    from cdm_data_loader_utils_ray.functions.codecs import resize_nearest
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    up = resize_nearest(img, 12, 8)
+    assert up.shape == (12, 8, 3)
+    assert (up[::2, ::2] == img).all()  # 2x upscale repeats each pixel
+    down = resize_nearest(img, 3, 2)
+    assert down.shape == (3, 2, 3)
+    assert (down == img[::2, ::2]).all()
+
+
+def test_real_extractor_mode_through_actor_pool():
+    from cdm_data_loader_utils_ray.functions.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    tbl = synth_real_media(n=8)
+    out = extract_features(
+        rd.from_arrow(tbl), dim=16, concurrency=2, batch_size=4, mode="real"
+    ).to_pandas().set_index("media_id")
+    assert len(out) == 8 and (out["feature_dim"] == 16).all()
+    # audio rows: duration 0.25 s and sine RMS in the leading features
+    a = np.array(out.loc["r0000", "feature"])
+    assert a[0] == pytest.approx(0.25) and a[1] == pytest.approx(0.35, abs=0.02)
+    # image rows: [h, w, ...] and gradient means equal across channels
+    i = np.array(out.loc["r0001", "feature"])
+    assert i[0] > 0 and i[1] > 0 and i[2] == pytest.approx(i[3], rel=1e-5)
+
+
+def test_real_mode_rejects_compressed_mimes():
+    from cdm_data_loader_utils_ray.functions.multimodal import MediaFeatureExtractor
+
+    ex = MediaFeatureExtractor(dim=8, mode="real")
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        ex.decode(b"\x89PNG...", "image", "image/png")
