@@ -77,6 +77,11 @@ def split_paragraphs(
             lists = pc.split_pattern(txt, pattern)
             counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
             ptext = pc.list_flatten(lists)
+            total = int(counts.sum())
+            within = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            )
         else:
             words = pc.split_pattern(txt, " ")
             nwords = np.asarray(pc.list_value_length(words), dtype=np.int64)
@@ -85,12 +90,11 @@ def split_paragraphs(
                 flat = flat.combine_chunks()
             counts = -(-nwords // window)  # ceil; nwords >= 1 (split("") == [""])
             total = int(counts.sum())
-            doc_start = np.cumsum(nwords) - nwords
             within = (
                 np.arange(total, dtype=np.int64)
                 - np.repeat(np.cumsum(counts) - counts, counts)
             )
-            starts = np.repeat(doc_start, counts) + within * window
+            starts = np.repeat(np.cumsum(nwords) - nwords, counts) + within * window
             offsets = np.concatenate([starts, [int(nwords.sum())]])
             # large_list: int64 offsets never overflow on huge batches, and
             # binary_join(large_list<string>, string) joins in one kernel
@@ -98,11 +102,6 @@ def split_paragraphs(
                 pa.array(offsets, type=pa.int64()), flat
             )
             ptext = pc.binary_join(lists, " ")
-        total = int(counts.sum())
-        within = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(counts) - counts, counts)
-        )
         if isinstance(ptext, pa.ChunkedArray):
             ptext = ptext.combine_chunks()
         return pa.table(
@@ -167,15 +166,20 @@ def assemble_paragraphs(
     def join(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values([id_column, "idx"], kind="stable")
         ids = d[id_column].to_numpy()
+        na = pd.isna(ids)
         first = np.ones(len(d), dtype=bool)
         if len(d) > 1:
-            first[1:] = ids[1:] != ids[:-1]
+            # SQL GROUP BY: null ids form ONE document (null-null no boundary)
+            first[1:] = (ids[1:] != ids[:-1]) & ~(na[1:] & na[:-1])
         offsets = np.concatenate([np.flatnonzero(first), [len(d)]])
+        # large_string child: a doc-bucket can exceed 2 GiB of text at the
+        # module's stated scale — 32-bit string offsets would overflow
         lists = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()),
-            pa.array(d["ptext"].to_numpy(), type=pa.string()),
+            pa.array(d["ptext"].to_numpy(), type=pa.large_string()),
         )
-        joined = pc.binary_join(lists, sep)
+        # separator width must match the child width for the kernel
+        joined = pc.binary_join(lists, pa.scalar(sep, type=pa.large_string()))
         return pd.DataFrame(
             {id_column: ids[first], text_column: joined.to_pandas()}
         )

@@ -3954,7 +3954,10 @@ def centroid_assign(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     c_tbl = pq.read_table(path, filters=[("vec_id", "<", 8)],
                           columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(c_tbl["vec_id"], dtype=np.int64))
+    cids = np.asarray(c_tbl["vec_id"], dtype=np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]  # label = the ACTUAL centroid id (ids may be sparse);
+    # argmin over cid-ascending rows = SQL's (dist2, cid) tie order
     c_mat = np.asarray(c_tbl["embedding"].to_pylist(), dtype=np.float32)[order]
     qc = _round_away(c_mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
 
@@ -3973,11 +3976,11 @@ def centroid_assign(sf_dir: str):
         x = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
         qx = _round_away(x * 10000.0, 0).astype(np.int64)
         d2 = ((qx[:, None, :] - qc[None, :, :]) ** 2).sum(axis=-1)
-        cl = d2.argmin(axis=1)  # ties: lowest centroid id (argmin is first)
+        cl = d2.argmin(axis=1)  # ties: lowest centroid id (rows cid-ascending)
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "cluster": pa.array(cl.astype(np.int64)),
+                "cluster": pa.array(cids[cl]),
                 "dist2": pa.array(d2[np.arange(len(cl)), cl].astype(np.int64)),
             }
         )
@@ -4327,15 +4330,19 @@ def string_agg_events(sf_dir: str):
             # SQL GROUP BY: null keys form ONE group (null-null no boundary)
             first[1:] = (ids[1:] != ids[:-1]) & ~(na[1:] & na[:-1])
         offsets = np.concatenate([np.flatnonzero(first), [len(d)]])
+        # large_string child: a user-bucket past 2 GiB of labels must not
+        # overflow 32-bit string offsets (same fix as assemble_paragraphs)
         lists = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()),
-            pa.array(d["event_type"].to_numpy(), type=pa.string()),
+            pa.array(d["event_type"].to_numpy(), type=pa.large_string()),
         )
         uid = pd.Series(ids[first])
         return pd.DataFrame(
             {
                 "user_id": uid.astype("Int64" if na.any() else "int64"),
-                "type_seq": pc.binary_join(lists, "|").to_pandas(),
+                "type_seq": pc.binary_join(
+                    lists, pa.scalar("|", type=pa.large_string())
+                ).to_pandas(),
                 "n_events": np.diff(offsets).astype("int64"),
             }
         )

@@ -552,3 +552,33 @@ def test_string_agg_events_null_users_group_together(tmp_path):
     w = want.sort_values("user_id", na_position="last").reset_index(drop=True)
     assert g["type_seq"].tolist() == w["type_seq"].tolist()  # null user: a|c|d|e
     assert g["n_events"].tolist() == w["n_events"].tolist()
+
+
+def test_centroid_assign_sparse_centroid_ids(tmp_path):
+    # labels must be the ACTUAL vec_ids (which need not be dense 0..7),
+    # matching the SQL twin's cid labels and (dist2, cid) tie order
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from cdm_data_loader_utils_ray.queries import CENTROID_ASSIGN_SQL, centroid_assign
+
+    rng = np.random.default_rng(2)
+    vec_ids = [0, 2, 5, 7] + list(range(10, 30))  # sparse centroid set
+    emb = [rng.normal(size=8).astype(np.float32).tolist() for _ in vec_ids]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vec_ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = centroid_assign(str(tmp_path)).to_pandas().sort_values("vec_id")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.sql(CENTROID_ASSIGN_SQL).df().sort_values("vec_id")
+    assert got["cluster"].tolist() == want["cluster"].tolist()
+    assert got["dist2"].tolist() == want["dist2"].tolist()
+    assert set(got["cluster"]) <= {0, 2, 5, 7}
