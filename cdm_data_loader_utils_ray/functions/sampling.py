@@ -21,6 +21,7 @@ import hashlib
 from collections.abc import Mapping
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -161,6 +162,9 @@ def temperature_sample(
     counts = grouped_partial_sums(ds, [group_column], {}, count_alias="n").take_all()
     if not counts:
         return ds
+    # n_min sees EVERY group including the null one (SQL GROUP BY groups
+    # NULLs; min(n) includes them) — but null-group rows themselves never
+    # emit (the SQL twin's `JOIN ... ON d.g = r.g` drops them)
     n_min = float(min(r["n"] for r in counts))
     expo = 1.0 - float(temperature)
 
@@ -170,15 +174,24 @@ def temperature_sample(
             return float(np.sqrt(frac))
         return float(frac ** np.float64(expo))
 
-    rates = {r[group_column]: _rate(float(r["n"])) for r in counts}
+    rates = {
+        r[group_column]: _rate(float(r["n"]))
+        for r in counts
+        if r[group_column] is not None and not pd.isna(r[group_column])
+    }
 
     def keep(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
         u, valid, rng = portable_uniform(batch[id_column])
         frac = u.astype(np.float64) / float(rng)
-        grp = batch[group_column].to_pylist()
-        thr = np.array([rates.get(g, 0.0) for g in grp], dtype=np.float64)
+        # vectorized group->rate: ONE lookup per unique value in the batch,
+        # not one dict .get per row; unseen/null groups get rate 0 (drop)
+        codes, uniques = pd.factorize(
+            batch[group_column].to_pandas(), use_na_sentinel=True
+        )
+        urates = np.array([rates.get(g, 0.0) for g in uniques], dtype=np.float64)
+        thr = np.where(codes >= 0, urates[np.maximum(codes, 0)], 0.0)
         return batch.filter(pa.array((frac < thr) & valid))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
@@ -203,6 +216,10 @@ def cap_per_group(
     rows — the shuffle carries O(groups x k) regardless of skew.  Appends
     ``uniform_column`` (the draw) and ``rank_column`` (1-based rank within
     the group, SQL row_number semantics).
+
+    Null ``id_column`` rows are DROPPED (they have no uniform draw; a SQL
+    twin must filter ``id IS NOT NULL``).  Null group values form one
+    group, like SQL PARTITION BY.
     """
     from cdm_data_loader_utils_ray.functions.aggregates import top_n_per_group
 

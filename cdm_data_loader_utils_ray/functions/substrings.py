@@ -342,16 +342,23 @@ def remove_spans(
         lens = np.diff(offs)
         total = len(data)
 
-        # map each span to its doc's row (orphan spans — no such doc in
-        # this bucket — are dropped, matching the lookup semantics)
+        # map each span to its doc's row(s) via an inner merge: orphan
+        # spans (no such doc in this bucket) drop, and DUPLICATE doc ids
+        # each receive the cut (a unique-index Series.map raised on them)
         ids_doc = pd.Series(docs[id_column].to_pandas())
-        ids_span = pd.Series(spans[id_column].to_pandas())
-        row_map = pd.Series(np.arange(n), index=ids_doc)
-        rows = ids_span.map(row_map)
-        ok = rows.notna().to_numpy()
-        rows = rows.to_numpy(dtype="float64")[ok].astype(np.int64)
-        s0 = spans["span_start"].to_numpy(zero_copy_only=False)[ok] - 1
-        e0 = spans["span_end"].to_numpy(zero_copy_only=False)[ok] - 1
+        m = pd.DataFrame(
+            {
+                "__id__": pd.Series(spans[id_column].to_pandas()),
+                "__s__": spans["span_start"].to_numpy(zero_copy_only=False),
+                "__e__": spans["span_end"].to_numpy(zero_copy_only=False),
+            }
+        ).merge(
+            pd.DataFrame({"__id__": ids_doc, "__row__": np.arange(n)}),
+            on="__id__", how="inner",
+        )
+        rows = m["__row__"].to_numpy(dtype=np.int64)
+        s0 = m["__s__"].to_numpy(dtype=np.int64) - 1
+        e0 = m["__e__"].to_numpy(dtype=np.int64) - 1
         # clamp to the row (same as Python slicing) and detect overlap
         s0 = np.minimum(np.maximum(s0, 0), lens[rows])
         e0 = np.minimum(np.maximum(e0, s0), lens[rows])
@@ -369,16 +376,21 @@ def remove_spans(
         covered = np.cumsum(delta[:-1]) > 0
         keep = ~covered
         new_data = data[keep]
-        if total:
-            # reduceat quirks: bool input would stay bool (logical, not a
-            # count) and an index == total (trailing empty rows) is out of
-            # bounds — cast and clamp, then zero out the empty rows whose
-            # segment degenerated
-            idx = np.minimum(offs[:-1], total - 1)
-            kept_per_row = np.add.reduceat(keep.astype(np.int64), idx)
-        else:
-            kept_per_row = np.zeros(n, dtype=np.int64)
-        kept_per_row = np.where(lens == 0, 0, kept_per_row).astype(np.int64)
+        # exact per-row kept-byte counts from ONE cumsum — no reduceat:
+        # its index clamp (min(offs, total-1)) truncated the LAST non-empty
+        # doc's segment whenever trailing empty docs shared the bucket,
+        # silently dropping that doc's final kept byte(s)
+        csum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(keep, out=csum[1:])
+        kept_per_row = csum[offs[1:]] - csum[offs[:-1]]
+        if len(new_data) >= (1 << 31):
+            # the committed output schema is 32-bit string; fail loudly
+            # (like the passthrough cast) instead of wrapping offsets —
+            # raise doc_buckets so a bucket holds < 2 GiB of text
+            raise ValueError(
+                "remove_spans: a doc bucket holds >= 2 GiB of kept text; "
+                "increase doc_buckets"
+            )
         new_offs = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(kept_per_row, out=new_offs[1:])
         nulls = pc.is_null(text_arr)

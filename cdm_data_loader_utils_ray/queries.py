@@ -4421,7 +4421,7 @@ SOURCE_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, source,
          ((doc_id % 1000003) * 2654435761) % 4294967296 AS uh
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), r AS (
   SELECT doc_id, source, uh,
          row_number() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rn

@@ -582,3 +582,24 @@ def test_centroid_assign_sparse_centroid_ids(tmp_path):
     assert got["cluster"].tolist() == want["cluster"].tolist()
     assert got["dist2"].tolist() == want["dist2"].tolist()
     assert set(got["cluster"]) <= {0, 2, 5, 7}
+
+
+def test_temperature_sample_null_groups_drop_but_shape_nmin():
+    # SQL twin: the JOIN drops null-group rows, but GROUP BY counts the
+    # null group so min(n) can come FROM it
+    from cdm_data_loader_utils_ray.functions.sampling import temperature_sample
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400, dtype=np.int64),
+            "g": pd.array(
+                [None] * 10 + ["big"] * 350 + ["small"] * 40, dtype="string"
+            ),
+        }
+    )
+    out = temperature_sample(_ds(df, blocks=5), "g", "id",
+                             temperature=0.5).to_pandas()
+    assert not out["g"].isna().any()  # null-group rows never emit
+    # nmin = 10 (the null group): 'small' keeps ~sqrt(10/40)=50%, not 100%
+    n_small = (out["g"] == "small").sum()
+    assert 0 < n_small < 40

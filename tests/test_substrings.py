@@ -527,3 +527,62 @@ def test_remove_spans_vectorized_edges(ray_session):
     assert out["text_dedup"].isna().tolist()[2]       # null stays null
     assert out["text_dedup"].tolist()[3] == "t"       # clamped tail cut
     assert out["text_dedup"].tolist()[4] == ""        # empty stays empty
+
+
+def test_remove_spans_trailing_empty_doc_keeps_final_bytes(ray_session):
+    """Reviewer repro: docs ['abc', ''] in one bucket, span cutting only
+    byte 1 of doc 1 — the old reduceat index clamp truncated doc 1's
+    segment and silently dropped its LAST kept byte ('b' instead of 'bc')."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["abc", ""], type=pa.string()),
+        }
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "span_start": pa.array([1], type=pa.int64()),
+            "span_end": pa.array([2], type=pa.int64()),
+        }
+    )
+    out = (
+        remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist() == ["bc", ""]
+
+
+def test_remove_spans_duplicate_doc_ids_each_get_cut(ray_session):
+    """Duplicate doc ids in a bucket: every copy receives the cut (the
+    unique-index Series.map raised InvalidIndexError on them)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 8], type=pa.int64()),
+            "text": pa.array(["xyz", "xyz", "keep"], type=pa.string()),
+        }
+    )
+    spans = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "span_start": pa.array([2], type=pa.int64()),
+            "span_end": pa.array([3], type=pa.int64()),
+        }
+    )
+    out = (
+        remove_spans(rd.from_arrow(docs), rd.from_arrow(spans), doc_buckets=1)
+        .to_pandas()
+        .sort_values(["doc_id", "text_dedup"])
+        .reset_index(drop=True)
+    )
+    assert out["text_dedup"].tolist() == ["xz", "xz", "keep"]
