@@ -586,3 +586,57 @@ def test_remove_spans_duplicate_doc_ids_each_get_cut(ray_session):
         .reset_index(drop=True)
     )
     assert out["text_dedup"].tolist() == ["xz", "xz", "keep"]
+
+
+def test_remove_spans_property_vs_python_reference(ray_session):
+    """Random corpora with EMPTY docs, null texts and duplicate ids mixed
+    in: the vectorized byte-surgery kernel must equal a plain Python
+    slice-and-join reference on every doc (the reduceat-era bug hid
+    exactly in the empty-doc arrangement a fixed fixture missed)."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.substrings import remove_spans
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(3, 16))
+        ids, texts = [], []
+        for i in range(n):
+            ids.append(int(i if rng.random() > 0.2 else max(0, i - 1)))  # dups
+            r = rng.random()
+            texts.append(
+                None if r < 0.15 else ""
+                if r < 0.35 else "".join(rng.choice(list("abxy "), size=int(rng.integers(1, 20))))
+            )
+        spans = {}
+        for i, t in zip(ids, texts):
+            if t and rng.random() > 0.3 and i not in spans:
+                a = int(rng.integers(0, len(t)))
+                b = int(rng.integers(a + 1, len(t) + 1))
+                spans[i] = (a + 1, b + 1)  # 1-based like duplicate_spans
+        docs = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+        sp = pa.table(
+            {
+                "doc_id": pa.array(list(spans), pa.int64()),
+                "span_start": pa.array([v[0] for v in spans.values()], pa.int64()),
+                "span_end": pa.array([v[1] for v in spans.values()], pa.int64()),
+            }
+        )
+        out = (
+            remove_spans(rd.from_arrow(docs), rd.from_arrow(sp), doc_buckets=2)
+            .to_pandas()
+        )
+        # reference: python slicing per (id, text) occurrence
+        want = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                want.append(None)
+            elif i in spans:
+                a, b = spans[i]
+                want.append(t[: a - 1] + t[b - 1:])
+            else:
+                want.append(t)
+        got = sorted(out["text_dedup"].tolist(), key=lambda x: (x is None, x))
+        assert got == sorted(want, key=lambda x: (x is None, x)), trial
