@@ -266,6 +266,43 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full training-data curation recipe over a document Parquet table:
+    exact dedup -> near-dup subtract -> paragraph dedup -> quality gate ->
+    decontamination -> mixing/caps -> split -> per-split parquet dirs."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.curation import (
+        curate_corpus,
+        write_curated,
+    )
+
+    cols = [args.id_col, args.text_col] + ([args.group_col] if args.group_col else [])
+    ds = rd.read_parquet(args.input, columns=cols)
+    bench = rd.read_parquet(args.bench) if args.bench else None
+    fractions = None
+    if args.fractions:
+        fractions = {}
+        for part in args.fractions.split(","):
+            k, v = part.split(":")
+            fractions[k] = float(v)
+    report: list = []
+    out = curate_corpus(
+        ds, bench_ds=bench, id_column=args.id_col, text_column=args.text_col,
+        group_column=args.group_col,
+        near_threshold=None if args.near_threshold <= 0 else args.near_threshold,
+        paragraph_mode=args.paragraph_mode or None,
+        temperature=args.temperature if args.temperature >= 0 else None,
+        cap_k=args.cap or None, fractions=fractions,
+        report=report if args.report else None,
+    )
+    paths = write_curated(out, args.out)
+    print(json.dumps({"out": paths, "stages": report}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic hash sample (or train/val/test split) of a Parquet
     table — rerun-stable, no shuffle."""
@@ -417,6 +454,33 @@ def main(argv=None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser(
+        "curate",
+        help="full curation recipe: dedup -> quality -> decontam -> mix -> split",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--bench", default=None,
+                    help="benchmark parquet for decontamination")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--group-col", default=None,
+                    help="grouping column for mixing/caps (e.g. lang)")
+    cu.add_argument("--near-threshold", type=float, default=0.8,
+                    help="MinHash similarity threshold; <=0 disables near-dup")
+    cu.add_argument("--paragraph-mode", default="newline",
+                    choices=["newline", "word_window", ""],
+                    help="'' disables paragraph dedup")
+    cu.add_argument("--temperature", type=float, default=-1.0,
+                    help="temperature mixing (needs --group-col); <0 disables")
+    cu.add_argument("--cap", type=int, default=0,
+                    help="max docs per group (needs --group-col); 0 disables")
+    cu.add_argument("--fractions", default=None,
+                    help="split spec, e.g. train:0.9,val:0.05,test:0.05")
+    cu.add_argument("--report", action="store_true",
+                    help="count rows per stage (one extra execution each)")
+    cu.set_defaults(fn=cmd_curate)
 
     sm = sub.add_parser("sample", help="deterministic hash sample / split")
     sm.add_argument("--input", required=True)
