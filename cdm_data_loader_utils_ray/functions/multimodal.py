@@ -17,6 +17,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module level, NOT inside the actor __init__: a worker-executed lazy
+# intra-package import breaks the by-value serialization drive contract
+# (CLAUDE.md convention; __ray_entry__ ships the package via cloudpickle)
+from cdm_data_loader_utils_ray.functions import codecs as _codecs
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string(), nullable=False),
@@ -70,9 +75,7 @@ class MediaFeatureExtractor:
         self.dim, self.mode, self.seed = dim, mode, seed
         # once-per-actor setup: bind the real kernels here, not per batch
         if mode == "real":
-            from cdm_data_loader_utils_ray.functions import codecs
-
-            self._codecs = codecs
+            self._codecs = _codecs
 
     def _real_decode(self, payload: bytes, mime: str) -> np.ndarray:
         c = self._codecs

@@ -180,9 +180,13 @@ def assemble_paragraphs(
         )
         # separator width must match the child width for the kernel
         joined = pc.binary_join(lists, pa.scalar(sep, type=pa.large_string()))
-        return pd.DataFrame(
-            {id_column: ids[first], text_column: joined.to_pandas()}
-        )
+        out_ids = pd.Series(ids[first])
+        if na.any() and out_ids.dtype.kind == "f":
+            # int64-with-nulls arrived as float64+NaN: emit nullable Int64 so
+            # null-id buckets don't yield float ids that hash/bucket apart
+            # from the int64 ids of null-free buckets (silent join misses)
+            out_ids = out_ids.astype("Int64")
+        return pd.DataFrame({id_column: out_ids, text_column: joined.to_pandas()})
 
     return keyed.groupby(_BUCKET).map_groups(join, batch_format="pandas")
 

@@ -190,8 +190,12 @@ def temperature_sample(
         codes, uniques = pd.factorize(
             batch[group_column].to_pandas(), use_na_sentinel=True
         )
-        urates = np.array([rates.get(g, 0.0) for g in uniques], dtype=np.float64)
-        thr = np.where(codes >= 0, urates[np.maximum(codes, 0)], 0.0)
+        if len(uniques):
+            urates = np.array([rates.get(g, 0.0) for g in uniques],
+                              dtype=np.float64)
+            thr = np.where(codes >= 0, urates[np.maximum(codes, 0)], 0.0)
+        else:  # all-null group batch: fancy-indexing an empty urates raises
+            thr = np.zeros(len(codes), dtype=np.float64)
         return batch.filter(pa.array((frac < thr) & valid))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)

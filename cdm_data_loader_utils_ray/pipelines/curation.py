@@ -8,10 +8,11 @@ the flagship "switch your corpus pipeline to this repo" entry point.
     (one directory per split: resumable, never one giant file)
 
 Every stage is an existing oracle- or property-checked operator; this
-module only composes them lazily, so the corpus streams end-to-end with
-backpressure and each all-to-all exchange is the one its stage already
-pays (nothing re-materializes between stages unless ``report=True``, which
-counts rows per stage at the cost of one execution per boundary).
+module composes them lazily, with exactly two deliberate checkpoints:
+before the paragraph stage (it consumes its input three times) and before
+the per-split write (N_splits filtered writes) — both ``materialize()``
+into the object store (spillable), never driver memory.  ``report=True``
+additionally counts rows per stage boundary (one execution each).
 
 Scale notes: stage order matters — exact dedup FIRST (cheapest, removes
 the mass that would make near-dup quadratic), paragraph dedup after
@@ -141,8 +142,13 @@ def curate_corpus(
         out = note("near_dedup", out)
 
     # 3. paragraph-level dedup (cross-doc repeated-line removal); rebuilt
-    #    text joins back onto the surviving docs' other columns
+    #    text joins back onto the surviving docs' other columns.
+    #    CHECKPOINT first: this stage consumes `out` three times (the
+    #    paragraph split runs twice by design, plus the join side), so
+    #    without a materialize the upstream dedup shuffles would re-execute
+    #    per consumer (spills to the object store; never driver memory)
     if paragraph_mode is not None:
+        out = out.materialize()
         rebuilt = paragraph_dedup(
             out, text_column=text_column, id_column=id_column,
             mode=paragraph_mode, window=paragraph_window,
@@ -207,6 +213,9 @@ def write_curated(out_ds, out_dir: str, split_column: str = "split"):
         path = os.path.join(out_dir, "all")
         out_ds.write_parquet(path)
         return {"all": path}
+    # materialize ONCE: unique() plus one filtered write per split would
+    # otherwise re-execute the whole curation DAG N_splits+1 times
+    out_ds = out_ds.materialize()
     paths = {}
     for split in sorted(out_ds.select_columns([split_column]).unique(split_column)):
         path = os.path.join(out_dir, f"{split_column}={split}")

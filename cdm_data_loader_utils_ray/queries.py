@@ -4370,7 +4370,15 @@ def mad_per_type(sf_dir: str):
 
     from cdm_data_loader_utils_ray.functions.aggregates import grouped_quantiles
 
-    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    raw = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    # NULL event_type rows drop on BOTH engines: the SQL twin's JOIN
+    # USING(event_type) never matches them, and a -1 factorize code here
+    # would silently index another group's median
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["event_type"]))
+
+    ds = raw.map_batches(nonnull, batch_format="pyarrow")
     med = grouped_quantiles(ds, ["event_type"], "value", {"m": 0.5}).to_pandas()
     med_ref = ray.put(dict(zip(med["event_type"], med["m"])))
 

@@ -603,3 +603,21 @@ def test_temperature_sample_null_groups_drop_but_shape_nmin():
     # nmin = 10 (the null group): 'small' keeps ~sqrt(10/40)=50%, not 100%
     n_small = (out["g"] == "small").sum()
     assert 0 < n_small < 40
+
+
+def test_temperature_sample_all_null_group_batch():
+    # a block whose group column is ENTIRELY null must filter to empty,
+    # not IndexError on the empty factorize uniques
+    from cdm_data_loader_utils_ray.functions.sampling import temperature_sample
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(40, dtype=np.int64),
+            "g": pd.array([None] * 20 + ["a"] * 20, dtype="string"),
+        }
+    )
+    # blocks=2: one block is likely all-null; force it via sort
+    ds = rd.from_pandas(df.sort_values("g", na_position="first")).repartition(2)
+    out = temperature_sample(ds, "g", "id", temperature=1.0).to_pandas()
+    assert not out["g"].isna().any()
+    assert set(out["g"]) <= {"a"}
