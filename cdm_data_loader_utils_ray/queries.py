@@ -2602,9 +2602,13 @@ def zscore_events(sf_dir: str):
 
     def dev2(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(mean_ref)
+        df = df[df["event_type"].notna()]  # see normalize(): SQL JOIN drops
         codes, uniques = pd.factorize(df["event_type"], sort=False)
         marr = np.array([m[u] for u in uniques], dtype=np.float64)
-        d = df["value"].to_numpy(dtype=np.float64) - marr[codes]
+        d = (
+            df["value"].to_numpy(dtype=np.float64) - marr[codes]
+            if len(uniques) else np.zeros(0)
+        )
         return pd.DataFrame({"event_type": df["event_type"], "d2": d * d})
 
     ssd = grouped_partial_sums(
@@ -2624,11 +2628,16 @@ def zscore_events(sf_dir: str):
 
     def normalize(df: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(lut_ref)
+        # NULL event_type rows drop (the SQL twin's JOIN USING never
+        # matches them; a -1 factorize code would index the last group)
+        df = df[df["event_type"].notna()]
         # factorize + take: the Python loop runs once per DISTINCT type
         codes, uniques = pd.factorize(df["event_type"], sort=False)
         m_arr = np.array([lut[u][0] for u in uniques], dtype=np.float64)
         s_arr = np.array([lut[u][1] for u in uniques], dtype=np.float64)
-        ms, sd = m_arr[codes], s_arr[codes]
+        ms, sd = (m_arr[codes], s_arr[codes]) if len(uniques) else (
+            np.zeros(0), np.zeros(0)
+        )
         v = df["value"].to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(sd > 0, (v - ms) / sd, 0.0)
@@ -3250,7 +3259,10 @@ def unigram_surprisal(sf_dir: str):
         flat, off, tl, valid = tokens_of(batch)
         codes, uniques = pd.factorize(pd.Series(flat.to_pandas()), sort=False)
         lnp_u = np.array([lut.get(u, 0.0) for u in uniques], dtype=np.float64)
-        lnp = np.where(valid, lnp_u[codes], 0.0)
+        # all-null token batch: fancy-indexing the empty lnp_u would raise
+        lnp = np.where(valid, lnp_u[codes], 0.0) if len(uniques) else np.zeros(
+            len(codes)
+        )
         cs = np.concatenate([[0.0], np.cumsum(lnp)])
         sums = cs[off[1:]] - cs[off[:-1]]
         cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
