@@ -204,14 +204,27 @@ def curate_corpus(
 
 
 def write_curated(out_ds, out_dir: str, split_column: str = "split"):
-    """Write the curated corpus as one parquet directory per split value
-    (resumable layout; no split column -> a single ``all/`` directory)."""
+    """Write the curated corpus as one parquet directory per split value —
+    RESUMABLE: each split stages into ``<dir>.tmp`` and atomically renames
+    on completion (the lake's two-phase pattern), so a re-run after a
+    crash skips every finished split and only rebuilds the missing ones.
+    No split column -> a single ``all/`` directory (same staging)."""
     import os
+    import shutil
+
+    def staged_write(d, path: str) -> bool:
+        if os.path.isdir(path):  # finished by a previous run — skip
+            return False
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        d.write_parquet(tmp)
+        os.replace(tmp, path)
+        return True
 
     names = out_ds.schema().names
     if split_column not in names:
         path = os.path.join(out_dir, "all")
-        out_ds.write_parquet(path)
+        staged_write(out_ds, path)
         return {"all": path}
     # materialize ONCE: unique() plus one filtered write per split would
     # otherwise re-execute the whole curation DAG N_splits+1 times
@@ -219,8 +232,11 @@ def write_curated(out_ds, out_dir: str, split_column: str = "split"):
     paths = {}
     for split in sorted(out_ds.select_columns([split_column]).unique(split_column)):
         path = os.path.join(out_dir, f"{split_column}={split}")
-        out_ds.filter(
-            expr=f"{split_column} == '{split}'"
-        ).drop_columns([split_column]).write_parquet(path)
+        staged_write(
+            out_ds.filter(
+                expr=f"{split_column} == '{split}'"
+            ).drop_columns([split_column]),
+            path,
+        )
         paths[split] = path
     return paths

@@ -84,3 +84,29 @@ def test_curate_minimal_passthrough(ray_session):
         quality={}, fractions=None,
     ).to_pandas()
     assert len(out) == 1  # exact dedup only
+
+
+def test_write_curated_resumes_past_finished_splits(tmp_path, ray_session):
+    from cdm_data_loader_utils_ray.pipelines.curation import write_curated
+
+    df = pd.DataFrame(
+        {"doc_id": range(20), "split": ["train"] * 15 + ["val"] * 5}
+    )
+    ds = rd.from_pandas(df)
+    paths = write_curated(ds, str(tmp_path / "c"))
+    assert sorted(paths) == ["train", "val"]
+    # simulate a crash that lost 'val': finished 'train' must be skipped
+    # (its files untouched), only 'val' rebuilt; stray .tmp dirs cleaned
+    import shutil, os
+
+    train_mtimes = {
+        f: os.path.getmtime(os.path.join(paths["train"], f))
+        for f in os.listdir(paths["train"])
+    }
+    shutil.rmtree(paths["val"])
+    os.makedirs(paths["val"] + ".tmp")  # half-written staging leftover
+    paths2 = write_curated(ds, str(tmp_path / "c"))
+    assert os.path.isdir(paths2["val"]) and not os.path.isdir(paths2["val"] + ".tmp")
+    for f, m in train_mtimes.items():
+        assert os.path.getmtime(os.path.join(paths2["train"], f)) == m
+    assert pq.read_table(paths2["val"]).num_rows == 5
