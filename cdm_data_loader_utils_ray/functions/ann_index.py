@@ -54,7 +54,15 @@ from cdm_data_loader_utils_ray.functions.similarity import (
     train_ivf_centroids,
 )
 
+from cdm_data_loader_utils_ray.functions.pq import (
+    adc_lut,
+    codes_from_column,
+    codes_to_arrow,
+    encode_matrix,
+)
+
 _CELL_COL = "__ann_cell"
+_PQ_COL = "__ann_pq"
 _Q8_COL = "__ann_q8"
 _Q8_SCALE_COL = "__ann_q8_scale"
 
@@ -103,6 +111,10 @@ def build_ann_index(
     sample_frac: float = 0.25,
     seed: int = 42,
     store_sq8: bool = False,
+    store_pq: bool = False,
+    pq_m: int = 8,
+    pq_codes: int = 256,
+    pq_sample: int = 20000,
     overwrite: bool = False,
 ) -> "AnnIndex":
     """ONE streaming pass over ``ds``: tag every row with its coarse cell
@@ -123,7 +135,7 @@ def build_ann_index(
                 f"{data_dir} already holds an index; pass overwrite=True to rebuild"
             )
         shutil.rmtree(data_dir)
-        for f in ("index.json", "centroids.npy"):
+        for f in ("index.json", "centroids.npy", "pq_codebooks.npy"):
             p = os.path.join(index_dir, f)
             if os.path.exists(p):
                 os.remove(p)
@@ -147,10 +159,23 @@ def build_ann_index(
     else:
         raise ValueError(f"unknown ANN index kind: {kind!r}")
 
+    codebooks = None
+    if store_pq:
+        from cdm_data_loader_utils_ray.functions.pq import fit_pq
+
+        codebooks = fit_pq(ds, column=column, m=pq_m, n_codes=pq_codes,
+                           sample_size=pq_sample, seed=seed)
+
     def tag(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, column)
         cells = _cells_for(m, kind, centroids, planes)
         out = batch.append_column(_CELL_COL, pa.array(cells, type=pa.int64()))
+        if store_pq:
+            if m.size:
+                pq_col = codes_to_arrow(encode_matrix(m, codebooks))
+            else:
+                pq_col = pa.array([], type=pa.binary(pq_m))
+            out = out.append_column(_PQ_COL, pq_col)
         if store_sq8:
             if m.size:
                 q8, sc = _sq8_columns(m)
@@ -188,12 +213,17 @@ def build_ann_index(
         "probe_hamming_default": int(probe_hamming_default),
         "seed": int(seed),
         "store_sq8": bool(store_sq8),
+        "store_pq": bool(store_pq),
+        "pq_m": int(pq_m),
+        "pq_codes": int(pq_codes),
     }
     if centroids is not None:
         np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    if codebooks is not None:
+        np.save(os.path.join(index_dir, "pq_codebooks.npy"), codebooks)
     with open(os.path.join(index_dir, "index.json"), "w") as f:
         json.dump(meta, f)
-    return AnnIndex(index_dir, meta, centroids, planes)
+    return AnnIndex(index_dir, meta, centroids, planes, codebooks)
 
 
 class AnnIndex:
@@ -201,22 +231,26 @@ class AnnIndex:
     metadata (centroids / params), never the corpus."""
 
     def __init__(self, index_dir: str, meta: dict,
-                 centroids: np.ndarray | None, planes: np.ndarray | None):
+                 centroids: np.ndarray | None, planes: np.ndarray | None,
+                 codebooks: np.ndarray | None = None):
         self.index_dir = index_dir
         self.meta = meta
         self.centroids = centroids
         self.planes = planes
+        self.codebooks = codebooks
 
     @classmethod
     def load(cls, index_dir: str) -> "AnnIndex":
         with open(os.path.join(index_dir, "index.json")) as f:
             meta = json.load(f)
-        centroids = planes = None
+        centroids = planes = codebooks = None
         if meta["kind"] == "ivf":
             centroids = np.load(os.path.join(index_dir, "centroids.npy"))
         else:
             planes = random_hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-        return cls(index_dir, meta, centroids, planes)
+        if meta.get("store_pq"):
+            codebooks = np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+        return cls(index_dir, meta, centroids, planes, codebooks)
 
     # -- probe planning -----------------------------------------------------
     def probe_cells(self, query: np.ndarray, n_probe: int | None = None,
@@ -270,12 +304,14 @@ class AnnIndex:
     # -- search ---------------------------------------------------------------
     def search(self, query: np.ndarray, k: int = 10, n_probe: int | None = None,
                probe_hamming: int | None = None, use_sq8: bool = False,
-               rescore: int = 64, tie_ndigits: int | None = None) -> pd.DataFrame:
+               use_pq: bool = False, rescore: int = 64,
+               tie_ndigits: int | None = None) -> pd.DataFrame:
         """Top-k by exact cosine over the probe cells only.  The read is
         pruned at the FILE level (``read_parquet`` over the probe
-        directories); with ``use_sq8`` candidates within each batch are
-        ranked on the precomputed int8 column first and only ``rescore``
-        rows per batch take the float path."""
+        directories); with ``use_sq8`` (int8 dot) or ``use_pq`` (PQ/ADC
+        LUT over the 8-byte codes — the IVF-PQ pairing) candidates within
+        each batch are pre-ranked on the compressed column and only
+        ``rescore`` rows per batch take the float path."""
         import ray.data as rd
 
         id_column = self.meta["id_column"]
@@ -285,9 +321,12 @@ class AnnIndex:
                               "cos_sim": pd.Series([], dtype="float64")})
         if not files:
             return empty
+        use_pq = use_pq and self.meta.get("store_pq", False)
         cols = [id_column, column] + (
             [_Q8_COL, _Q8_SCALE_COL] if use_sq8 and self.meta["store_sq8"] else []
-        )
+        ) + ([_PQ_COL] if use_pq else [])
+        lut = adc_lut(query, self.codebooks) if use_pq else None
+        pq_m = self.meta.get("pq_m", 0)
         ds = rd.read_parquet(files, columns=cols)
         score = cosine_scores_stage(query, column, id_column)
         q = query.astype(np.float32)
@@ -296,7 +335,14 @@ class AnnIndex:
 
         def partial(batch: pa.Table) -> pa.Table:
             cand = batch
-            if use_sq8 and self.meta["store_sq8"] and len(batch):
+            if use_pq and len(batch):
+                codes = codes_from_column(batch[_PQ_COL], pq_m, len(batch))
+                # ADC distance ASCENDS with dissimilarity: keep the closest
+                dist = lut[np.arange(pq_m)[None, :], codes].sum(1)
+                r = min(rescore, len(dist))
+                keep = np.argpartition(dist, r - 1)[:r] if r else []
+                cand = batch.take(pa.array(np.sort(keep)))
+            elif use_sq8 and self.meta["store_sq8"] and len(batch):
                 q8col = batch[_Q8_COL]
                 if isinstance(q8col, pa.ChunkedArray):
                     q8col = q8col.combine_chunks()

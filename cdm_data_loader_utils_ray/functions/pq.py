@@ -74,6 +74,44 @@ def fit_pq(
     )
 
 
+def encode_matrix(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, m) uint8 PQ codes: one argmin matmul per
+    subspace (shared by :func:`encode_pq` and the ANN index's tag stage)."""
+    m, n_codes, sub = codebooks.shape
+    x = np.asarray(x, dtype=np.float32)
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for i in range(m):
+        xs = x[:, i * sub : (i + 1) * sub]
+        c = codebooks[i]
+        d2 = (c * c).sum(1)[None, :] - 2.0 * (xs @ c.T)
+        codes[:, i] = d2.argmin(1).astype(np.uint8)
+    return codes
+
+
+def codes_to_arrow(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 -> fixed_size_binary(m) with zero per-row Python."""
+    n, m = codes.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(m), n, [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+    )
+
+
+def adc_lut(query: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(m, n_codes) float64 table of squared subspace distances for ADC."""
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float32).reshape(m, sub)
+    return ((codebooks - q[:, None, :]) ** 2).sum(-1).astype(np.float64)
+
+
+def codes_from_column(col, m: int, n: int) -> np.ndarray:
+    """fixed_size_binary(m) column -> (n, m) uint8 view (zero copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.frombuffer(col.buffers()[1], dtype=np.uint8)[
+        col.offset * m : (col.offset + n) * m
+    ].reshape(n, m)
+
+
 def encode_pq(
     ds,
     codebooks: np.ndarray,
@@ -91,27 +129,20 @@ def encode_pq(
 
     def encode(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref)
-        code_type = pa.binary(m)
         if len(batch) == 0:
             return pa.table(
                 {
                     id_column: batch[id_column],
-                    code_column: pa.array([], type=code_type),
+                    code_column: pa.array([], type=pa.binary(m)),
                 }
             )
-        x = _to_matrix(batch[column]).astype(np.float32)
-        n = len(x)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for i in range(m):
-            xs = x[:, i * sub : (i + 1) * sub]
-            c = cb[i]  # (n_codes, sub)
-            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
-            d2 = (c * c).sum(1)[None, :] - 2.0 * (xs @ c.T)
-            codes[:, i] = d2.argmin(1).astype(np.uint8)
-        arr = pa.FixedSizeBinaryArray.from_buffers(
-            code_type, n, [None, pa.py_buffer(codes.tobytes())]
+        x = _to_matrix(batch[column])
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                code_column: codes_to_arrow(encode_matrix(x, cb)),
+            }
         )
-        return pa.table({id_column: batch[id_column], code_column: arr})
 
     return ds.map_batches(encode, batch_format="pyarrow", batch_size=batch_size)
 
@@ -131,9 +162,7 @@ def pq_topk(
     import ray
 
     m, n_codes, sub = codebooks.shape
-    q = np.asarray(query, dtype=np.float32).reshape(m, sub)
-    lut = ((codebooks - q[:, None, :]) ** 2).sum(-1)  # (m, 256) float32
-    lut_ref = ray.put(lut.astype(np.float64))
+    lut_ref = ray.put(adc_lut(query, codebooks))
 
     def partial(batch: pa.Table) -> pa.Table:
         t = ray.get(lut_ref)
@@ -145,12 +174,7 @@ def pq_topk(
                     "adc_dist": pa.array([], type=pa.float64()),
                 }
             )
-        col = batch[code_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8)[
-            col.offset * m : (col.offset + n) * m
-        ].reshape(n, m)
+        codes = codes_from_column(batch[code_column], m, n)
         dist = t[np.arange(m)[None, :], codes].sum(1)
         kk = min(k, n)
         cand = np.argpartition(dist, kk - 1)[: min(n, 4 * kk + 64)]

@@ -168,3 +168,41 @@ def test_lsh_probe_hamming_two_expands(ray_session, tmp_path):
     assert len(c0) == 1 and c0 < c1 < c2
     # exactly C(6,1) + C(6,2) additional signatures
     assert len(c1) == 1 + 6 and len(c2) == 1 + 6 + 15
+
+
+def test_ivf_pq_index_search_and_pruned_read(tmp_path, ray_session):
+    """The IVF-PQ pairing: codes stored next to the cell id; use_pq search
+    pre-ranks on ADC and rescores exactly — results match the plain search
+    on a corpus with a planted near-duplicate, and the read stays pruned."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.ann_index import AnnIndex, build_ann_index
+
+    rng = np.random.default_rng(4)
+    cents = rng.normal(scale=5.0, size=(4, 16))
+    x = (cents[np.arange(800) % 4] + rng.normal(scale=0.3, size=(800, 16))).astype(
+        np.float32
+    )
+    x[123] = x[7] + 0.001  # planted near-dup
+    df = pd.DataFrame(
+        {"vec_id": np.arange(800, dtype=np.int64),
+         "embedding": [r.tolist() for r in x]}
+    )
+    idx = build_ann_index(
+        rd.from_pandas(df).repartition(4), str(tmp_path / "ix"), kind="ivf",
+        n_cells=4, n_probe_default=2, store_pq=True, pq_m=8, pq_codes=32,
+        pq_sample=800,
+    )
+    q = x[7]
+    plain = idx.search(q, k=5)
+    pq = idx.search(q, k=5, use_pq=True, rescore=64)
+    assert set(pq["vec_id"]) == set(plain["vec_id"])
+    assert {7, 123} <= set(pq["vec_id"])
+    files = idx.probe_files(idx.probe_cells(q))
+    assert 0 < len(files) < len(idx.all_files())
+    # load() round-trips the codebooks
+    again = AnnIndex.load(str(tmp_path / "ix"))
+    pq2 = again.search(q, k=5, use_pq=True, rescore=64)
+    assert pq2["vec_id"].tolist() == pq["vec_id"].tolist()
