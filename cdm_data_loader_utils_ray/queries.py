@@ -1197,10 +1197,27 @@ def knn_ivf_indexed(sf_dir: str):
         index_dir = tempfile.mkdtemp(prefix="ann_ivf_", dir="/tmp")
         idx = build_ann_index(
             aug, index_dir, kind="ivf", n_cells=16, sample_frac=0.5, seed=42,
-            store_sq8=True,
+            store_sq8=True, store_pq=True, pq_m=8, pq_codes=64, pq_sample=4000,
         )
         _ANN_INDEX_CACHE[key] = idx
     out = idx.search(query, k=10, n_probe=2, use_sq8=True, rescore=64,
+                     tie_ndigits=4)
+    out["cos_sim"] = _round_away(out["cos_sim"], 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 23b. IVF-PQ search, hash-checked: same materialized index, but the probe
+#      batches are pre-ranked by the ADC LUT over the 8-byte PQ codes and
+#      only `rescore` rows take the exact float path — rescore is sized so
+#      the exact top-10 survives the cut on this corpus, making the
+#      approximate fast path hash-gateable against the exact SQL twin.
+# ---------------------------------------------------------------------------
+def knn_ivfpq(sf_dir: str):
+    knn_ivf_indexed(sf_dir)  # ensure the cached index exists (build once)
+    idx = _ANN_INDEX_CACHE[os.path.abspath(sf_dir)]
+    query, _aug = _planted_query_corpus(sf_dir)
+    out = idx.search(query, k=10, n_probe=2, use_pq=True, rescore=96,
                      tie_ndigits=4)
     out["cos_sim"] = _round_away(out["cos_sim"], 4)
     return out
@@ -4489,6 +4506,7 @@ def registry() -> dict:
         # -- (2) new in r4 (inserted here as they land) ----------------------
         "sketch_topk_skewed": (sketch_topk_skewed, SKETCH_TOPK_SKEWED_SQL),
         "knn_ivf_indexed": (knn_ivf_indexed, KNN_IVF_SQL),
+        "knn_ivfpq": (knn_ivfpq, KNN_IVF_SQL),
         "duplicate_substrings": (duplicate_substrings, DUPLICATE_SUBSTRINGS_SQL),
         "substring_dedup_text": (substring_dedup_text, SUBSTRING_DEDUP_TEXT_SQL),
         "substring_dedup_keep_first": (
