@@ -88,6 +88,13 @@ def kmeans(
 
         parts = ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=batch_size).to_pandas()
+        # deterministic fold order: block ARRIVAL order varies run to run,
+        # and float64 addition is not associative — an unsorted fold made
+        # same-seed runs differ in the last ulp, occasionally flipping a
+        # boundary point's assignment (flaky determinism test)
+        parts = parts.assign(__key__=parts["vsum"].map(tuple)).sort_values(
+            ["cid", "cnt", "__key__"], kind="mergesort"
+        )
         new = cents.astype(np.float64).copy()
         cnt = np.zeros(k)
         acc = np.zeros_like(new)
@@ -117,7 +124,12 @@ def _sample_matrix(ds, vector_column: str, n: int, per_block: int = 64) -> np.nd
     """Seed sample spread ACROSS blocks: the head of every block, capped at
     ``n`` total.  ``limit(n)`` alone reads only the first block(s), which
     biases k-means++ badly on inputs written clustered/sorted — every seed
-    would come from one region."""
+    would come from one region.
+
+    The returned rows are in CANONICAL (lexicographic) order: the limit
+    concatenates blocks in arrival order, which varies run to run, and
+    k-means++ seeding is order-sensitive — an unsorted sample made
+    same-seed kmeans/fit_pq/IVF trainings differ across calls."""
 
     def head(batch: pa.Table) -> pa.Table:
         return batch.select([vector_column]).slice(0, per_block)
@@ -131,10 +143,14 @@ def _sample_matrix(ds, vector_column: str, n: int, per_block: int = 64) -> np.nd
     col = t[vector_column]
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) or \
             pa.types.is_fixed_size_list(col.type):
-        return _to_matrix(col)
-    # pandas round-trip may yield object arrays of lists
-    return np.asarray([np.asarray(v, dtype=np.float32) for v in col.to_pylist()],
-                      dtype=np.float32)
+        m = _to_matrix(col)
+    else:
+        # pandas round-trip may yield object arrays of lists
+        m = np.asarray([np.asarray(v, dtype=np.float32) for v in col.to_pylist()],
+                       dtype=np.float32)
+    if len(m):
+        m = m[np.lexsort(m.T[::-1])]
+    return m
 
 
 def _kmeanspp(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:

@@ -79,6 +79,9 @@ def fit_pca(
     )
     if not parts:
         raise ValueError("fit_pca: empty dataset")
+    # deterministic fold order (same reason as kmeans): float addition is
+    # order-sensitive and take_all order follows block arrival
+    parts = sorted(parts, key=lambda r: (int(r["n"]), r["s"], r["g"]))
     n = 0
     s = None
     g = None
