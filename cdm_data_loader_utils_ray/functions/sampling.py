@@ -281,3 +281,39 @@ def hash_split(
         return batch.append_column(split_column, pa.array(out, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=batch_size)
+
+
+def fixed_size_sample(
+    ds,
+    id_column: str,
+    k: int,
+    uniform_column: str = "u",
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Deterministic fixed-size uniform sample WITHOUT replacement: the k
+    globally-smallest ``(portable_uniform(id), id)`` pairs — "bottom-k by
+    hash", the classic coordinated-sampling scheme (each row's draw depends
+    only on its id, so samples from different runs/tables of the same ids
+    coincide).  Distributed shape: each batch keeps only its own k smallest
+    pairs (vectorized argpartition-equivalent), the driver merges the
+    <= n_batches*k partial rows — no sort or shuffle of the raw data.
+
+    Exact-size (unlike a rate filter, which is binomial around n*rate) and
+    rerun-stable; SQL twin: ``ORDER BY u, id LIMIT k`` over the portable
+    uniform expression.  Returns a pandas DataFrame (id, uniform_column)
+    of min(k, n_valid) rows.  Null ids are excluded (SQL: NULL arithmetic
+    drops out of any ORDER BY ... LIMIT prefix deterministically only if
+    excluded; we exclude, matching a WHERE id IS NOT NULL twin)."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u, valid, _rng = portable_uniform(batch[id_column])
+        ids = batch[id_column].to_pandas()
+        sub = pd.DataFrame({id_column: ids[valid], uniform_column: u[valid]})
+        return sub.sort_values([uniform_column, id_column], kind="mergesort").head(k)
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    return (
+        parts.sort_values([uniform_column, id_column], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

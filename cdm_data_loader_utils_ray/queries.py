@@ -4468,6 +4468,146 @@ SELECT doc_id, source, rn FROM r WHERE rn <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# 91. Per-key ROW-frame rolling window (SQL ROWS BETWEEN 2 PRECEDING AND
+#     CURRENT ROW) — the moving-average family stages/windows.rolling_frame
+#     provides.  Exactness across engines: the summed source is quantized
+#     to int64 cents (value has 2 decimals; CLAUDE.md money invariant), the
+#     average is cents/(100.0*n) — int-valued doubles divided identically
+#     on both engines — and min compares doubles exactly.
+# ---------------------------------------------------------------------------
+def rolling_window_user(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.windows import rolling_frame
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = _round_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype("int64")
+        return df
+
+    out = rolling_frame(
+        ds.map_batches(cents, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], 3,
+        {
+            "mov_n": ("cents", "count"),
+            "mov_sum_cents": ("cents", "sum"),
+            "mov_min": ("value", "min"),
+        },
+        num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["mov_n"].to_numpy(np.float64)
+        sc = df["mov_sum_cents"].to_numpy(np.float64)  # <= 3*32753 cents: exact
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "mov_n": n.astype("int64"),
+                "mov_sum_cents": sc.astype("int64"),
+                "mov_avg": _round_away(sc / (100.0 * n), 6),
+                "mov_min": df["mov_min"].astype("float64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+ROLLING_WINDOW_USER_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS mov_n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS mov_sum_cents,
+       round((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w)
+             / (100.0 * (count(*) OVER w)), 6) AS mov_avg,
+       min(value) OVER w AS mov_min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 92. Semi-structured extraction (events.props is a JSON string): pull the
+#     integer field with ONE vectorized regex per batch (the grok/log-parse
+#     shape — no per-row json.loads loop), then the partial+final combiner
+#     over event_type.  Sums are int64-exact; avg is the shared
+#     int-divided-by-count convention.
+# ---------------------------------------------------------------------------
+def json_props_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*([0-9]+)', expand=False),
+            errors="coerce",
+        )
+        sub = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna(
+            subset=["k"]
+        )
+        sub["k"] = sub["k"].astype("int64")
+        g = sub.groupby("event_type", sort=False)["k"]
+        return pd.DataFrame(
+            {"n": g.size(), "sum_k": g.sum(), "max_k": g.max()}
+        ).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("event_type", sort=False)
+    out = pd.DataFrame(
+        {
+            "n": g["n"].sum(),
+            "sum_k": g["sum_k"].sum(),
+            "max_k": g["max_k"].max(),
+        }
+    ).reset_index()
+    out["avg_k"] = _round_away(
+        out["sum_k"].to_numpy(np.float64) / (1.0 * out["n"].to_numpy(np.float64)), 6
+    )
+    for c in ("n", "sum_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "n", "sum_k", "max_k", "avg_k"]]
+
+
+JSON_PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k,
+       round(sum(k) / (1.0 * count(*)), 6) AS avg_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 93. Deterministic fixed-size uniform sample (bottom-k by portable hash,
+#     functions/sampling.fixed_size_sample): exact-k coordinated sampling —
+#     per-batch partial bottom-k, driver merges <= n_batches*k rows, no
+#     shuffle or global sort of the data.
+# ---------------------------------------------------------------------------
+def sample_documents(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import fixed_size_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = fixed_size_sample(ds, "doc_id", 200)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["u"] = out["u"].astype("int64")
+    return out
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 4294967296 AS u
+FROM documents WHERE doc_id IS NOT NULL
+ORDER BY u, doc_id LIMIT 200
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -4529,6 +4669,9 @@ def registry() -> dict:
         "ntile_deciles": (ntile_deciles, NTILE_DECILES_SQL),
         "string_agg_events": (string_agg_events, STRING_AGG_EVENTS_SQL),
         "mad_per_type": (mad_per_type, MAD_PER_TYPE_SQL),
+        "rolling_window_user": (rolling_window_user, ROLLING_WINDOW_USER_SQL),
+        "json_props_stats": (json_props_stats, JSON_PROPS_STATS_SQL),
+        "sample_documents": (sample_documents, SAMPLE_DOCUMENTS_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

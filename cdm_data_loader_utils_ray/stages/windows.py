@@ -89,6 +89,44 @@ def running_totals(
     return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)
 
 
+def rolling_frame(
+    ds,
+    key_columns: Sequence[str],
+    order_columns: Sequence[str],
+    window: int,
+    agg_columns: Mapping[str, tuple[str, str]],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Fixed ROW-frame rolling aggregates per key in ``order_columns``
+    order — SQL's ``agg(x) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``.  ``agg_columns`` maps output
+    alias -> (source column, how) with how in sum/mean/min/max/count;
+    frames shorter than ``window`` (the first rows of each key) aggregate
+    what exists (``min_periods=1``), matching the SQL frame semantics.
+
+    Same one-shuffle shape as the other row windows here; a ROW frame
+    cannot be pre-aggregated (every output row carries its own frame
+    state), so only project the needed columns upstream.  Sums over
+    floats are pandas' rolling kernel — pass integer(-quantized) sources
+    when cross-engine exactness matters (see the catalog's cents trick).
+    Null keys form one partition (SQL PARTITION BY semantics)."""
+    keys, order = list(key_columns), list(order_columns)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(keys, sort=False, dropna=False)
+        for alias, (src, how) in agg_columns.items():
+            res = getattr(g[src].rolling(window, min_periods=1), how)()
+            # groupby.rolling indexes by (keys..., original row position);
+            # drop the key levels and align on the position index — exact
+            # regardless of group iteration order
+            df[alias] = res.droplevel(list(range(len(keys))))
+        return df
+
+    return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)
+
+
 def lag_shift(
     ds,
     key_columns: Sequence[str],

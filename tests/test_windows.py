@@ -90,3 +90,90 @@ def test_lag_shift_periods_two():
     )
     assert pd.isna(out["p2"].iloc[0]) and pd.isna(out["p2"].iloc[1])
     assert out["p2"].iloc[2:].tolist() == [1.0, 2.0]
+
+
+def test_rolling_frame_matches_pandas_reference():
+    from cdm_data_loader_utils_ray.stages.windows import rolling_frame
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, n),
+            "o": rng.permutation(n),
+            "x": rng.integers(-50, 100, n).astype("int64"),
+        }
+    )
+    out = (
+        rolling_frame(
+            _ds(df, blocks=5), ["k"], ["o"], 3,
+            {"s3": ("x", "sum"), "m3": ("x", "min"), "n3": ("x", "count"),
+             "mx3": ("x", "max"), "a3": ("x", "mean")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    r = ref.groupby("k", sort=False)["x"].rolling(3, min_periods=1)
+    assert np.array_equal(out["s3"].to_numpy(), r.sum().droplevel(0).to_numpy())
+    assert np.array_equal(out["m3"].to_numpy(), r.min().droplevel(0).to_numpy())
+    assert np.array_equal(out["n3"].to_numpy(), r.count().droplevel(0).to_numpy())
+    assert np.array_equal(out["mx3"].to_numpy(), r.max().droplevel(0).to_numpy())
+    assert np.allclose(out["a3"].to_numpy(), r.mean().droplevel(0).to_numpy())
+
+
+def test_rolling_frame_window_one_and_null_keys():
+    from cdm_data_loader_utils_ray.stages.windows import rolling_frame
+
+    df = pd.DataFrame(
+        {
+            "k": pd.array([1, 1, None, None, 2], dtype="Int64"),
+            "o": [1, 2, 1, 2, 1],
+            "x": [10.0, 20.0, 5.0, 7.0, 1.0],
+        }
+    )
+    out = (
+        rolling_frame(_ds(df, blocks=2), ["k"], ["o"], 1,
+                      {"s": ("x", "sum")}, num_buckets=2)
+        .to_pandas()
+    )
+    # window=1: rolling sum is the value itself for every row
+    assert sorted(out["s"].tolist()) == sorted(df["x"].tolist())
+    # null keys: one partition (SQL semantics) — check via window=2 sum
+    out2 = (
+        rolling_frame(_ds(df, blocks=2), ["k"], ["o"], 2,
+                      {"s": ("x", "sum")}, num_buckets=2)
+        .to_pandas()
+    )
+    nulls = out2[out2["k"].isna()].sort_values("o")
+    assert nulls["s"].tolist() == [5.0, 12.0]
+
+
+def test_fixed_size_sample_exact_k_deterministic_and_null_safe():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sampling import (
+        fixed_size_sample,
+        portable_uniform,
+    )
+
+    ids = list(range(1000)) + [None] * 7
+    ds = rd.from_arrow(pa.table({"id": pa.array(ids, type=pa.int64())})).repartition(6)
+    a = fixed_size_sample(ds, "id", 50)
+    b = fixed_size_sample(ds, "id", 50)
+    assert len(a) == 50 and a["id"].notna().all()
+    assert a["id"].tolist() == b["id"].tolist()  # rerun-stable
+    # exactness: equals the brute-force bottom-k over the portable uniform
+    u, valid, _ = portable_uniform(pa.array(ids, type=pa.int64()))
+    ref = (
+        pd.DataFrame({"id": pd.array(ids, dtype="Int64"), "u": u})[valid]
+        .sort_values(["u", "id"], kind="mergesort")
+        .head(50)
+    )
+    assert a["id"].tolist() == ref["id"].astype("int64").tolist()
+    # k > n: returns all valid rows, never a null id
+    allrows = fixed_size_sample(ds, "id", 5000)
+    assert len(allrows) == 1000
