@@ -339,9 +339,12 @@ class AnnIndex:
                 codes = codes_from_column(batch[_PQ_COL], pq_m, len(batch))
                 # ADC distance ASCENDS with dissimilarity: keep the closest
                 dist = lut[np.arange(pq_m)[None, :], codes].sum(1)
+                # tie-inclusive: identical PQ codes tie exactly — keep the
+                # whole boundary tie group so the rescore set is
+                # deterministic (flatnonzero is already index-sorted)
                 r = min(rescore, len(dist))
-                keep = np.argpartition(dist, r - 1)[:r] if r else []
-                cand = batch.take(pa.array(np.sort(keep)))
+                rth = np.partition(dist, r - 1)[r - 1]
+                cand = batch.take(pa.array(np.flatnonzero(dist <= rth)))
             elif use_sq8 and self.meta["store_sq8"] and len(batch):
                 q8col = batch[_Q8_COL]
                 if isinstance(q8col, pa.ChunkedArray):
@@ -353,8 +356,8 @@ class AnnIndex:
                 scale = batch[_Q8_SCALE_COL].to_numpy(zero_copy_only=False)
                 approx = (m8.astype(np.int32) @ q8) * scale.astype(np.float64)
                 r = min(rescore, len(approx))
-                keep = np.argpartition(-approx, r - 1)[:r] if r else []
-                cand = batch.take(pa.array(np.sort(keep)))
+                rth = np.partition(-approx, r - 1)[r - 1]
+                cand = batch.take(pa.array(np.flatnonzero(-approx <= rth)))
             df = _topk_frame(score(cand).to_pandas(), k, id_column, tie_ndigits)
             return pa.Table.from_pandas(df, preserve_index=False)
 

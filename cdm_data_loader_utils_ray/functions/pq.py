@@ -177,7 +177,11 @@ def pq_topk(
         codes = codes_from_column(batch[code_column], m, n)
         dist = t[np.arange(m)[None, :], codes].sum(1)
         kk = min(k, n)
-        cand = np.argpartition(dist, kk - 1)[: min(n, 4 * kk + 64)]
+        # tie-inclusive cut: identical PQ codes (near-dup rows) give
+        # bit-identical ADC sums; a fixed-size slice could drop a boundary
+        # tie the (dist, id) order ranks higher
+        kth = np.partition(dist, kk - 1)[kk - 1]
+        cand = np.flatnonzero(dist <= kth)
         ids = batch[id_column].take(pa.array(cand, type=pa.int64()))
         df = pd.DataFrame(
             {id_column: ids.to_pandas(), "adc_dist": dist[cand]}

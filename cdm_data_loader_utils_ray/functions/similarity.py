@@ -133,14 +133,19 @@ class BruteForceTopK:
         out = {"query_idx": [], self.id_column: [], "cos_sim": []}
         k = min(self.k, len(ids))
         for qi in range(cos.shape[1]):
-            # argpartition by raw score, then order the candidate set under
-            # the same total order the final merge uses (_topk_frame: cos
-            # desc, id asc) so a boundary tie cannot evict a row the final
-            # order ranks higher; 4k+64 slack absorbs f32 tie noise
+            # tie-INCLUSIVE candidate cut under the SAME (rounded) key the
+            # final merge orders by: every row whose key ties the k-th
+            # best is a candidate, so the partial can never evict a row
+            # the final (key desc, id asc) order ranks higher — a
+            # fixed-size argpartition slice could cut a boundary tie group
             if not k:
                 continue
-            c = min(len(ids), 4 * k + 64)
-            cand = np.argpartition(-cos[:, qi], c - 1)[:c]
+            if self.tie_ndigits is not None:
+                key = np.asarray(_round_away(cos[:, qi], self.tie_ndigits))
+            else:
+                key = cos[:, qi]
+            kth = np.partition(-key, k - 1)[k - 1]
+            cand = np.flatnonzero(-key <= kth)
             df = _topk_frame(
                 pd.DataFrame({self.id_column: ids[cand], "cos_sim": cos[cand, qi]}),
                 k, self.id_column, self.tie_ndigits,
@@ -312,8 +317,12 @@ def sq8_topk(ds, query: np.ndarray, k: int = 10, rescore: int = 64,
         s = float(np.abs(mn).max()) or 1.0
         m8 = np.clip(np.rint(mn / s * 127.0), -127, 127).astype(np.int8)
         approx = m8.astype(np.int32) @ q8
+        # tie-inclusive pre-rank cut: int32 dot products tie exactly for
+        # near-identical rows; a fixed-size slice would keep an arbitrary
+        # subset of a boundary tie group (nondeterministic recall)
         r = min(rescore, len(approx))
-        cand = np.argpartition(-approx, r - 1)[:r]
+        rth = np.partition(-approx, r - 1)[r - 1]
+        cand = np.flatnonzero(-approx <= rth)
         sub = m[cand]
         norms = np.linalg.norm(sub, axis=1)
         norms[norms == 0] = 1.0

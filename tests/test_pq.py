@@ -64,3 +64,23 @@ def test_pq_adc_recall_vs_exact_l2():
     assert 17 in set(pq_topk(codes, q, cb, k=50)["vec_id"])
     # compression claim: 8 bytes per vector vs 128 float32 bytes
     assert got["adc_dist"].is_monotonic_increasing
+
+
+def test_pq_topk_tie_groups_pick_smallest_ids():
+    """A batch full of IDENTICAL vectors gives bit-identical ADC distances:
+    the candidate cut must be tie-inclusive so the (dist, id) total order —
+    not an argpartition artifact — decides which ids survive."""
+    from cdm_data_loader_utils_ray.functions.pq import encode_pq, fit_pq, pq_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=32).astype(np.float32)
+    far = (base + 50.0).astype(np.float32)
+    # 300 exact copies of `base` (one tie group much larger than k), then
+    # 100 distinct far rows
+    x = np.vstack([np.tile(base, (300, 1)), np.tile(far, (100, 1))])
+    cb = fit_pq(_ds(x, blocks=4), m=8, n_codes=8, sample_size=400, iters=6)
+    codes = encode_pq(_ds(x, blocks=4), cb)
+    got = pq_topk(codes, base.astype(np.float64), cb, k=10)
+    # all 300 copies tie at the minimum ADC distance; the winners must be
+    # ids 0..9 under (dist asc, id asc), regardless of batching
+    assert got["vec_id"].tolist() == list(range(10))
