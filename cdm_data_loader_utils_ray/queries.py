@@ -4531,6 +4531,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 # ---------------------------------------------------------------------------
+# 91b (94). Time-based RANGE-frame rolling window (RANGE BETWEEN INTERVAL 1
+#     HOUR PRECEDING AND CURRENT ROW): value-defined frames — peers at the
+#     same timestamp are included regardless of tie order, so no total
+#     order is needed (stages/windows.rolling_time_frame, banded
+#     searchsorted + exact int64-cents prefix differences).
+# ---------------------------------------------------------------------------
+def rolling_time_user(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.windows import rolling_time_frame
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = _round_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0
+        ).astype("int64")
+        return df
+
+    out = rolling_time_frame(
+        ds.map_batches(cents, batch_format="pandas"),
+        ["user_id"], "ts", "1h", {"cents": "hr_sum_cents"},
+        count_alias="hr_n", num_buckets=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "hr_n": df["hr_n"].astype("int64"),
+                "hr_sum_cents": df["hr_sum_cents"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+ROLLING_TIME_USER_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS hr_n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS hr_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 92. Semi-structured extraction (events.props is a JSON string): pull the
 #     integer field with ONE vectorized regex per batch (the grok/log-parse
 #     shape — no per-row json.loads loop), then the partial+final combiner
@@ -4670,6 +4719,7 @@ def registry() -> dict:
         "string_agg_events": (string_agg_events, STRING_AGG_EVENTS_SQL),
         "mad_per_type": (mad_per_type, MAD_PER_TYPE_SQL),
         "rolling_window_user": (rolling_window_user, ROLLING_WINDOW_USER_SQL),
+        "rolling_time_user": (rolling_time_user, ROLLING_TIME_USER_SQL),
         "json_props_stats": (json_props_stats, JSON_PROPS_STATS_SQL),
         "sample_documents": (sample_documents, SAMPLE_DOCUMENTS_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------

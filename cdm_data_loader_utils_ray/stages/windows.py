@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -122,6 +123,85 @@ def rolling_frame(
             # drop the key levels and align on the position index — exact
             # regardless of group iteration order
             df[alias] = res.droplevel(list(range(len(keys))))
+        return df
+
+    return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)
+
+
+def rolling_time_frame(
+    ds,
+    key_columns: Sequence[str],
+    ts_column: str,
+    interval: str,
+    sum_columns: Mapping[str, str],
+    count_alias: str | None = "win_n",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Time-based RANGE-frame rolling aggregates per key — SQL's
+    ``sum(x) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN INTERVAL
+    interval PRECEDING AND CURRENT ROW)``: for each row, sum/count over
+    the key's rows with ``ts in [row.ts - interval, row.ts]``.
+
+    RANGE semantics are BY VALUE, not position: rows tying the current
+    row's timestamp (peers) are included even when a positional tiebreak
+    would order them later, so — unlike the ROW-frame functions here —
+    the result needs no total order within a key and is independent of
+    tie layout, exactly like SQL.
+
+    Vectorized per bucket with zero per-group loops: one sort, group ids,
+    per-group-banded shifted timestamps (disjoint int64 bands sized
+    span+interval) so a single global ``searchsorted`` pair yields every
+    row's [lo, hi] window, then prefix-sum differences.  Sums use the
+    prefix-difference trick: EXACT for integer(-quantized) sources (the
+    catalog's cents convention); float sources accumulate cumsum error —
+    quantize first when cross-engine exactness matters.  min/max need no
+    prefix structure SQL lacks too — use :func:`rolling_frame` (ROW
+    frames) or a self-range-join for those."""
+    keys = list(key_columns)
+    # everything in NANOSECONDS: pandas timestamp columns arrive as
+    # datetime64[ns] or [us] depending on the source — normalizing both the
+    # column and the interval to one unit keeps the compare unit-safe
+    delta = int(pd.Timedelta(interval).value)
+    if delta < 0:
+        raise ValueError("interval must be non-negative")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + [ts_column], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            for alias in sum_columns.values():
+                out[alias] = pd.Series([], dtype="float64")
+            if count_alias:
+                out[count_alias] = pd.Series([], dtype="int64")
+            return out
+        if df[ts_column].isna().any():
+            raise ValueError(
+                "rolling_time_frame: null timestamps have no RANGE-frame "
+                "value semantics — filter or impute them first"
+            )
+        gid = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        t = df[ts_column].to_numpy(dtype="datetime64[ns]").astype("int64")
+        t0 = t - t.min()
+        band = int(t0.max()) + delta + 2
+        if band * (int(gid.max()) + 1) >= 2**62:
+            raise ValueError(
+                "rolling_time_frame: ts span * group count overflows the "
+                "banded int64 search — reduce the bucket key cardinality "
+                "(raise num_buckets) or narrow the interval"
+            )
+        shifted = t0 + gid * band
+        lo = np.searchsorted(shifted, shifted - delta, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right") - 1
+        for src, alias in sum_columns.items():
+            csum = df[src].to_numpy().cumsum()
+            win = csum[hi] - np.where(lo > 0, csum[lo - 1], 0)
+            df[alias] = win
+        if count_alias:
+            df[count_alias] = (hi - lo + 1).astype("int64")
         return df
 
     return _bucketed_ordered(ds, keys, num_buckets, batch_size, per_bucket)

@@ -177,3 +177,65 @@ def test_fixed_size_sample_exact_k_deterministic_and_null_safe():
     # k > n: returns all valid rows, never a null id
     allrows = fixed_size_sample(ds, "id", 5000)
     assert len(allrows) == 1000
+
+
+def test_rolling_time_frame_matches_bruteforce_with_ties():
+    from cdm_data_loader_utils_ray.stages.windows import rolling_time_frame
+
+    rng = np.random.default_rng(23)
+    n = 300
+    # coarse timestamps force plenty of exact ties (peer rows)
+    ts = pd.to_datetime(rng.integers(0, 40, n) * 1_000_000, unit="us")
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ts": ts,
+            "x": rng.integers(-5, 50, n).astype("int64"),
+            "rid": np.arange(n),
+        }
+    )
+    out = (
+        rolling_time_frame(_ds(df, blocks=4), ["k"], "ts", "10s",
+                           {"x": "s"}, count_alias="c", num_buckets=3)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    # brute force: BY VALUE window [ts - 10s, ts] within the key,
+    # INCLUDING peers — independent of any tie order
+    lo = df["ts"] - pd.Timedelta("10s")
+    for i in range(n):
+        m = (df["k"] == df.loc[i, "k"]) & (df["ts"] >= lo[i]) & (
+            df["ts"] <= df.loc[i, "ts"]
+        )
+        row = out[out["rid"] == df.loc[i, "rid"]].iloc[0]
+        assert row["c"] == int(m.sum()), i
+        assert row["s"] == int(df.loc[m, "x"].sum()), i
+
+
+def test_rolling_time_frame_null_ts_raises_and_empty_interval():
+    import pytest
+
+    from cdm_data_loader_utils_ray.stages.windows import rolling_time_frame
+
+    df = pd.DataFrame(
+        {"k": [1, 1], "ts": pd.to_datetime([1_000_000, None], unit="us"),
+         "x": [1, 2]}
+    )
+    with pytest.raises(Exception, match="null timestamps"):
+        rolling_time_frame(_ds(df, blocks=1), ["k"], "ts", "1s",
+                           {"x": "s"}, num_buckets=1).to_pandas()
+    # zero interval: the frame is exactly the peer set
+    df2 = pd.DataFrame(
+        {"k": [1, 1, 1], "ts": pd.to_datetime([5, 5, 9], unit="s"),
+         "x": [1, 2, 4]}
+    )
+    out = (
+        rolling_time_frame(_ds(df2, blocks=1), ["k"], "ts", "0s",
+                           {"x": "s"}, count_alias="c", num_buckets=1)
+        .to_pandas()
+        .sort_values(["ts", "x"])
+        .reset_index(drop=True)
+    )
+    assert out["s"].tolist() == [3, 3, 4]
+    assert out["c"].tolist() == [2, 2, 1]
