@@ -4657,6 +4657,307 @@ ORDER BY u, doc_id LIMIT 200
 """
 
 
+# ---------------------------------------------------------------------------
+# 95. TPC-H-Q3-shaped shipping priority: the canonical 3-way join pyramid
+#     (dim-filter -> broadcast semi-filter -> large-large partitioned hash
+#     join -> grouped exact-cents revenue -> bounded top-k).  Reference
+#     parity: the multi-join + groupBy + orderBy/limit plan shape of the
+#     reference's loader queries (SURVEY §2.5/§2.7).  Scale notes: customer
+#     is the SMALL side (broadcast key set via ray.put, zero shuffle);
+#     lineitem x orders is the genuinely large join (one bucket shuffle per
+#     side, stages/keyed.hash_join); revenue sums int64 1e-4 units (float
+#     sums flip cent boundaries between summation orders); top-10 is a
+#     per-block partial top-k + driver merge, never a global sort.
+# ---------------------------------------------------------------------------
+def q3_shipping_priority(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    cutoff = pa.scalar(pd.Timestamp("1998-06-01"), type=pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ckeys_ref = ray.put(
+        pa.array(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(),
+            type=pa.int64(),
+        )
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(batch["o_orderdate"], cutoff),
+            pc.is_in(batch["o_custkey"].cast(pa.int64()), value_set=ray.get(ckeys_ref)),
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": pc.strftime(b["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    ords = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    joined = hash_join(li, ords, on=["o_orderkey"], how="inner", num_buckets=32)
+    agg = grouped_partial_sums(
+        joined,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_e4": "rev_e4"},
+        count_alias="__n",
+    )
+
+    order_cols = ["revenue", "o_orderkey"]
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # the FINAL merge's total order (rounded revenue DESC, orderkey ASC):
+        # ordering by raw rev_e4 could drop a row that ties after rounding
+        df["revenue"] = round_half_away(df["rev_e4"].to_numpy() / 1e4, 2)
+        return df.sort_values(order_cols, ascending=[False, True]).head(10)
+
+    parts = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(order_cols, ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+Q3_SHIPPING_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+             2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 96. Gaps-and-islands: longest run of CONSECUTIVE active days per user
+#     (the SQL row_number-difference trick, distributed).  Combiner: each
+#     batch reduces to its distinct (user, day) pairs BEFORE the key-bucket
+#     shuffle, so the exchange carries O(users x active_days) — bounded by
+#     the calendar, not the event count.  Per bucket one vectorized
+#     run-boundary scan (day diff != 1) + two C-level groupbys.
+# ---------------------------------------------------------------------------
+def user_streaks(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])
+        )
+        b = batch.filter(keep)
+        days = pc.cast(
+            pc.floor_temporal(b["ts"], unit="day"), pa.date32()
+        ).cast(pa.int32()).cast(pa.int64())
+        t = pa.table({"user_id": b["user_id"].cast(pa.int64()), "day": days})
+        t = t.group_by(["user_id", "day"]).aggregate([])  # per-batch distinct
+        return _add_bucket(t, ["user_id"], 64)
+
+    keyed = ev.map_batches(day_pairs, batch_format="pyarrow")
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="stable"
+        )
+        if d.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "max_streak": pd.Series([], dtype="int64")}
+            )
+        u = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        new_run = np.ones(len(d), dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        d = d.assign(__run=np.cumsum(new_run))
+        runs = d.groupby(["user_id", "__run"], sort=False).size()
+        out = runs.groupby("user_id", sort=False).max().reset_index(name="max_streak")
+        out["max_streak"] = out["max_streak"].astype("int64")
+        return out
+
+    return keyed.groupby(_BUCKET).map_groups(streaks, batch_format="pandas")
+
+
+USER_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+i AS (
+  SELECT user_id,
+         (day - DATE '1970-01-01')
+         - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+r AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+SELECT user_id, max(len) AS max_streak FROM r GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 97. Spearman rank correlation of two DISCRETE columns via the joint
+#     contingency table: average ranks are a pure function of the per-value
+#     counts, so one combiner-grouped count by (x, y) (<= |X| x |Y| cells —
+#     here 50 x 11) replaces two corpus-wide rank shuffles entirely.  The
+#     driver folds the tiny cell table with EXACT integer moments
+#     (half-ranks doubled to ints; corr is affine-invariant), one float
+#     division at the end — no accumulation-order drift vs the SQL twin.
+# ---------------------------------------------------------------------------
+def spearman_qty_disc(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    li = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.is_valid(batch["l_quantity"]), pc.is_valid(batch["l_discount"]))
+        )
+        # values are exact multiples of 1 and 0.01: integer keys are exact
+        return pa.table(
+            {
+                "x": pc.round(b["l_quantity"]).cast(pa.int64()),
+                "y": pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    cell_counts = grouped_partial_sums(
+        li.map_batches(cells, batch_format="pyarrow"), ["x", "y"], {}, count_alias="c"
+    ).to_pandas()
+
+    # average rank per distinct value: cum_before + (cnt+1)/2 — doubled to
+    # stay integral (2*rank = 2*cum_before + cnt + 1)
+    def double_ranks(margin: pd.Series) -> dict:
+        margin = margin.sort_index()
+        cnt = margin.to_numpy()
+        cum_before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        return dict(zip(margin.index, (2 * cum_before + cnt + 1).tolist()))
+
+    rx = double_ranks(cell_counts.groupby("x")["c"].sum())
+    ry = double_ranks(cell_counts.groupby("y")["c"].sum())
+    n = sx = sy = sxx = syy = sxy = 0
+    for x, y, c in cell_counts[["x", "y", "c"]].itertuples(index=False):
+        a, b_, c_ = int(rx[x]), int(ry[y]), int(c)
+        n += c_
+        sx += c_ * a
+        sy += c_ * b_
+        sxx += c_ * a * a
+        syy += c_ * b_ * b_
+        sxy += c_ * a * b_
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = float(num) / float(den2) ** 0.5 if den2 > 0 else float("nan")
+    return pd.DataFrame({"spearman_qty_disc": [round(rho, 6)]})
+
+
+SPEARMAN_SQL = """
+WITH rk AS (
+  SELECT rank() OVER (ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY l_discount)
+           + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS ry
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+)
+SELECT round(corr(rx, ry), 6) AS spearman_qty_disc FROM rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# 98. Daily active users with week-over-week comparison: exact COUNT
+#     DISTINCT per day (two-level — per-batch distinct pairs, one bucketed
+#     pair-dedup, per-day count), then a lag-7 self-alignment on the
+#     driver.  The post-aggregate table is one row per DAY — bounded by the
+#     calendar (thousands of rows at any corpus size), so the lag join is
+#     driver-trivial by construction while the distinct runs distributed.
+# ---------------------------------------------------------------------------
+def dau_wow(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch["ts"]))
+        t = pa.table(
+            {
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "user_id": b["user_id"],
+            }
+        )
+        # per-batch distinct: combiner before the pair shuffle
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = ev.map_batches(day_user, batch_format="pyarrow")
+    # one row per (day, user) after the fold; count(DISTINCT) ignores NULL
+    distinct_pairs = grouped_partial_sums(pairs, ["day", "user_id"], {}, count_alias="__c")
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["user_id"].notna()]
+        return d.groupby("day", sort=False).size().reset_index(name="dau")
+
+    daily = (
+        distinct_pairs.map_batches(per_day, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", sort=True)["dau"]
+        .sum()
+        .reset_index()
+    )
+    daily["dau_7ago"] = daily["dau"].shift(7, fill_value=-1)
+    daily["dau"] = daily["dau"].astype("int64")
+    daily["dau_7ago"] = daily["dau_7ago"].astype("int64")
+    return daily[["day", "dau", "dau_7ago"]]
+
+
+DAU_WOW_SQL = """
+WITH dau AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT day, dau, coalesce(lag(dau, 7) OVER (ORDER BY day), -1) AS dau_7ago
+FROM dau
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -4722,6 +5023,10 @@ def registry() -> dict:
         "rolling_time_user": (rolling_time_user, ROLLING_TIME_USER_SQL),
         "json_props_stats": (json_props_stats, JSON_PROPS_STATS_SQL),
         "sample_documents": (sample_documents, SAMPLE_DOCUMENTS_SQL),
+        "q3_shipping_priority": (q3_shipping_priority, Q3_SHIPPING_SQL),
+        "user_streaks": (user_streaks, USER_STREAKS_SQL),
+        "spearman_qty_disc": (spearman_qty_disc, SPEARMAN_SQL),
+        "dau_wow": (dau_wow, DAU_WOW_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
