@@ -4958,6 +4958,74 @@ FROM dau
 """
 
 
+# ---------------------------------------------------------------------------
+# 99. Incremental view maintenance (pipelines/ivm.py): a materialized
+#     GROUP-BY over the lake kept current from the Change Data Feed.  The
+#     history is replayed in TWO batches with a refresh after each, so the
+#     oracle-checked result is produced by the INCREMENTAL path (CDF
+#     post-images + time-travel pre-images of only the changed partitions,
+#     one churn-sized fold) — never by rescanning the table.  Group key is
+#     content-derived (length % 8), so updates MOVE keys between groups and
+#     deletes retire them: the hash check covers the subtract side too.
+# ---------------------------------------------------------------------------
+def incremental_agg(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.pipelines.ivm import MaterializedAggregate
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    tbl = pq.read_table(ev)
+    mid = int(pc.max(tbl["seq"]).as_py()) * 2 // 3
+    early = os.path.join(work, "early.parquet")
+    late = os.path.join(work, "late.parquet")
+    pq.write_table(tbl.filter(pc.less_equal(tbl["seq"], mid)), early)
+    pq.write_table(tbl.filter(pc.greater(tbl["seq"], mid)), late)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        grp = pc.bit_wise_and(pc.utf8_length(batch["content"]), 7)
+        return pa.table(
+            {"grp": grp.cast(pa.int64()), "sum_seq": batch["seq"].cast(pa.int64())}
+        )
+
+    lake_dir = os.path.join(work, "lake")
+    run_replay(early, lake_dir, num_partitions=8)
+    magg = MaterializedAggregate(
+        lake_dir,
+        os.path.join(work, "agg"),
+        key_columns=["repo", "path"],
+        group_columns=["grp"],
+        value_columns=["sum_seq"],
+        derive=derive,
+    )
+    magg.refresh()
+    run_replay(late, lake_dir, num_partitions=8)
+    m = magg.refresh()
+    assert m["refreshed"] and m["from_epoch"] is not None
+    out = magg.read().to_pandas()[["grp", "n_keys", "sum_seq"]].astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+INCREMENTAL_AGG_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY path ORDER BY seq DESC) rn FROM ev),
+w AS (SELECT * FROM r WHERE rn = 1 AND op <> 'delete')
+SELECT length(content) % 8 AS grp,
+       count(*) AS n_keys,
+       CAST(sum(seq) AS BIGINT) AS sum_seq
+FROM w GROUP BY 1
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5027,6 +5095,7 @@ def registry() -> dict:
         "user_streaks": (user_streaks, USER_STREAKS_SQL),
         "spearman_qty_disc": (spearman_qty_disc, SPEARMAN_SQL),
         "dau_wow": (dau_wow, DAU_WOW_SQL),
+        "incremental_agg": (incremental_agg, INCREMENTAL_AGG_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -334,6 +334,7 @@ class LakeTable:
         manifest: Manifest | None = None,
         live_only: bool = True,
         column_range: dict | None = None,
+        pids: "Sequence[int] | None" = None,
     ):
         """Committed state as a ``ray.data.Dataset``: one task per
         partition LWW-merges its delta chain (streaming across
@@ -343,7 +344,12 @@ class LakeTable:
         None): rows are filtered to the ranges AND partitions whose chain
         footers prove no overlap are skipped before any data IO
         (:func:`chain_may_match` — Delta-style data skipping from the
-        parquet statistics already on disk)."""
+        parquet statistics already on disk).
+
+        ``pids`` restricts the read to a subset of partitions — the
+        churn-proportional pre-image read for incremental view maintenance
+        (pipelines/ivm.py): only partitions the CDF window names are
+        opened at all."""
         import ray.data as rd
 
         m = manifest or self.latest_manifest()
@@ -352,7 +358,7 @@ class LakeTable:
             return rd.from_arrow(schema.empty_table())
         table_dir = self.dir
         chains = {p.pid: list(p.files) for p in m.partitions.values()}
-        pids = sorted(chains)
+        want = sorted(chains) if pids is None else sorted(set(pids) & set(chains))
         ranges = dict(column_range or {})
         # type the bounds from the committed schema (r3 ADVICE: a CLI
         # `--range col:100:200` on a string column would otherwise carry
@@ -400,7 +406,9 @@ class LakeTable:
             # skipped-partition batches still need the output schema
             return pa.concat_tables(out) if out else out_schema.empty_table()
 
-        return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
+        if not want:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_items(want, override_num_blocks=len(want)).map_batches(
             merge_chain, batch_size=1
         )
 
@@ -448,6 +456,45 @@ class LakeTable:
         or window files already vacuumed away."""
         import ray.data as rd
 
+        windows, m_to = self._change_windows(from_epoch, to_epoch)
+        out_schema = m_to.schema.append(pa.field("change_type", pa.string()))
+        if not windows:
+            return rd.from_arrow(out_schema.empty_table())
+        table_dir = self.dir
+        pids = sorted(windows)
+
+        def changes(batch: dict) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = []
+            for pid in batch["item"]:
+                t = merge_chain_files(table_dir, windows[int(pid)], m_to)
+                if "is_deleted" in t.column_names:
+                    ct = pc.if_else(
+                        pc.equal(t["is_deleted"], True),
+                        pa.scalar("delete"),
+                        pa.scalar("upsert"),
+                    )
+                else:
+                    ct = pa.array(["upsert"] * len(t))
+                out.append(t.append_column("change_type", ct))
+            return pa.concat_tables(out) if out else out_schema.empty_table()
+
+        return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
+            changes, batch_size=1
+        )
+
+    def _change_windows(
+        self, from_epoch: int | None, to_epoch: int | None = None
+    ) -> "tuple[dict[int, list[str]], Manifest]":
+        """Per-partition delta-file windows in ``(from_epoch, to_epoch]``:
+        pid -> files the chain gained, with the full-chain fallback folded
+        in wherever per-epoch granularity is lost (state-changing rewrite,
+        partition remap, vacuumed window files).  Shared by
+        :meth:`read_changes` and the IVM refresh (``pipelines/ivm.py``) —
+        the key set of the returned files is a SUPERSET of the keys whose
+        winner changed in the window (exact per-key under granularity,
+        whole-partition under fallback)."""
         m_to = self.latest_manifest() if to_epoch is None else self.read_manifest(to_epoch)
         if m_to is None:
             raise ValueError("no committed manifest")
@@ -500,32 +547,7 @@ class LakeTable:
         for pid in fallback:
             windows[pid] = to_chains.get(pid, [])
         windows = {pid: fs for pid, fs in windows.items() if fs and pid in to_chains}
-        out_schema = m_to.schema.append(pa.field("change_type", pa.string()))
-        if not windows:
-            return rd.from_arrow(out_schema.empty_table())
-        table_dir = self.dir
-        pids = sorted(windows)
-
-        def changes(batch: dict) -> pa.Table:
-            import pyarrow.compute as pc
-
-            out = []
-            for pid in batch["item"]:
-                t = merge_chain_files(table_dir, windows[int(pid)], m_to)
-                if "is_deleted" in t.column_names:
-                    ct = pc.if_else(
-                        pc.equal(t["is_deleted"], True),
-                        pa.scalar("delete"),
-                        pa.scalar("upsert"),
-                    )
-                else:
-                    ct = pa.array(["upsert"] * len(t))
-                out.append(t.append_column("change_type", ct))
-            return pa.concat_tables(out) if out else out_schema.empty_table()
-
-        return rd.from_items(pids, override_num_blocks=len(pids)).map_batches(
-            changes, batch_size=1
-        )
+        return windows, m_to
 
     def vacuum(self, keep_epochs: int = 2) -> list[str]:
         """Delete data files not referenced by the last ``keep_epochs``
