@@ -14,14 +14,16 @@ from __future__ import annotations
 
 import os
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from cdm_data_loader_utils_ray.core.schemas import DELETED_COLUMN
 from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.stages.partition import zorder_key
 
 
 def _rewrite_partitions(
@@ -31,6 +33,7 @@ def _rewrite_partitions(
     metrics_key: str,
     column_range: dict | None = None,
     state_preserving: bool = False,
+    row_group_size: int | None = None,
 ) -> Manifest:
     """Rewrite each partition with ``rewrite(table, pid)`` (None = keep
     as-is) via one Ray task per partition, then commit epoch+1.
@@ -84,7 +87,7 @@ def _rewrite_partitions(
                              "rows": len(t), "hwm_seq": -1, "live_keys": -1,
                              "bytes": -1, "touched_rows": touched})
                 continue
-            entry = lake.write_partition(new, pid, epoch)
+            entry = lake.write_partition(new, pid, epoch, row_group_size=row_group_size)
             rows.append({"pid": pid, "changed": True, "file": entry.file,
                          "rows": entry.rows, "hwm_seq": entry.hwm_seq,
                          "live_keys": entry.live_keys, "bytes": entry.bytes,
@@ -140,7 +143,9 @@ def _rewrite_partitions(
 
 
 def compact(table: LakeTable, drop_tombstones: bool = True,
-            run_id: str = "compaction", sort_by: str | None = None) -> Manifest:
+            run_id: str = "compaction", sort_by: str | None = None,
+            zorder_by: Sequence[str] | None = None,
+            row_group_size: int | None = None) -> Manifest:
     """OPTIMIZE analogue: rewrite partitions dropping tombstones.
 
     Dropping a tombstone forgets the delete's ``seq``; safe once no events
@@ -149,11 +154,22 @@ def compact(table: LakeTable, drop_tombstones: bool = True,
     their files; pair with ``table.vacuum()`` to remove orphans.
 
     ``sort_by``: physically order each folded partition file by a column
-    (1-D OPTIMIZE/ZORDER analogue) — the rewritten file's row-group and
-    footer min/max stats become TIGHT ranges, so subsequent
+    (1-D OPTIMIZE analogue) — the rewritten file's row-group and footer
+    min/max stats become TIGHT ranges, so subsequent
     ``read_state(column_range=...)`` / ``update_where`` data skipping
     prunes precisely instead of conservatively.  Forces a rewrite of
-    every partition (a sort IS a rewrite)."""
+    every partition (a sort IS a rewrite).
+
+    ``zorder_by``: 2-4 numeric/temporal columns — physically order by the
+    Morton interleave of their bits (Delta ``OPTIMIZE ZORDER BY``
+    analogue, ``stages/partition.zorder_key``), so row-group stats tighten
+    on ALL the columns at once and a post-compaction
+    ``read_state(column_range=...)`` prunes row groups within the single
+    chain file (``merge_chain_files`` single-file pruning) on any of them.
+    Pair with ``row_group_size`` (rows per parquet row group) to pick the
+    skipping granularity; mutually exclusive with ``sort_by``."""
+    if sort_by is not None and zorder_by is not None:
+        raise ValueError("pass sort_by or zorder_by, not both")
 
     def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
         dropped = 0
@@ -168,10 +184,15 @@ def compact(table: LakeTable, drop_tombstones: bool = True,
         if sort_by is not None:
             t = t.sort_by([(sort_by, "ascending")])
             changed = True
+        if zorder_by is not None:
+            z = zorder_key(t, list(zorder_by))
+            t = t.take(pa.array(np.argsort(z, kind="stable")))
+            changed = True
         return (t, dropped) if changed else (None, 0)
 
     return _rewrite_partitions(table, rewrite, run_id, "compacted_partitions",
-                               state_preserving=True)
+                               state_preserving=True,
+                               row_group_size=row_group_size)
 
 
 def fold_long_chains(

@@ -206,17 +206,64 @@ def chain_may_match(
     return False
 
 
-def merge_chain_files(table_dir: str, files: list[str], m: "Manifest") -> pa.Table:
+def select_row_groups(md, column_ranges: dict) -> list[int]:
+    """Row groups of one parquet file whose footer stats MAY overlap every
+    range in ``column_ranges`` (col -> (lo, hi)).  Conservative: a missing
+    column (e.g. a physical name predating a rename), absent stats, or a
+    type-mismatched comparison keeps the group."""
+    names = md.schema.to_arrow_schema().names
+    keep = []
+    for rg in range(md.num_row_groups):
+        ok = True
+        for c, (lo, hi) in column_ranges.items():
+            if c not in names:
+                continue
+            st = md.row_group(rg).column(names.index(c)).statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                if (lo is not None and st.max < lo) or (hi is not None and st.min > hi):
+                    ok = False
+                    break
+            except TypeError:
+                continue
+        if ok:
+            keep.append(rg)
+    return keep
+
+
+def merge_chain_files(
+    table_dir: str, files: list[str], m: "Manifest", column_ranges: dict | None = None
+) -> pa.Table:
     """LWW-merge one partition's delta-chain files, applying the manifest's
     ``rename_history`` per file BEFORE schema alignment (older chain files
     may predate a column rename; without the rename they would silently
     align to null) — the same per-file treatment as
-    ``pipelines.cdc._merge_chain_table``."""
+    ``pipelines.cdc._merge_chain_table``.
+
+    ``column_ranges`` enables ROW-GROUP pruning — but ONLY on a
+    single-file chain: within one file keys are unique (every data file is
+    a merged state/delta), so dropping out-of-range groups cannot change
+    any LWW outcome.  Across a multi-file chain it could — pruning an
+    out-of-range WINNER would resurrect an in-range loser from an older
+    file — so longer chains always read fully (file-level skipping via
+    :func:`chain_may_match` still applies upstream)."""
+
+    def _read(f: str) -> pa.Table:
+        path = os.path.join(table_dir, f)
+        if column_ranges and len(files) == 1:
+            pf = pq.ParquetFile(path)
+            keep = select_row_groups(pf.metadata, column_ranges)
+            if len(keep) < pf.metadata.num_row_groups:
+                return (
+                    pf.read_row_groups(keep)
+                    if keep
+                    else pf.schema_arrow.empty_table()
+                )
+        return pq.read_table(path)
+
     parts = [
-        align_to_schema(
-            rename_columns(pq.read_table(os.path.join(table_dir, f)), m.rename_history),
-            m.schema,
-        )
+        align_to_schema(rename_columns(_read(f), m.rename_history), m.schema)
         for f in files
     ]
     return merge_states(None, pa.concat_tables(parts), m.schema)
@@ -284,13 +331,20 @@ class LakeTable:
     def abspath(self, rel: str) -> str:
         return os.path.join(self.dir, rel)
 
-    def write_partition(self, table: pa.Table, pid: int, epoch: int) -> PartitionEntry:
+    def write_partition(
+        self, table: pa.Table, pid: int, epoch: int, row_group_size: int | None = None
+    ) -> PartitionEntry:
         """Phase-1 write of one partition's full state (immutable file).
         Overwrite-safe: a retried task rewrites the same deterministic path
-        with identical content before any manifest references it."""
+        with identical content before any manifest references it.
+
+        ``row_group_size`` bounds rows per parquet row group — smaller
+        groups mean finer-grained data skipping on sorted/z-ordered
+        rewrites (each group's footer min/max covers fewer rows), at the
+        cost of more footer entries.  None keeps the parquet default."""
         rel = self.partition_file(pid, epoch)
         path = self.abspath(rel)
-        pq.write_table(table, path, compression="zstd")
+        pq.write_table(table, path, compression="zstd", row_group_size=row_group_size)
         # fsync before any manifest can reference this file — the manifest
         # and LATEST are fsynced in _atomic_write, and a durable manifest
         # pointing at page-cache-only parquet breaks crash resume
@@ -394,7 +448,7 @@ class LakeTable:
                     for c, (lo, hi) in ranges.items()
                 ):
                     continue  # footer-proven disjoint: no data IO at all
-                t = merge_chain_files(table_dir, files, m)
+                t = merge_chain_files(table_dir, files, m, column_ranges=ranges)
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
                 for c, (lo, hi) in ranges.items():

@@ -227,3 +227,49 @@ def partition_counts(batch: pa.Table, pid_column: str = PARTITION_COLUMN) -> pd.
     """Per-batch partial count by partition (combiner for metrics)."""
     vc = batch.column(pid_column).to_pandas().value_counts()
     return pd.DataFrame({"pid": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+
+def _spread_bits16(v: np.ndarray, stride: int) -> np.ndarray:
+    """Scatter each of the 16 bits of ``v`` to positions ``b * stride``
+    (uint64) — the Morton-code building block, vectorized over rows."""
+    v = v.astype(np.uint64)
+    out = np.zeros_like(v)
+    for b in range(16):
+        out |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * stride)
+    return out
+
+
+def zorder_key(table: pa.Table, columns: Sequence[str]) -> np.ndarray:
+    """Z-order (Morton) sort key over 2-4 NUMERIC/TIMESTAMP columns: each
+    column is affinely scaled to 16-bit space over ITS range within the
+    table, then the bits interleave.  Sorting a file by this key makes
+    every row group's min/max TIGHT on all interleaved columns at once —
+    multi-column data skipping from one physical order (Delta
+    ``OPTIMIZE ZORDER BY`` analogue).
+
+    Per-table scaling is sound because the z-key never leaves this call:
+    pruning reads the real column statistics, the key only decides row
+    placement.  Nulls/NaNs scale to 0 (cluster first, never dropped)."""
+    if not 2 <= len(columns) <= 4:
+        raise ValueError("zorder_key wants 2-4 columns")
+    k = len(columns)
+    z = np.zeros(len(table), dtype=np.uint64)
+    for i, c in enumerate(columns):
+        col = table[c]
+        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+            col = col.cast(pa.int64())
+        if not (pa.types.is_integer(col.type) or pa.types.is_floating(col.type)):
+            raise ValueError(f"zorder column {c!r} must be numeric/temporal")
+        x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        finite = np.isfinite(x)
+        if not finite.any():
+            continue
+        mn, mx = x[finite].min(), x[finite].max()
+        scaled = (
+            np.clip((x - mn) / (mx - mn) * 65535.0, 0.0, 65535.0)
+            if mx > mn
+            else np.zeros_like(x)
+        )
+        scaled = np.where(finite, scaled, 0.0).astype(np.uint64)
+        z |= _spread_bits16(scaled, k) << np.uint64(i)
+    return z
