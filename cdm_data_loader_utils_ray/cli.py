@@ -77,7 +77,12 @@ def cmd_compact(args) -> int:
     from cdm_data_loader_utils_ray.pipelines.maintenance import compact
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    m = compact(LakeTable(args.lake))
+    m = compact(
+        LakeTable(args.lake),
+        sort_by=args.sort_by,
+        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+        row_group_size=args.row_group_size,
+    )
     print(json.dumps({"epoch": m.epoch, **m.metrics}))
     ray.shutdown()
     return 0
@@ -386,6 +391,13 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("compact", help="drop tombstones, rewrite partitions")
     c.add_argument("--lake", required=True)
+    c.add_argument("--sort-by", default=None,
+                   help="physically order each file by this column")
+    c.add_argument("--zorder-by", default=None,
+                   help="comma-separated 2-4 numeric/temporal columns: "
+                        "Morton-interleave order for multi-column skipping")
+    c.add_argument("--row-group-size", type=int, default=None,
+                   help="rows per parquet row group (skipping granularity)")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")

@@ -5026,6 +5026,98 @@ FROM w GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 100. Collocation mining: pointwise mutual information of the top-20
+#      bigrams.  Three cheap passes, none corpus-shuffling more than the
+#      gram combiner: (1) the existing bucketed top-k bigram machinery,
+#      (2) ONE more streaming pass emitting per-batch partial counts for
+#      ONLY the <=40 words the top grams mention (broadcast set) plus the
+#      unigram/bigram totals — a few dozen rows per batch, folded on the
+#      driver, (3) 20 PMI ratios.  The ratio is computed probability-first
+#      (cnt/N terms stay O(1) in magnitude) with the IDENTICAL
+#      parenthesization in both engines, so round(...,6) is stable (same
+#      discipline as unigram_surprisal's ln).
+# ---------------------------------------------------------------------------
+def bigram_pmi(sf_dir: str):
+    import math
+
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+    from cdm_data_loader_utils_ray.functions.vocab import top_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    top = top_ngrams(ds, n=2, k=20)
+
+    words_ref = ray.put(
+        {w for g in top["gram"] for w in g.split(" ")}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, off, _len, valid = _flat_tokens(_lower_exact(pc.fill_null(texts, "")))
+        keep = np.flatnonzero(valid)
+        toks = flat.to_pandas().reset_index(drop=True).iloc[keep]
+        row_of = np.repeat(np.arange(len(off) - 1), np.diff(off))[keep]
+        n1 = len(toks)
+        per_row = np.bincount(row_of, minlength=len(off) - 1) if n1 else np.zeros(1, int)
+        n2 = int(np.maximum(per_row - 1, 0).sum())
+        vc = toks[toks.isin(ray.get(words_ref))].value_counts()
+        keys = list(vc.index) + ["#n1", "#n2"]
+        cs = [int(v) for v in vc.to_numpy()] + [n1, n2]
+        return pa.table({"key": pa.array(keys, pa.string()), "c": pa.array(cs, pa.int64())})
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("key")["c"]
+        .sum()
+    )
+    n1 = float(folded.pop("#n1"))
+    n2 = float(folded.pop("#n2"))
+    wc = folded.to_dict()
+
+    pmi = []
+    for gram, cnt in zip(top["gram"], top["cnt"]):
+        w1, w2 = gram.split(" ", 1)
+        # probability-first: every intermediate stays O(1) — the naive
+        # cnt*n1*n1 product exceeds 2^53 and would round differently
+        # between engines depending on op order
+        val = math.log((cnt / n2) / ((wc[w1] / n1) * (wc[w2] / n1)))
+        pmi.append(round(val, 6))
+    out = top.copy()
+    out["pmi"] = pmi
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["gram", "cnt", "pmi"]]
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '[0-9A-Za-z_]+') AS t
+  FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+tot AS (SELECT count(*)::DOUBLE AS n1 FROM uni),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+),
+btot AS (SELECT count(*)::DOUBLE AS n2 FROM big),
+topg AS (
+  SELECT gram, count(*) AS cnt FROM big GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w)
+SELECT t.gram, t.cnt,
+       round(ln((t.cnt / n2) / ((u1.c / n1) * (u2.c / n1))), 6) AS pmi
+FROM topg t
+JOIN uc u1 ON u1.w = split_part(t.gram, ' ', 1)
+JOIN uc u2 ON u2.w = split_part(t.gram, ' ', 2)
+CROSS JOIN tot CROSS JOIN btot
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5096,6 +5188,7 @@ def registry() -> dict:
         "spearman_qty_disc": (spearman_qty_disc, SPEARMAN_SQL),
         "dau_wow": (dau_wow, DAU_WOW_SQL),
         "incremental_agg": (incremental_agg, INCREMENTAL_AGG_SQL),
+        "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),
