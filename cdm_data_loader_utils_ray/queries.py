@@ -5118,6 +5118,67 @@ CROSS JOIN tot CROSS JOIN btot
 """
 
 
+# ---------------------------------------------------------------------------
+# 101. SCD Type 2 history (U-family, beyond reference): the events log as a
+#      change feed of a user dimension — collapse consecutive same-type runs
+#      per user into versioned rows with [valid_from, valid_to) event-id
+#      ranges and an is_current flag.  One key-bucket shuffle, vectorized
+#      run-length collapse inside (stages/scd.scd2_history).
+# ---------------------------------------------------------------------------
+def scd2_user_type(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.scd import scd2_history
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    hist = scd2_history(ds, ["user_id"], "event_id", ["event_type"], num_buckets=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                    "valid_from": pd.Series(dtype="int64"),
+                    "valid_to": pd.Series(dtype="int64"),
+                    "is_current": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "valid_from": df["valid_from"].astype("int64"),
+                "valid_to": df["valid_to"].fillna(-1).astype("int64"),
+                "is_current": df["is_current"].astype("int64"),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pandas")
+
+
+SCD2_USER_TYPE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(event_id)  OVER w AS prev_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+s AS (
+  SELECT user_id, event_type, event_id AS valid_from FROM o
+  WHERE prev_id IS NULL OR prev_type IS DISTINCT FROM event_type
+),
+v AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS nxt
+  FROM s
+)
+SELECT user_id, event_type, valid_from,
+       coalesce(nxt, -1) AS valid_to,
+       CAST(nxt IS NULL AS BIGINT) AS is_current
+FROM v
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5189,6 +5250,7 @@ def registry() -> dict:
         "dau_wow": (dau_wow, DAU_WOW_SQL),
         "incremental_agg": (incremental_agg, INCREMENTAL_AGG_SQL),
         "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+        "scd2_user_type": (scd2_user_type, SCD2_USER_TYPE_SQL),
         # -- (3) core §2 family representatives (prior driver-green) ---------
         "cdc_full_replay": (cdc_full_replay, CDC_FULL_REPLAY_SQL),
         "cdc_streaming_replay": (cdc_streaming_replay, CDC_FULL_REPLAY_SQL),

@@ -239,3 +239,51 @@ def test_rolling_time_frame_null_ts_raises_and_empty_interval():
     )
     assert out["s"].tolist() == [3, 3, 4]
     assert out["c"].tolist() == [2, 2, 1]
+
+
+def test_scd2_history_collapses_runs_and_nulls():
+    from cdm_data_loader_utils_ray.stages.scd import scd2_history
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "a", "b", "b", "c"],
+            "seq": [1, 2, 3, 4, 5, 1, 2, 1],
+            # a: x,x,(null),(null),y -> versions x@1, null@3, y@5
+            # b: x,x -> one open version; c: single null version
+            "attr": ["x", "x", None, None, "y", "x", "x", None],
+        }
+    )
+    out = (
+        scd2_history(rd.from_pandas(df), ["k"], "seq", ["attr"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a", "a", "a", "b", "c"]
+    assert list(out["valid_from"]) == [1, 3, 5, 1, 1]
+    assert list(out["valid_to"].fillna(-1).astype(int)) == [3, 5, -1, -1, -1]
+    assert list(out["is_current"]) == [False, False, True, True, True]
+    assert [None if pd.isna(v) else v for v in out["attr"]] == ["x", None, "y", "x", None]
+
+
+def test_scd2_history_multi_attr_and_key():
+    from cdm_data_loader_utils_ray.stages.scd import scd2_history
+
+    df = pd.DataFrame(
+        {
+            "k1": [1, 1, 1],
+            "k2": ["p", "p", "p"],
+            "seq": [10, 20, 30],
+            "a": [1, 1, 2],
+            "b": ["u", "v", "v"],  # change at 20 (b), change at 30 (a)
+        }
+    )
+    out = (
+        scd2_history(rd.from_pandas(df), ["k1", "k2"], "seq", ["a", "b"], num_buckets=2)
+        .to_pandas()
+        .sort_values("valid_from")
+        .reset_index(drop=True)
+    )
+    assert list(out["valid_from"]) == [10, 20, 30]
+    assert list(out["valid_to"].fillna(-1).astype(int)) == [20, 30, -1]
+    assert list(out["is_current"]) == [False, False, True]
