@@ -5179,6 +5179,337 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# 102. Co-purchase pair mining (market-basket self-join, J-family beyond
+#      reference): distinct (order, part), then all within-order part pairs
+#      generated VECTORIZED inside an orderkey-bucketed shuffle — the
+#      self-join never materializes globally because every bucket holds all
+#      lines of its orders, so pair emission is local and fan-bounded
+#      (m*(m-1)/2 per order, m ~ lines-per-order).  Pair counts fold through
+#      a partial-sum combiner; exact top-100 via per-block partial top-k.
+# ---------------------------------------------------------------------------
+def copurchase_pairs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        # within-batch distinct first (combiner): shrinks the shuffle; the
+        # GLOBAL distinct happens inside the bucket where all rows of an
+        # order meet
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    keyed = ds.map_batches(bucket, batch_format="pyarrow")
+
+    _empty = pd.DataFrame(
+        {
+            "part_a": pd.Series(dtype="int64"),
+            "part_b": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        n = len(d)
+        if n == 0:
+            return _empty.copy()
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        # rem[i] = rows after i inside i's order = group_end(i) - i - 1;
+        # each row pairs with exactly those rows (sorted, so pk[a] < pk[b])
+        last = np.concatenate([ok[1:] != ok[:-1], [True]])
+        ends = np.flatnonzero(last) + 1
+        sizes = np.diff(np.concatenate([[0], ends]))
+        group_end = np.repeat(ends, sizes)
+        rem = group_end - np.arange(n) - 1
+        total = int(rem.sum())
+        if total == 0:
+            return _empty.copy()
+        a_idx = np.repeat(np.arange(n), rem)
+        cum = np.concatenate([[0], np.cumsum(rem)])
+        b_idx = a_idx + (np.arange(total) - np.repeat(cum[:-1], rem)) + 1
+        out = pd.DataFrame({"part_a": pk[a_idx], "part_b": pk[b_idx]})
+        # in-bucket combiner: one vectorized groupby before the tiny final
+        g = out.groupby(["part_a", "part_b"], sort=False).size()
+        return g.rename("c").reset_index()
+
+    pair_counts = keyed.groupby(_BUCKET).map_groups(pairs, batch_format="pandas")
+    # buckets partition by ORDER key, so the same (part_a, part_b) appears
+    # in many buckets: one more small fold over the pair-count partials
+    agg = grouped_partial_sums(
+        pair_counts, ["part_a", "part_b"], {"n_orders": "c"}, count_alias="__nb"
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(100)[["part_a", "part_b", "n_orders"]]
+
+    parts = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+        )
+        .head(100)
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+COPURCHASE_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 103. Grouped OLS regression (A-family): slope / intercept of extendedprice
+#      (cents) on quantity per linestatus from EXACT integer moments —
+#      the same grouped_exact_sums machinery as corr_qty_price (entry 86),
+#      so the distributed sums are arbitrary-precision and the only float
+#      ops are the two final divisions, identical on both engines.
+# ---------------------------------------------------------------------------
+def regr_price_qty(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prepare(d: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        x = _round_away(d["l_quantity"].to_numpy(np.float64), 0).astype(np.int64)
+        y = _round_away(d["l_extendedprice"].to_numpy(np.float64) * 100.0,
+                        0).astype(np.int64)
+        # per-batch int64 headroom for sum(y*y) — bound from the actual
+        # batch length (see corr_qty_price)
+        bound = math.isqrt((1 << 62) // max(len(d), 1))
+        if np.abs(y).max(initial=0) > bound:
+            raise ValueError(
+                "regr_price_qty: |cents| exceeds per-batch int64 headroom "
+                f"({bound} at {len(d)} rows) — lower batch_size"
+            )
+        return pd.DataFrame(
+            {"k": d["l_linestatus"], "x": x, "y": y, "xy": x * y, "xx": x * x}
+        )
+
+    moments = grouped_exact_sums(ds, "k", prepare, ["x", "y", "xy", "xx"])
+    rows = []
+    for k in sorted(moments):
+        n, sx, sy, sxy, sxx = moments[k]
+        den = n * sxx - sx * sx  # exact Python int, same value as HUGEINT
+        if den == 0:
+            slope = icept = None
+        else:
+            slope = float(_round_away(
+                float(n * sxy - sx * sy) / float(den), 6))
+            icept = float(_round_away(
+                float(sy * sxx - sx * sxy) / float(den), 4))
+        rows.append({"l_linestatus": k, "n": n,
+                     "slope_cents": slope, "intercept_cents": icept})
+    return pd.DataFrame(
+        rows, columns=["l_linestatus", "n", "slope_cents", "intercept_cents"]
+    )
+
+
+REGR_PRICE_QTY_SQL = """
+WITH q AS (
+  SELECT l_linestatus,
+         CAST(round(l_quantity, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_linestatus, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM q GROUP BY l_linestatus
+)
+SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_cents,
+       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 4) AS intercept_cents
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 104. Per-user behavioral diversity (Gini impurity of the event-type
+#      distribution, A-family): two chained partial-sum combiners —
+#      (user, type) counts, then per-user count moments.  Float-exact by
+#      construction: every term (c, c^2, n^2) is an exact small integer in
+#      double, and the ONLY float ops are one division and one subtraction,
+#      bit-identical on both engines (unlike entropy, no sum-of-logs whose
+#      accumulation order could diverge).
+# ---------------------------------------------------------------------------
+def user_type_gini(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        # the SQL twin's WHERE drops null types on both engines
+        return batch.filter(pc.is_valid(batch["event_type"]))
+
+    counts = grouped_partial_sums(
+        ev.map_batches(nonnull, batch_format="pyarrow"),
+        ["user_id", "event_type"], {}, count_alias="c",
+    )
+
+    def square(df: pd.DataFrame) -> pd.DataFrame:
+        df["cc"] = df["c"] * df["c"]
+        return df
+
+    per_user = grouped_partial_sums(
+        counts.map_batches(square, batch_format="pandas"),
+        ["user_id"], {"n_events": "c", "sum_cc": "cc"}, count_alias="n_types",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy(np.float64)
+        cc = df["sum_cc"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "n_types": df["n_types"].astype("int64"),
+                "gini": _round_away(1.0 - cc / (n * n), 6),
+            }
+        )
+
+    return per_user.map_batches(finish, batch_format="pandas")
+
+
+USER_TYPE_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       count(*) AS n_types,
+       round(1 - CAST(sum(c * c) AS DOUBLE)
+                 / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS gini
+FROM c GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 105. Inverted-index build (posting lists, the retrieval-side counterpart
+#      of tfidf_terms): tokenize -> DISTINCT (term, doc) via a term-bucketed
+#      shuffle -> ONE materialize checkpoint feeding two consumers (df
+#      counts for the top-k cut, posting-list assembly) -> ordered
+#      string_agg of doc ids per surviving term.  k is small, so the final
+#      per-term map_groups is bounded at k groups.
+# ---------------------------------------------------------------------------
+def posting_lists(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.textstats import _flat_tokens, _lower_exact
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_doc(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, off, _len, valid = _flat_tokens(_lower_exact(pc.fill_null(texts, "")))
+        keep = np.flatnonzero(valid)
+        row_of = np.repeat(np.arange(len(off) - 1), np.diff(off))[keep]
+        doc_ids = batch["doc_id"].to_numpy()
+        t = pa.table(
+            {
+                "term": flat.take(pa.array(keep, pa.int64())),
+                "doc_id": pa.array(doc_ids[row_of], pa.int64()),
+            }
+        )
+        # within-batch distinct (combiner) before the term shuffle
+        t = t.group_by(["term", "doc_id"]).aggregate([])
+        return _add_bucket(t, ["term"], 64)
+
+    def distinct_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["term", "doc_id"])[["term", "doc_id"]]
+
+    # checkpoint: the distinct (term, doc) table feeds TWO consumers (df
+    # counts + posting assembly) — without it the tokenize+shuffle lineage
+    # re-executes per consumer (see pipelines/curation.py)
+    td = (
+        ds.map_batches(term_doc, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    k = 50
+    dfc = grouped_partial_sums(td, ["term"], {}, count_alias="df")
+
+    def partial_topk(d: pd.DataFrame) -> pd.DataFrame:
+        return d.sort_values(["df", "term"], ascending=[False, True]).head(k)
+
+    parts = dfc.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(["df", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df_of = dict(zip(top["term"], top["df"].astype(int)))
+    top_ref = ray.put(pa.array(sorted(df_of), pa.string()))
+
+    def only_top(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=ray.get(top_ref)))
+
+    def assemble(d: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(d["doc_id"].to_numpy())
+        term = d["term"].iloc[0]
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "df": np.array([df_of[term]], dtype="int64"),
+                "postings": [pd.Series(s).astype(str).str.cat(sep=",")],
+            }
+        )
+
+    # k is tiny: grouping by the raw term is safe here (bounded at k
+    # map_groups invocations), unlike high-cardinality keys
+    return (
+        td.map_batches(only_top, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+POSTING_LISTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[0-9A-Za-z_]+')) AS term
+  FROM documents
+),
+td AS (SELECT DISTINCT term, doc_id FROM toks),
+dfc AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+top AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 50)
+SELECT t.term, t.df,
+       string_agg(CAST(td.doc_id AS VARCHAR), ',' ORDER BY td.doc_id) AS postings
+FROM top t JOIN td ON td.term = t.term
+GROUP BY t.term, t.df
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5192,6 +5523,11 @@ def registry() -> dict:
     checks every entry against its DuckDB twin every run.
     """
     return {
+        # -- (0) newest this session -----------------------------------------
+        "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
+        "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
+        "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),
+        "posting_lists": (posting_lists, POSTING_LISTS_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
