@@ -96,6 +96,15 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    from cdm_data_loader_utils_ray.pipelines.maintenance import restore
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    m = restore(LakeTable(args.lake), args.epoch)
+    print(json.dumps({"epoch": m.epoch, "restored_from": args.epoch}))
+    return 0
+
+
 def cmd_preview(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
@@ -404,6 +413,13 @@ def main(argv=None) -> int:
     v.add_argument("--lake", required=True)
     v.add_argument("--keep", type=int, default=2)
     v.set_defaults(fn=cmd_vacuum)
+
+    rs = sub.add_parser(
+        "restore", help="roll the table back to an earlier epoch (metadata-only)"
+    )
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--epoch", type=int, required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     pv = sub.add_parser("preview", help="print first rows of committed state")
     pv.add_argument("--lake", required=True)

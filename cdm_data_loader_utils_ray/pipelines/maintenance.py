@@ -383,6 +383,60 @@ def migrate_partitions(
     return new_m
 
 
+def restore(table: LakeTable, epoch: int) -> Manifest:
+    """Delta ``RESTORE TABLE ... TO VERSION`` analogue: re-commit the table
+    state of an earlier epoch as a NEW epoch.  Metadata-only — no data file
+    is read or rewritten; the new manifest simply references the target
+    epoch's chains, so the rollback costs O(partitions) regardless of table
+    size.
+
+    Semantics:
+    * history is preserved — the rollback is itself a visible commit
+      (``metrics.restored_from``), and time-travel reads of the epochs
+      between target and rollback still work until vacuum reclaims them;
+    * the per-partition high-water marks roll back with the chains, so
+      re-running the event log RE-APPLIES everything after the restored
+      epoch (the replay contract keeps the rollback convergent);
+    * ``vacuum`` keeps the restored files alive because the new LATEST
+      manifest references them;
+    * raises if any target file was already vacuumed (same failure mode as
+      Delta RESTORE past the retention window).
+    """
+    cur = table.latest_manifest()
+    if cur is None:
+        raise ValueError("no committed manifest to restore from")
+    if epoch == cur.epoch:
+        return cur
+    target = table.read_manifest(epoch)
+    missing = [
+        f
+        for p in target.partitions.values()
+        for f in p.files
+        if not os.path.exists(table.abspath(f))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore to epoch {epoch} impossible: {len(missing)} data file(s) "
+            f"already vacuumed (first: {missing[0]}) — restore only reaches "
+            "epochs inside the vacuum retention window"
+        )
+    m = Manifest(
+        epoch=cur.epoch + 1,
+        num_partitions=target.num_partitions,
+        schema=target.schema,
+        partitions={
+            pid: PartitionEntry.from_json(p.to_json())  # deep copy
+            for pid, p in target.partitions.items()
+        },
+        parent_epoch=cur.epoch,
+        run_id=f"restore-{uuid.uuid4().hex[:8]}",
+        metrics={"restored_from": epoch},
+        rename_history=dict(target.rename_history),
+    )
+    table.commit(m)
+    return m
+
+
 def update_where(
     table: LakeTable,
     predicate: Callable[[pa.Table], pa.Array],

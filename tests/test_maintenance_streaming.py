@@ -358,3 +358,66 @@ def test_merge_into_duplicate_source_keys(lake_with_data):
     after = read_final_state_arrow(table).to_pandas().set_index(["repo", "path"])
     # winner = greatest (commit, content) = ('c2', 'second')
     assert after.loc[("dup/r", "a.txt"), "content"] == "second"
+
+
+def _canon(t):
+    t = t.sort_by([("repo", "ascending"), ("path", "ascending")])
+    # strip nullability flags: read_state_arrow(manifest=...) and the final-
+    # state reader agree on data but not on not-null field metadata
+    return t.cast(pa.schema([pa.field(f.name, f.type) for f in t.schema]))
+
+
+def _sorted_state(table):
+    return _canon(read_final_state_arrow(table))
+
+
+def test_restore_rolls_back_then_replay_reapplies(tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.maintenance import restore
+
+    ev = str(tmp_path / "ev.parquet")
+    write_events(ev, make_events(num_keys=100, num_events=2000, seed=31))
+    lake_dir = str(tmp_path / "lake")
+    run_replay(ev, lake_dir, num_partitions=4, epochs=4)
+    table = LakeTable(lake_dir)
+    latest = table.latest_epoch()
+    final_state = _sorted_state(table)
+
+    target = latest - 2
+    mid_state = _canon(table.read_state_arrow(manifest=table.read_manifest(target)))
+
+    m = restore(table, target)
+    assert m.epoch == latest + 1
+    assert m.metrics["restored_from"] == target
+    # metadata-only rollback: live view == the target epoch's view
+    assert _sorted_state(table).equals(mid_state)
+    # restore to the current epoch is a no-op (returns the live manifest)
+    assert restore(table, m.epoch).epoch == m.epoch
+
+    # hwm rolled back with the chains: a full re-replay re-applies the
+    # post-target events and reconverges on the original final state
+    run_replay(ev, lake_dir, num_partitions=4)
+    assert _sorted_state(table).equals(final_state)
+
+
+def test_restore_survives_vacuum_and_fails_past_retention(tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact, restore
+
+    ev = str(tmp_path / "ev.parquet")
+    write_events(ev, make_events(num_keys=80, num_events=1200, seed=33))
+    lake_dir = str(tmp_path / "lake")
+    run_replay(ev, lake_dir, num_partitions=4, epochs=3)
+    table = LakeTable(lake_dir)
+    latest = table.latest_epoch()
+
+    m = restore(table, latest - 1)
+    view = _sorted_state(table)
+    # the new LATEST references the restored (old) files -> vacuum keeps them
+    table.vacuum(keep_epochs=1)
+    assert _sorted_state(table).equals(view)
+
+    # rewrite everything, then reclaim: epoch-1 files are gone and restore
+    # past the retention window must fail loudly, not half-restore
+    compact(table)
+    table.vacuum(keep_epochs=1)
+    with pytest.raises(ValueError, match="already vacuumed"):
+        restore(table, 1)
