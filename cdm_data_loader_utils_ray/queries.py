@@ -5510,6 +5510,137 @@ GROUP BY t.term, t.df
 """
 
 
+# ---------------------------------------------------------------------------
+# 106. Data profiling (deequ/describe-style, A-family beyond reference):
+#      per-column count/nulls/min/max in ONE shuffle-free combiner pass +
+#      exact distinct counts for ALL columns in ONE bucketed shuffle of
+#      distinct-per-batch (column, value) pairs (functions/profile.py).
+#      Only exactly-mergeable stats — no float sums whose accumulation
+#      order could diverge between engines.
+# ---------------------------------------------------------------------------
+def profile_lineitem(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.profile import profile
+
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    out = profile(_read(sf_dir, "lineitem", columns=cols), cols)
+    # nullable cells coalesce on BOTH sides (driver hash convention)
+    out["min_num"] = out["min_num"].fillna(-1.0)
+    out["max_num"] = out["max_num"].fillna(-1.0)
+    out["min_str"] = out["min_str"].fillna("")
+    out["max_str"] = out["max_str"].fillna("")
+    return out
+
+
+PROFILE_LINEITEM_SQL = """
+SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+       count(*) - count(l_orderkey) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+       '' AS min_str, '' AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity), min(l_quantity), max(l_quantity), '', ''
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), -1, -1,
+       coalesce(min(l_returnflag), ''), coalesce(max(l_returnflag), '')
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate), -1, -1,
+       coalesce(strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'), ''),
+       coalesce(strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S'), '')
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 107. Referential-integrity audit (constraint-validation suite, deequ-style
+#      J/A-family): orphan-FK counts for four parent/child relationships,
+#      each an exact bloom-prefiltered anti-join immediately collapsed to a
+#      count (functions/bloom.anti_join_bloom_agg) — definite non-members
+#      aggregate inside the probe scan, only maybe-members pay the exact
+#      keyed anti-join.  The fourth check is deliberately non-empty
+#      (customers with no events) so the oracle hash discriminates.
+# ---------------------------------------------------------------------------
+def referential_integrity(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.bloom import anti_join_bloom_agg
+
+    checks = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_custkey->events.user_id",
+         "customer", "c_custkey", "events", "user_id"),
+    ]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.array([len(df)], dtype="int64")})
+
+    def count_final(parts: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": np.array([parts["n"].sum() if len(parts) else 0], dtype="int64")}
+        )
+
+    rows = []
+    for name, child, fk, parent, pk in checks:
+        n_child = int(_read(sf_dir, child, columns=[fk]).count())
+
+        def child_factory(_c=child, _fk=fk):
+            def nonnull(b: pa.Table) -> pa.Table:
+                # orphan := fk IS NOT NULL and has no parent (SQL twin's WHERE)
+                return b.filter(pc.is_valid(b[_fk]))
+
+            return _read(sf_dir, _c, columns=[_fk]).map_batches(
+                nonnull, batch_format="pyarrow"
+            )
+
+        parent_ds = _read(sf_dir, parent, columns=[pk]).map_batches(
+            lambda b, _fk=fk: b.rename_columns([_fk]), batch_format="pyarrow"
+        )
+        orphans = anti_join_bloom_agg(
+            child_factory, parent_ds, fk, count_partial, count_final
+        )
+        rows.append(
+            {"relation": name, "n_child": n_child,
+             "n_orphans": int(orphans["n"].iloc[0])}
+        )
+    return pd.DataFrame(rows, columns=["relation", "n_child", "n_orphans"])
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey
+         WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+          ON l.l_partkey = p.p_partkey
+         WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+UNION ALL
+SELECT 'customer.c_custkey->events.user_id',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c LEFT JOIN (SELECT DISTINCT user_id
+          FROM events) e ON c.c_custkey = e.user_id
+         WHERE c.c_custkey IS NOT NULL AND e.user_id IS NULL)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5528,6 +5659,8 @@ def registry() -> dict:
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),
         "posting_lists": (posting_lists, POSTING_LISTS_SQL),
+        "profile_lineitem": (profile_lineitem, PROFILE_LINEITEM_SQL),
+        "referential_integrity": (referential_integrity, REFERENTIAL_INTEGRITY_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),

@@ -374,3 +374,31 @@ def test_jaccard_ngram_pairs_string_ids_and_empty():
     lone = pa.table({"doc_id": [1, 2], "text": ["aa bb cc dd", "xx yy zz ww"]})
     out = jaccard_ngram_pairs(rd.from_arrow(lone), threshold=0.4, k=3)
     assert out.empty and list(out.columns) == ["id_a", "id_b", "jaccard"]
+
+
+def test_profile_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.profile import profile
+
+    df = pd.DataFrame(
+        {
+            "x": [1.5, 2.0, None, 2.0, -3.25, None],
+            "s": ["b", None, "a", "b", "cc", "a"],
+            "t": pd.to_datetime(
+                ["2024-01-02 03:04:05", None, "2023-12-31 23:59:59",
+                 "2024-01-02 03:04:05", "2024-06-01 00:00:00", None]
+            ),
+        }
+    )
+    out = profile(rd.from_pandas(df), ["x", "s", "t"]).set_index("column")
+    assert (out["n_rows"] == 6).all()
+    assert out.loc["x", "n_nulls"] == 2 and out.loc["s", "n_nulls"] == 1
+    assert out.loc["t", "n_nulls"] == 2
+    assert out.loc["x", "n_distinct"] == df["x"].nunique()
+    assert out.loc["s", "n_distinct"] == df["s"].nunique()
+    assert out.loc["t", "n_distinct"] == df["t"].nunique()
+    assert out.loc["x", "min_num"] == -3.25 and out.loc["x", "max_num"] == 2.0
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "cc"
+    assert out.loc["t", "min_str"] == "2023-12-31 23:59:59"
+    assert out.loc["t", "max_str"] == "2024-06-01 00:00:00"
