@@ -105,6 +105,15 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    from cdm_data_loader_utils_ray.pipelines.maintenance import clone_table
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    m = clone_table(LakeTable(args.lake), args.dst, epoch=args.epoch)
+    print(json.dumps({"dst": args.dst, "epoch": m.epoch}))
+    return 0
+
+
 def cmd_preview(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
@@ -420,6 +429,14 @@ def main(argv=None) -> int:
     rs.add_argument("--lake", required=True)
     rs.add_argument("--epoch", type=int, required=True)
     rs.set_defaults(fn=cmd_restore)
+
+    cl = sub.add_parser(
+        "clone", help="zero-copy clone of the table state (hardlinked data files)"
+    )
+    cl.add_argument("--lake", required=True)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--epoch", type=int, default=None)
+    cl.set_defaults(fn=cmd_clone)
 
     pv = sub.add_parser("preview", help="print first rows of committed state")
     pv.add_argument("--lake", required=True)

@@ -437,6 +437,57 @@ def restore(table: LakeTable, epoch: int) -> Manifest:
     return m
 
 
+def clone_table(src: LakeTable, dst_dir: str, epoch: int | None = None) -> Manifest:
+    """Zero-copy table CLONE (Delta ``CREATE TABLE ... CLONE`` analogue):
+    materialize the source state at ``epoch`` (default: latest) as a new
+    independent table under ``dst_dir`` by HARDLINKING the source's live
+    data files — no data is copied, the clone is O(partitions).
+
+    Isolation: parquet files are immutable in this engine (every change
+    writes a new file), so the shared inodes can never observe each
+    other's writes; each side's ``vacuum``/``compact`` only unlinks its
+    own directory entry and the inode survives until both drop it.  The
+    clone keeps the source's per-partition high-water marks, so replaying
+    the same event log onto the clone resumes exactly where the source
+    stood.  Falls back to a file copy when hardlinks cross filesystems.
+    (On an object store, substitute a server-side copy for the link.)
+    """
+    m = src.latest_manifest() if epoch is None else src.read_manifest(epoch)
+    if m is None:
+        raise ValueError("clone_table: source has no committed manifest")
+    dst = LakeTable(dst_dir)
+    if dst.latest_epoch() is not None:
+        raise ValueError(f"clone_table: {dst_dir} already has commits")
+    for p in m.partitions.values():
+        for f in p.files:
+            s, d = src.abspath(f), dst.abspath(f)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+            except OSError:
+                import shutil
+
+                shutil.copy2(s, d)
+    # keep the SOURCE epoch number: data-file names embed their epoch, and
+    # vacuum treats names above LATEST as in-flight writes it must keep —
+    # restarting at epoch 1 would make every cloned file look in-flight
+    out = Manifest(
+        epoch=m.epoch,
+        num_partitions=m.num_partitions,
+        schema=m.schema,
+        partitions={
+            pid: PartitionEntry.from_json(p.to_json())
+            for pid, p in m.partitions.items()
+        },
+        parent_epoch=None,
+        run_id=f"clone-{uuid.uuid4().hex[:8]}",
+        metrics={"cloned_from": src.dir, "source_epoch": m.epoch},
+        rename_history=dict(m.rename_history),
+    )
+    dst.commit(out)
+    return out
+
+
 def update_where(
     table: LakeTable,
     predicate: Callable[[pa.Table], pa.Array],

@@ -5641,6 +5641,78 @@ SELECT 'customer.c_custkey->events.user_id',
 """
 
 
+# ---------------------------------------------------------------------------
+# 108. Connected components with a HARD oracle (T3-adjacent, the clustering
+#      primitive behind every dedup family): build a deterministic
+#      co-activity graph (star edges hub=min(user) per (event_type, day)),
+#      then label-propagate with the DISTRIBUTED variant
+#      (dedup.connected_components_distributed — per-round join + min
+#      shuffle, XOR-fingerprint convergence).  The DuckDB twin computes the
+#      same components via a WITH RECURSIVE min-label walk — the first
+#      end-to-end SQL check of the scale-path CC code (the dedup entries
+#      exercise the driver union-find default).
+# ---------------------------------------------------------------------------
+def components_cc(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(pc.is_valid(batch["event_type"]), pc.is_valid(batch["user_id"]))
+        )
+        # day as int64 micros (injective grouping key, never output)
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.int64())
+        t = pa.table(
+            {"event_type": b["event_type"], "d": day, "user_id": b["user_id"]}
+        )
+        t = t.group_by(["event_type", "d", "user_id"]).aggregate([])
+        return _add_bucket(t, ["event_type", "d"], 64)
+
+    def star(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "d", "user_id"])
+        hub = d.groupby(["event_type", "d"], sort=False)["user_id"].transform("min")
+        out = pd.DataFrame(
+            {"id_a": hub.to_numpy(), "id_b": d["user_id"].to_numpy()}
+        )
+        # includes the hub's self-edge, so singleton groups still emit
+        # their node and isolated users get their own cluster
+        return out.drop_duplicates()
+
+    pairs = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(star, batch_format="pandas")
+    )
+    labels = connected_components_distributed(pairs)
+    return labels.map_batches(
+        lambda b: b.rename_columns(["user_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
+COMPONENTS_CC_SQL = """
+WITH RECURSIVE g AS (
+  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+hub AS (SELECT event_type, d, min(user_id) AS hub FROM g GROUP BY event_type, d),
+edges AS (
+  SELECT DISTINCT h.hub AS a, g.user_id AS b
+  FROM g JOIN hub h ON g.event_type = h.event_type AND g.d = h.d
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+walk(node, lab) AS (
+  SELECT DISTINCT user_id AS node, user_id AS lab FROM g
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT node AS user_id, min(lab) AS cluster FROM walk GROUP BY node
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5661,6 +5733,7 @@ def registry() -> dict:
         "posting_lists": (posting_lists, POSTING_LISTS_SQL),
         "profile_lineitem": (profile_lineitem, PROFILE_LINEITEM_SQL),
         "referential_integrity": (referential_integrity, REFERENTIAL_INTEGRITY_SQL),
+        "components_cc": (components_cc, COMPONENTS_CC_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),

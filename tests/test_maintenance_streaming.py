@@ -421,3 +421,36 @@ def test_restore_survives_vacuum_and_fails_past_retention(tmp_path):
     table.vacuum(keep_epochs=1)
     with pytest.raises(ValueError, match="already vacuumed"):
         restore(table, 1)
+
+
+def test_clone_is_isolated_from_source(tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.maintenance import clone_table
+
+    ev = str(tmp_path / "ev.parquet")
+    write_events(ev, make_events(num_keys=80, num_events=1600, seed=37))
+    src_dir = str(tmp_path / "src")
+    # apply only a PREFIX of the log, so the source can diverge later
+    run_replay(ev, src_dir, num_partitions=4, max_seq=800)
+    src = LakeTable(src_dir)
+    mid_view = _sorted_state(src)
+
+    dst = LakeTable(str(tmp_path / "clone"))
+    m = clone_table(src, dst.dir)
+    assert m.epoch == src.latest_epoch()
+    assert _sorted_state(dst).equals(mid_view)
+    # cloning onto a table with commits must refuse
+    with pytest.raises(ValueError, match="already has commits"):
+        clone_table(src, dst.dir)
+
+    # diverge the SOURCE (finish the replay, then rewrite + reclaim its
+    # files): the clone's hardlinked inodes must keep serving the old view
+    run_replay(ev, src_dir, num_partitions=4)
+    compact(src)
+    src.vacuum(keep_epochs=1)
+    assert not _sorted_state(src).equals(mid_view)  # source moved on
+    assert _sorted_state(dst).equals(mid_view)      # clone frozen
+
+    # the clone is a real table: replaying the log onto it resumes from
+    # the cloned hwm and converges on the source's final state
+    run_replay(ev, dst.dir, num_partitions=4)
+    assert _sorted_state(dst).equals(_sorted_state(src))
