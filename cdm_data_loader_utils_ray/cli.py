@@ -114,6 +114,21 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_constraints(args) -> int:
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+    from cdm_data_loader_utils_ray.stages.constraints import compile_constraints
+
+    t = LakeTable(args.lake)
+    props = t.get_properties()
+    if args.set is not None:
+        spec = json.loads(args.set)
+        compile_constraints(spec)  # reject typo'd rule kinds BEFORE persisting
+        props["constraints"] = spec
+        t.set_properties(props)
+    print(json.dumps(props.get("constraints") or {}))
+    return 0
+
+
 def cmd_preview(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
@@ -437,6 +452,15 @@ def main(argv=None) -> int:
     cl.add_argument("--dst", required=True)
     cl.add_argument("--epoch", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    cn = sub.add_parser(
+        "constraints",
+        help="show or set table CHECK constraints (enforced on replay)",
+    )
+    cn.add_argument("--lake", required=True)
+    cn.add_argument("--set", default=None,
+                    help='JSON spec, e.g. {"lang": {"allowed": ["py"]}}')
+    cn.set_defaults(fn=cmd_constraints)
 
     pv = sub.add_parser("preview", help="print first rows of committed state")
     pv.add_argument("--lake", required=True)

@@ -44,6 +44,7 @@ from cdm_data_loader_utils_ray.sinks.lake import (
     PartitionEntry,
     merge_chain_files,
 )
+from cdm_data_loader_utils_ray.stages.constraints import table_constraint_validators
 from cdm_data_loader_utils_ray.stages.hashing import add_content_sha256, sha256_array
 from cdm_data_loader_utils_ray.stages.partition import add_partition_column
 from cdm_data_loader_utils_ray.stages.schema_align import (
@@ -1191,6 +1192,11 @@ def run_replay(
     import ray.data as rd
 
     table = LakeTable(table_dir)
+    # persisted CHECK constraints bind automatically on the batch path
+    # (stages/constraints.py): violations quarantine to audit rejects
+    extra_validators = tuple(extra_validators) + tuple(
+        table_constraint_validators(table)
+    )
     full_range = max_seq is None
     if max_seq is None:
         if epochs == 1:

@@ -280,6 +280,24 @@ class LakeTable:
         for d in (self.manifest_dir, self.data_dir, self.audit_dir):
             os.makedirs(d, exist_ok=True)
 
+    # -- table properties (epoch-independent sidecar) -------------------------
+    def get_properties(self) -> dict:
+        """Epoch-independent table properties (e.g. ``constraints`` — see
+        ``stages/constraints.py``).  ``{}`` when never set."""
+        p = os.path.join(self.manifest_dir, "PROPERTIES.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_properties(self, props: dict) -> None:
+        """Atomically replace the table properties (read-modify-write on
+        the caller for partial updates — properties are tiny)."""
+        _atomic_write(
+            os.path.join(self.manifest_dir, "PROPERTIES.json"),
+            json.dumps(props, indent=1),
+        )
+
     # -- manifest log -------------------------------------------------------
     def latest_epoch(self) -> int | None:
         p = os.path.join(self.manifest_dir, LATEST)

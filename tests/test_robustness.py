@@ -196,3 +196,49 @@ def test_out_of_order_delivery_converges(tmp_path):
         a = read_final_state_arrow(LakeTable(str(tmp_path / f"l1-{mode}")))
         b = read_final_state_arrow(LakeTable(str(tmp_path / f"l2-{mode}")))
         assert a.equals(b), mode
+
+
+def test_table_constraints_enforced_on_replay(tmp_path):
+    """Persisted CHECK constraints (stages/constraints.py) bind on the
+    batch replay path automatically: violating events quarantine to the
+    audit rejects, the committed state never contains them, and NULL
+    cells satisfy value rules (SQL CHECK semantics)."""
+    import pyarrow.compute as pc
+
+    from cdm_data_loader_utils_ray.audit.tables import AuditLog
+    from cdm_data_loader_utils_ray.pipelines.cdc import read_final_state_arrow, run_replay
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+    from cdm_data_loader_utils_ray.stages.constraints import compile_constraints
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = make_events(num_keys=80, num_events=1000, seed=19)
+    langs = sorted({v for v in ev["lang"].to_pylist() if v is not None})
+    assert len(langs) >= 2
+    banned, allowed = langs[0], langs[1:]
+    ev_path = str(tmp_path / "ev.parquet")
+    write_events(ev_path, ev)
+
+    lake_dir = str(tmp_path / "lake")
+    t = LakeTable(lake_dir)
+    t.set_properties({"constraints": {"lang": {"allowed": allowed}}})
+    run_replay(ev_path, lake_dir, num_partitions=4)
+
+    state = read_final_state_arrow(t)
+    assert banned not in set(state["lang"].to_pylist())
+    # NULL lang rows satisfy the allowed-rule (no not_null declared)
+    assert None in set(state["lang"].to_pylist())
+    rejects = AuditLog(t.audit_dir).read("rejects")
+    errs = {e for lst in rejects["errors_in_record"].to_pylist() for e in lst}
+    assert "constraint:lang:allowed" in errs
+    n_banned = len(ev.filter(pc.equal(ev["lang"], banned)))
+    n_tagged = sum(
+        "constraint:lang:allowed" in lst
+        for lst in rejects["errors_in_record"].to_pylist()
+    )
+    assert n_tagged == n_banned  # every banned event quarantined exactly once
+
+    # a typo'd rule kind must fail at DECLARATION time
+    with pytest.raises(ValueError, match="unknown constraint rule"):
+        compile_constraints({"lang": {"betweenish": 1}})
+    # constraints on absent columns don't fire (schema-evolution friendly)
+    assert compile_constraints({"ghost": {"min": 3}})[0](ev) == []
