@@ -5713,6 +5713,120 @@ SELECT node AS user_id, min(lab) AS cluster FROM walk GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# 109. Event-type transition matrix (first-order Markov edges, O-family):
+#      per-user lag (one key-bucket shuffle via stages/windows.lag_shift),
+#      then (prev, next) pair counts through the partial-sum combiner and a
+#      k^2-sized driver fold for the per-source transition probabilities —
+#      the probability is ONE int/int division, identical on both engines.
+# ---------------------------------------------------------------------------
+def type_transitions(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.windows import lag_shift
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    lagged = lag_shift(
+        ds, ["user_id"], ["ts", "event_id"], {"event_type": "prev_type"},
+        num_buckets=32,
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["prev_type"].notna() & df["event_type"].notna()]
+        return d[["prev_type", "event_type"]]
+
+    counts = grouped_partial_sums(
+        lagged.map_batches(pairs, batch_format="pandas"),
+        ["prev_type", "event_type"], {}, count_alias="n_trans",
+    ).to_pandas()  # k^2 rows — aggregate-sized by construction
+    tot = counts.groupby("prev_type")["n_trans"].transform("sum")
+    counts["p_trans"] = _round_away(
+        counts["n_trans"].to_numpy(np.float64) / tot.to_numpy(np.float64), 6
+    )
+    counts["n_trans"] = counts["n_trans"].astype("int64")
+    return counts.sort_values(["prev_type", "event_type"]).reset_index(drop=True)[
+        ["prev_type", "event_type", "n_trans", "p_trans"]
+    ]
+
+
+TYPE_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), p AS (
+  SELECT prev_type, event_type, count(*) AS n_trans FROM t
+  WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, CAST(n_trans AS BIGINT) AS n_trans,
+       round(CAST(n_trans AS DOUBLE)
+             / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p_trans
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# 110. Chi-square contingency cells (lang x source independence test,
+#      A-family): one combiner-grouped count builds the k1*k2 contingency
+#      table; expected counts and per-cell chi2 contributions are computed
+#      on the k-sized fold with PINNED float expression order (e = (r*c)/n
+#      once, then (obs-e)^2/e) — per-cell output avoids the sum-of-cells
+#      whose accumulation order SQL cannot pin.
+# ---------------------------------------------------------------------------
+def chi2_lang_source(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(pc.is_valid(batch["lang"]), pc.is_valid(batch["source"]))
+        )
+
+    c = grouped_partial_sums(
+        ds.map_batches(nonnull, batch_format="pyarrow"),
+        ["lang", "source"], {}, count_alias="obs",
+    ).to_pandas()
+    # Python-int marginals: r*c never wraps regardless of corpus size
+    rt = {k: int(v) for k, v in c.groupby("lang")["obs"].sum().items()}
+    ct = {k: int(v) for k, v in c.groupby("source")["obs"].sum().items()}
+    n = sum(rt.values())
+    rows = []
+    for _, row in c.sort_values(["lang", "source"]).iterrows():
+        obs = int(row["obs"])
+        e = float(rt[row["lang"]] * ct[row["source"]]) / float(n)
+        d = obs - e
+        rows.append(
+            {"lang": row["lang"], "source": row["source"], "obs": obs,
+             "exp_cnt": float(_round_away(e, 6)),
+             "chi2_cell": float(_round_away(d * d / e, 6))}
+        )
+    return pd.DataFrame(rows, columns=["lang", "source", "obs", "exp_cnt", "chi2_cell"])
+
+
+CHI2_LANG_SOURCE_SQL = """
+WITH c AS (
+  SELECT lang, source, count(*) AS obs FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY lang, source
+),
+r AS (SELECT lang, sum(obs) AS rt FROM c GROUP BY lang),
+s AS (SELECT source, sum(obs) AS ct FROM c GROUP BY source),
+n AS (SELECT sum(obs) AS n FROM c),
+x AS (
+  SELECT c.lang, c.source, c.obs,
+         CAST(r.rt * s.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+  FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN n
+)
+SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+       round(e, 6) AS exp_cnt,
+       round((obs - e) * (obs - e) / e, 6) AS chi2_cell
+FROM x
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5734,6 +5848,8 @@ def registry() -> dict:
         "profile_lineitem": (profile_lineitem, PROFILE_LINEITEM_SQL),
         "referential_integrity": (referential_integrity, REFERENTIAL_INTEGRITY_SQL),
         "components_cc": (components_cc, COMPONENTS_CC_SQL),
+        "type_transitions": (type_transitions, TYPE_TRANSITIONS_SQL),
+        "chi2_lang_source": (chi2_lang_source, CHI2_LANG_SOURCE_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
