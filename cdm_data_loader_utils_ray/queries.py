@@ -5687,7 +5687,10 @@ def components_cc(sf_dir: str):
         .groupby(_BUCKET)
         .map_groups(star, batch_format="pandas")
     )
-    labels = connected_components_distributed(pairs)
+    # the edge set is k-sized (one star per (type, day)); per-round cost is
+    # FIXED shuffle overhead, so size the join fan-out to the edge volume —
+    # production callers with billion-edge graphs raise it
+    labels = connected_components_distributed(pairs, num_buckets=8)
     return labels.map_batches(
         lambda b: b.rename_columns(["user_id", "cluster"]), batch_format="pyarrow"
     )
