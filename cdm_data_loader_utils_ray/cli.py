@@ -114,6 +114,19 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    keys = []
+    for spec in args.key:
+        repo, _, path = spec.partition(":")
+        keys.append((repo, path))
+    t = LakeTable(args.lake).lookup(keys)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_constraints(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
     from cdm_data_loader_utils_ray.stages.constraints import compile_constraints
@@ -452,6 +465,14 @@ def main(argv=None) -> int:
     cl.add_argument("--dst", required=True)
     cl.add_argument("--epoch", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    lk = sub.add_parser(
+        "lookup", help="point-read keys (repo:path), opening only their partitions"
+    )
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", action="append", required=True,
+                    help="repo:path (repeatable)")
+    lk.set_defaults(fn=cmd_lookup)
 
     cn = sub.add_parser(
         "constraints",

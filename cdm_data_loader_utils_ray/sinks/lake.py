@@ -484,6 +484,56 @@ class LakeTable:
             merge_chain, batch_size=1
         )
 
+    def lookup(self, keys, manifest: Manifest | None = None,
+               live_only: bool = True) -> pa.Table:
+        """Point lookups: read ONLY the partitions that own the requested
+        ``(repo, path)`` keys — pid is recomputed with the WRITER's
+        assignment (``stable_key_hash % P``), so the IO is O(partitions
+        touched), never O(table).  The 100-TB point-read path: a handful
+        of keys opens a handful of partition chains.  Keys absent from the
+        table (or deleted, with ``live_only``) simply return no rows."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from cdm_data_loader_utils_ray.core.schemas import DELETED_COLUMN, KEY_COLUMNS
+        from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
+
+        m = manifest or self.latest_manifest()
+        if m is None or not m.partitions or not keys:
+            return (m.schema if m else pa.schema([])).empty_table()
+        kt = pa.table(
+            {
+                KEY_COLUMNS[0]: pa.array([k[0] for k in keys], pa.string()),
+                KEY_COLUMNS[1]: pa.array([k[1] for k in keys], pa.string()),
+            }
+        )
+        sep = pa.scalar("\x1f")
+        want = pc.binary_join_element_wise(
+            kt[KEY_COLUMNS[0]], kt[KEY_COLUMNS[1]], sep
+        )
+        pids = stable_key_hash(kt, list(KEY_COLUMNS)) % np.uint64(m.num_partitions)
+        out = []
+        for pid in sorted(set(pids.astype(np.int64).tolist())):
+            p = m.partitions.get(pid)
+            if p is None:
+                continue
+            t = merge_chain_files(self.dir, p.files, m)
+            comp = pc.binary_join_element_wise(
+                t[KEY_COLUMNS[0]].combine_chunks().cast(pa.string()),
+                t[KEY_COLUMNS[1]].combine_chunks().cast(pa.string()),
+                sep,
+            )
+            t = t.filter(pc.is_in(comp, value_set=want))
+            if live_only and DELETED_COLUMN in t.column_names:
+                t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns(
+                    [DELETED_COLUMN]
+                )
+            if t.num_rows:
+                out.append(t)
+        if not out:
+            return m.schema.empty_table()
+        return pa.concat_tables(out, promote_options="permissive")
+
     def read_state_arrow(self, manifest: Manifest | None = None, live_only: bool = True) -> pa.Table:
         """Driver-side full read — tests and small tables only.  LWW-merges
         each partition's delta chain (rename_history applied per file)."""

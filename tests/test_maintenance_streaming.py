@@ -454,3 +454,60 @@ def test_clone_is_isolated_from_source(tmp_path):
     # the cloned hwm and converges on the source's final state
     run_replay(ev, dst.dir, num_partitions=4)
     assert _sorted_state(dst).equals(_sorted_state(src))
+
+
+def test_lookup_point_reads_prune_partitions(tmp_path):
+    """LakeTable.lookup reads ONLY the partitions owning the requested
+    keys: results match a filtered full read, and lookups still succeed
+    after every OTHER partition's files are made unreadable (proof the
+    pruning never opens them)."""
+    import os
+
+    import numpy as np
+
+    from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS
+    from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
+
+    ev = str(tmp_path / "ev.parquet")
+    write_events(ev, make_events(num_keys=200, num_events=2500, seed=41))
+    lake_dir = str(tmp_path / "lake")
+    run_replay(ev, lake_dir, num_partitions=8)
+    table = LakeTable(lake_dir)
+    full = read_final_state_arrow(table)
+
+    want = sorted(
+        zip(full["repo"].to_pylist(), full["path"].to_pylist())
+    )[:5] + [("ghost/repo", "nope.txt")]
+    got = table.lookup(want)
+    exp = full.filter(
+        pa.compute.is_in(
+            pa.compute.binary_join_element_wise(
+                full["repo"].combine_chunks(), full["path"].combine_chunks(),
+                pa.scalar("\x1f"),
+            ),
+            value_set=pa.array([f"{r}\x1f{p}" for r, p in want]),
+        )
+    )
+    assert got.num_rows == exp.num_rows == 5
+    assert sorted(got["content_sha256"].to_pylist()) == sorted(
+        exp["content_sha256"].to_pylist()
+    )
+
+    # break every partition the lookup does NOT need: pruning proof
+    m = table.latest_manifest()
+    kt = pa.table({
+        KEY_COLUMNS[0]: pa.array([k[0] for k in want]),
+        KEY_COLUMNS[1]: pa.array([k[1] for k in want]),
+    })
+    needed = set(
+        (stable_key_hash(kt, list(KEY_COLUMNS)) % np.uint64(m.num_partitions))
+        .astype(np.int64).tolist()
+    )
+    for p in m.partitions.values():
+        if p.pid not in needed:
+            for f in p.files:
+                os.rename(table.abspath(f), table.abspath(f) + ".hidden")
+    got2 = table.lookup(want)
+    assert sorted(got2["content_sha256"].to_pylist()) == sorted(
+        exp["content_sha256"].to_pylist()
+    )
