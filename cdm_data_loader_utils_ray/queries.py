@@ -5830,6 +5830,137 @@ FROM x
 """
 
 
+# ---------------------------------------------------------------------------
+# 111. RFM segmentation (recency / frequency / monetary quartile coding,
+#      the classic churn-analytics composite): per-customer exact integer
+#      metrics through a (count, int-cents sum, max) combiner shuffle, ONE
+#      materialize checkpoint feeding the quantile pass and the coding
+#      pass, VALUE-based quartile codes (v > q1/q2/q3 against exact
+#      quantile_cont boundaries over integer metrics — interpolation at
+#      .25 steps over ints is float-exact, and value coding avoids the
+#      positional-tie hazard of ntile).  Boundary computation ships the
+#      customer-sized aggregate to one place per metric (grouped_quantiles'
+#      documented contract); a 10^9-customer deployment would swap in a
+#      quantile sketch for the boundaries only.
+# ---------------------------------------------------------------------------
+def rfm_segments(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_quantiles
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def feat(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _round_away(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+                ).astype(np.int64),
+                "ts_us": batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("o_custkey", sort=False)
+        out = pd.DataFrame(
+            {"f": g.size(), "m_cents": g["cents"].sum(), "r_us": g["ts_us"].max()}
+        ).reset_index()
+        return _add_bucket(
+            pa.Table.from_pandas(out, preserve_index=False), ["o_custkey"], 64
+        ).to_pandas()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)
+        out = pd.DataFrame(
+            {"f": g["f"].sum(), "m_cents": g["m_cents"].sum(),
+             "r_us": g["r_us"].max()}
+        ).reset_index()
+        out["r_days"] = out["r_us"] // 86_400_000_000
+        return out[["o_custkey", "r_days", "f", "m_cents"]]
+
+    base = (
+        ds.map_batches(feat, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # two consumers: boundaries + coding
+    )
+
+    bounds = {}
+    for col in ("r_days", "f", "m_cents"):
+        def pick(d: pd.DataFrame, c=col) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"g": np.ones(len(d), dtype=np.int64), "v": d[c]}
+            )
+
+        qt = grouped_quantiles(
+            base.map_batches(pick, batch_format="pandas"), ["g"], "v",
+            {"q1": 0.25, "q2": 0.5, "q3": 0.75},
+        ).to_pandas()
+        bounds[col] = (
+            float(qt["q1"].iloc[0]), float(qt["q2"].iloc[0]),
+            float(qt["q3"].iloc[0]),
+        )
+    b_ref = ray.put(bounds)
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(b_ref)
+        out = {
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "r_days": df["r_days"].astype("int64"),
+            "f": df["f"].astype("int64"),
+            "m_cents": df["m_cents"].astype("int64"),
+        }
+        for col, alias in (("r_days", "r_q"), ("f", "f_q"), ("m_cents", "m_q")):
+            v = df[col].to_numpy()
+            q1, q2, q3 = q[col]
+            out[alias] = (
+                1
+                + (v > q1).astype(np.int64)
+                + (v > q2).astype(np.int64)
+                + (v > q3).astype(np.int64)
+            )
+        out["segment"] = out["r_q"] * 100 + out["f_q"] * 10 + out["m_q"]
+        return pd.DataFrame(out)
+
+    return base.map_batches(code, batch_format="pandas")
+
+
+RFM_SEGMENTS_SQL = """
+WITH base AS (
+  SELECT o_custkey, count(*) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS m_cents,
+         CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT) AS r_days
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.50) AS r2,
+         quantile_cont(r_days, 0.75) AS r3,
+         quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.50) AS f2,
+         quantile_cont(f, 0.75) AS f3,
+         quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.50) AS m2,
+         quantile_cont(m_cents, 0.75) AS m3
+  FROM base
+),
+c AS (
+  SELECT b.o_custkey, b.r_days, b.f, b.m_cents,
+         1 + CAST(b.r_days > q.r1 AS BIGINT) + CAST(b.r_days > q.r2 AS BIGINT)
+           + CAST(b.r_days > q.r3 AS BIGINT) AS r_q,
+         1 + CAST(b.f > q.f1 AS BIGINT) + CAST(b.f > q.f2 AS BIGINT)
+           + CAST(b.f > q.f3 AS BIGINT) AS f_q,
+         1 + CAST(b.m_cents > q.m1 AS BIGINT) + CAST(b.m_cents > q.m2 AS BIGINT)
+           + CAST(b.m_cents > q.m3 AS BIGINT) AS m_q
+  FROM base b CROSS JOIN q
+)
+SELECT o_custkey, r_days, f, m_cents, r_q, f_q, m_q,
+       r_q * 100 + f_q * 10 + m_q AS segment
+FROM c
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5853,6 +5984,7 @@ def registry() -> dict:
         "components_cc": (components_cc, COMPONENTS_CC_SQL),
         "type_transitions": (type_transitions, TYPE_TRANSITIONS_SQL),
         "chi2_lang_source": (chi2_lang_source, CHI2_LANG_SOURCE_SQL),
+        "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
