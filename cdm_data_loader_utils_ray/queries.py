@@ -5588,9 +5588,13 @@ def referential_integrity(sf_dir: str):
             {"n": np.array([parts["n"].sum() if len(parts) else 0], dtype="int64")}
         )
 
-    rows = []
-    for name, child, fk, parent, pk in checks:
-        n_child = int(_read(sf_dir, child, columns=[fk]).count())
+    n_child_of = {
+        spec[0]: int(_read(sf_dir, spec[1], columns=[spec[2]]).count())
+        for spec in checks
+    }
+
+    def one_check(spec):
+        name, child, fk, parent, pk = spec
 
         def child_factory(_c=child, _fk=fk):
             def nonnull(b: pa.Table) -> pa.Table:
@@ -5607,10 +5611,16 @@ def referential_integrity(sf_dir: str):
         orphans = anti_join_bloom_agg(
             child_factory, parent_ds, fk, count_partial, count_final
         )
-        rows.append(
-            {"relation": name, "n_child": n_child,
-             "n_orphans": int(orphans["n"].iloc[0])}
-        )
+        return {"relation": name, "n_child": n_child_of[name],
+                "n_orphans": int(orphans["n"].iloc[0])}
+
+    # NOTE: the four checks stay SERIAL by design.  Running them on
+    # threads races Ray's read-path import probe (_is_http_filesystem
+    # catches ModuleNotFoundError from the main thread, but a concurrent
+    # first import surfaces as a bare ImportError from a partially
+    # initialized fsspec module and crashes the read) — measured, not
+    # theoretical.  Per-check cost is two streaming scans; fine.
+    rows = [one_check(spec) for spec in checks]
     return pd.DataFrame(rows, columns=["relation", "n_child", "n_orphans"])
 
 
