@@ -811,6 +811,12 @@ def apply_epoch(
     ``records_read`` is an optional exact input-row count (e.g. from Parquet
     metadata); when omitted it is computed with an extra counting pass only
     if auditing is on — the data plane itself never re-scans the input."""
+    # persisted CHECK constraints bind automatically on EVERY batch apply
+    # (run_replay, merge_into, direct callers — stages/constraints.py):
+    # violations quarantine to audit rejects
+    extra_validators = tuple(extra_validators) + tuple(
+        table_constraint_validators(table)
+    )
     prior = table.latest_manifest()
     if prior is not None:
         P = prior.num_partitions
@@ -1192,11 +1198,6 @@ def run_replay(
     import ray.data as rd
 
     table = LakeTable(table_dir)
-    # persisted CHECK constraints bind automatically on the batch path
-    # (stages/constraints.py): violations quarantine to audit rejects
-    extra_validators = tuple(extra_validators) + tuple(
-        table_constraint_validators(table)
-    )
     full_range = max_seq is None
     if max_seq is None:
         if epochs == 1:

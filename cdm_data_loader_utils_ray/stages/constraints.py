@@ -59,7 +59,13 @@ def _rule_validator(col: str, kind: str, arg) -> Validator:
     def guarded(b: pa.Table):
         if col not in b.column_names:
             return pa.array([False] * len(b), pa.bool_())
-        return expr(b)
+        bad = expr(b)
+        if "op" in b.column_names:
+            # constraints govern WRITTEN data: delete events carry null
+            # payload columns by design and must never be quarantined by a
+            # payload rule (Delta CHECK semantics)
+            bad = pc.and_kleene(bad, pc.not_equal(b["op"], "delete"))
+        return bad
 
     return predicate_validator(guarded, f"constraint:{col}:{kind}")
 

@@ -255,8 +255,16 @@ class StreamingUpserter:
         """Stream a Dataset of raw events through prep into the shards.
         Returns number of applied (post-prereduce) event rows."""
         from cdm_data_loader_utils_ray.pipelines.cdc import EventPrep
+        from cdm_data_loader_utils_ray.stages.constraints import (
+            table_constraint_validators,
+        )
 
-        prep = EventPrep(self.event_schema, self.P, {})
+        # persisted CHECK constraints bind on the streaming path too
+        # (rejects are counted, not quarantined — streaming contract)
+        prep = EventPrep(
+            self.event_schema, self.P, {},
+            extra_validators=tuple(table_constraint_validators(self.table)),
+        )
         shards = self.shards
         state_sch = self.state_schema
 

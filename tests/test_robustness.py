@@ -230,12 +230,52 @@ def test_table_constraints_enforced_on_replay(tmp_path):
     rejects = AuditLog(t.audit_dir).read("rejects")
     errs = {e for lst in rejects["errors_in_record"].to_pylist() for e in lst}
     assert "constraint:lang:allowed" in errs
-    n_banned = len(ev.filter(pc.equal(ev["lang"], banned)))
+    # deletes are exempt from payload rules (constraints govern WRITTEN
+    # data), so exactly the banned NON-delete events are quarantined
+    n_banned = len(
+        ev.filter(
+            pc.and_(pc.equal(ev["lang"], banned),
+                    pc.not_equal(ev["op"], "delete"))
+        )
+    )
     n_tagged = sum(
         "constraint:lang:allowed" in lst
         for lst in rejects["errors_in_record"].to_pylist()
     )
-    assert n_tagged == n_banned  # every banned event quarantined exactly once
+    assert n_tagged == n_banned  # every banned upsert quarantined exactly once
+
+    # deletes carry null payloads BY DESIGN: a not_null payload rule must
+    # never quarantine them (Delta CHECK governs written data only)
+    lake2 = str(tmp_path / "lake2")
+    t2 = LakeTable(lake2)
+    t2.set_properties({"constraints": {"content": {"not_null": True}}})
+    run_replay(ev_path, lake2, num_partitions=4)
+    unconstrained = str(tmp_path / "lake3")
+    run_replay(ev_path, unconstrained, num_partitions=4)
+    s2 = read_final_state_arrow(t2)
+    s3 = read_final_state_arrow(LakeTable(unconstrained))
+    # upsert contents are non-null in synth, so the constrained table must
+    # converge IDENTICALLY — deletes included
+    assert s2.sort_by([("repo", "ascending"), ("path", "ascending")]).equals(
+        s3.sort_by([("repo", "ascending"), ("path", "ascending")])
+    )
+
+    # streaming path: the same persisted constraints bind in feed() —
+    # violations are counted and dropped (streaming contract)
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.state.streaming import StreamingUpserter
+
+    su = StreamingUpserter(str(tmp_path / "stream"), num_partitions=2)
+    LakeTable(su.table.dir).set_properties(
+        {"constraints": {"lang": {"allowed": allowed}}}
+    )
+    su.feed(rd.read_parquet(ev_path))
+    su.commit()
+    stream_state = read_final_state_arrow(su.table)
+    su.shutdown()
+    assert banned not in set(stream_state["lang"].to_pylist())
+    assert su.rejected > 0
 
     # a typo'd rule kind must fail at DECLARATION time
     with pytest.raises(ValueError, match="unknown constraint rule"):
