@@ -5971,6 +5971,85 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# 113. Golden-record survivorship merge (D3/U1 family taken to its entity-
+#      consolidation conclusion): per user, EACH field independently resolves
+#      to its value in the latest row (by ts, event_id) where that field is
+#      non-null — row-level LWW would lose earlier non-null fields when the
+#      latest row nulls them out.  Field nullability is data-derived
+#      identically on both engines (value only counts on non-click events,
+#      the props key only on purchases).  Combiner keeps <= len(fields)+1
+#      rows per key per batch before the one key-bucket shuffle
+#      (functions/golden.survivorship_merge).
+# ---------------------------------------------------------------------------
+def golden_record(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.golden import survivorship_merge
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value", "props"],
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        pk = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*([0-9]+)', expand=False),
+            errors="coerce",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts": df["ts"],
+                "event_id": df["event_id"],
+                "v": df["value"].where(df["event_type"] != "click"),
+                "pk": pk.where(df["event_type"] == "purchase"),
+                "et": df["event_type"],
+            }
+        )
+
+    merged = survivorship_merge(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], ["v", "pk", "et"],
+        num_buckets=32,
+    ).to_pandas()  # one row per user — aggregate-sized
+    lv = _round_away(merged["v"], 6)
+    out = pd.DataFrame(
+        {
+            "user_id": merged["user_id"].astype("int64"),
+            "last_value": np.where(np.isnan(lv), -1.0, lv),
+            "last_props_k": merged["pk"].fillna(-1).astype("int64"),
+            "last_event_type": merged["et"],
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+GOLDEN_RECORD_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type AS et,
+         CASE WHEN event_type <> 'click' THEN value END AS v,
+         CASE WHEN event_type = 'purchase'
+              THEN TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1)
+                            AS BIGINT) END AS pk
+  FROM events
+), w AS (
+  SELECT user_id,
+         last_value(v  IGNORE NULLS) OVER win AS lv,
+         last_value(pk IGNORE NULLS) OVER win AS lpk,
+         last_value(et IGNORE NULLS) OVER win AS let,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       coalesce(round(lv, 6), -1.0) AS last_value,
+       CAST(coalesce(lpk, -1) AS BIGINT) AS last_props_k,
+       let AS last_event_type
+FROM w WHERE rn = 1
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -5985,6 +6064,7 @@ def registry() -> dict:
     """
     return {
         # -- (0) newest this session -----------------------------------------
+        "golden_record": (golden_record, GOLDEN_RECORD_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),
