@@ -6050,6 +6050,51 @@ FROM w WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 114. Band self-join neighbor counts (temporal family, the symmetric
+#      complement of asof/debounce): per order, how many OTHER orders by the
+#      same customer fall within +-30 days.  The pair materialization a SQL
+#      band self-join implies is quadratic on dense keys; the engine
+#      collapses to counts with two searchsorted probes per row over a
+#      composite (key, day) encoding (stages/temporal.band_neighbor_counts)
+#      — one bucket shuffle, no per-key loop, no cartesian.
+# ---------------------------------------------------------------------------
+def order_band_neighbors(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import band_neighbor_counts
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_custkey": df["o_custkey"],
+                "day": df["o_orderdate"].astype("int64") // 86400000000,
+            }
+        )
+
+    out = band_neighbor_counts(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["o_custkey"], "day", radius=30, num_buckets=32,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "n_neighbors"])
+
+
+ORDER_BAND_NEIGHBORS_SQL = """
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+  FROM orders
+)
+SELECT a.o_orderkey, a.o_custkey,
+       CAST(count(*) - 1 AS BIGINT) AS n_neighbors
+FROM d a JOIN d b
+  ON a.o_custkey = b.o_custkey
+ AND b.day BETWEEN a.day - 30 AND a.day + 30
+GROUP BY a.o_orderkey, a.o_custkey
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6065,6 +6110,7 @@ def registry() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
         "golden_record": (golden_record, GOLDEN_RECORD_SQL),
+        "order_band_neighbors": (order_band_neighbors, ORDER_BAND_NEIGHBORS_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),

@@ -163,6 +163,63 @@ def range_join(
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
 
+def band_neighbor_counts(
+    ds,
+    by: Sequence[str],
+    value_col: str,
+    radius: int,
+    num_buckets: int = 64,
+    out_col: str = "n_neighbors",
+    batch_size: int = 65536,
+):
+    """Symmetric band self-join collapsed to counts: for each row, how many
+    OTHER rows share its ``by`` key with integer ``value_col`` within
+    ``+-radius``.  Materializing the pairs would be quadratic on dense keys
+    (the near-dup lesson); counts need only two ``searchsorted`` probes per
+    row.  One key-bucket shuffle; per bucket a single vectorized probe over
+    a composite ``(key_code, value)`` monotone encoding — the +-radius
+    offsets cannot cross a key boundary because each key's value range is
+    padded by ``2*radius + 2`` in the encoding, so there is no per-key
+    Python loop.
+
+    ``value_col`` must be non-null integer (convert timestamps to the unit
+    the band is defined in first: days, seconds, ...).  Raises if
+    ``n_keys * value_span`` cannot fit the int64 composite — rescale the
+    unit, not the radius, when that trips."""
+    keys = list(by)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, keys, num_buckets)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if _BUCKET in df.columns:
+            df = df.drop(columns=[_BUCKET])
+        if len(df) == 0:
+            df[out_col] = pd.Series([], dtype="int64")
+            return df
+        d = df.sort_values(keys + [value_col], kind="stable").reset_index(drop=True)
+        codes = d.groupby(keys, sort=False, dropna=False).ngroup().to_numpy(np.int64)
+        v = d[value_col].to_numpy(np.int64)
+        r = np.int64(radius)
+        span = np.int64(v.max() - v.min()) + 2 * r + 2
+        if int(codes[-1]) * int(span) > 2**62:
+            raise ValueError(
+                "band_neighbor_counts: key count x value span exceeds the "
+                "int64 composite range — rescale value_col to coarser units"
+            )
+        comp = codes * span + (v - v.min()) + r + 1
+        lo = np.searchsorted(comp, comp - r, side="left")
+        hi = np.searchsorted(comp, comp + r, side="right")
+        d[out_col] = (hi - lo - 1).astype("int64")
+        return d
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+
+
 def tumbling_window(
     ds,
     ts_column: str,
