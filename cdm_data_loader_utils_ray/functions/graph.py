@@ -1,0 +1,181 @@
+"""Distributed exact triangle counting (degree-oriented wedge closing).
+
+The classic scale shape: orient every undirected edge from its low
+``(degree, id)`` endpoint to the high one — out-degrees are then bounded
+by O(sqrt(2m)) regardless of skew — emit each node's out-neighbor pairs
+(wedges) inside one source-bucket shuffle, and close wedges against the
+oriented edge set with one more bucketed semi-join.  Every triangle is
+counted exactly once: its three nodes have a unique (degree, id) order
+a < b < c, the wedge (b, c) is emitted only at a, and the closing edge is
+oriented b -> c by construction.
+
+No broadcast of node-sized state: degrees attach to edges via the
+partitioned ``hash_join`` (two shuffles), so the plan holds when the
+degree table itself is too large to ship.
+
+Companion to ``dedup.connected_components_distributed`` (the BSP component
+labeller); this one is single-pass — no fixpoint loop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket, hash_join
+
+
+def within_group_pairs(values: np.ndarray, groups: np.ndarray):
+    """All ordered index pairs (i, j), i < j, within runs of equal
+    ``groups`` (must be pre-sorted by group): the copurchase emission
+    kernel, factored — returns (a_idx, b_idx) into ``values``."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    last = np.concatenate([groups[1:] != groups[:-1], [True]])
+    ends = np.flatnonzero(last) + 1
+    sizes = np.diff(np.concatenate([[0], ends]))
+    group_end = np.repeat(ends, sizes)
+    rem = group_end - np.arange(n) - 1
+    total = int(rem.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a_idx = np.repeat(np.arange(n), rem)
+    cum = np.concatenate([[0], np.cumsum(rem)])
+    b_idx = a_idx + (np.arange(total) - np.repeat(cum[:-1], rem)) + 1
+    return a_idx, b_idx
+
+
+def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
+    """Exact triangle count of the simple undirected graph whose DISTINCT
+    edges (one row per unordered pair, u != v, any endpoint order) are in
+    ``edges_ds``.  Duplicate edge rows would double-count degrees — dedup
+    upstream (one ``grouped_partial_sums`` fold).  Returns
+    ``(n_edges, n_triangles)`` as Python ints."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a, b = batch[u], batch[v]
+        return pa.table(
+            {"eu": pc.min_element_wise(a, b), "ev": pc.max_element_wise(a, b)}
+        )
+
+    # THREE consumers read the canonical edge set (degree count, the
+    # degree join probe, the final edge count) and two read the oriented
+    # set — materialize both once or the whole upstream lineage re-executes
+    # per consumer (the repo-wide fan-out rule; see pipelines/curation.py)
+    e = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def ends(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": np.concatenate(
+                    [
+                        batch["eu"].to_numpy(zero_copy_only=False),
+                        batch["ev"].to_numpy(zero_copy_only=False),
+                    ]
+                ).astype(np.int64)
+            }
+        )
+
+    deg = grouped_partial_sums(
+        e.map_batches(ends, batch_format="pyarrow"), ["node"], {}, count_alias="deg"
+    )
+
+    def rename(cols):
+        def _r(batch: pa.Table) -> pa.Table:
+            return batch.select(["node", "deg"]).rename_columns(cols)
+
+        return _r
+
+    j = hash_join(
+        e,
+        deg.map_batches(rename(["eu", "deg_u"]), batch_format="pyarrow"),
+        on=["eu"],
+        num_buckets=num_buckets,
+    )
+    j = hash_join(
+        j,
+        deg.map_batches(rename(["ev", "deg_v"]), batch_format="pyarrow"),
+        on=["ev"],
+        num_buckets=num_buckets,
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        eu = df["eu"].to_numpy(np.int64)
+        ev = df["ev"].to_numpy(np.int64)
+        du = df["deg_u"].to_numpy(np.int64)
+        dv = df["deg_v"].to_numpy(np.int64)
+        fwd = (du < dv) | ((du == dv) & (eu < ev))
+        return pd.DataFrame(
+            {
+                "s": np.where(fwd, eu, ev),
+                "t": np.where(fwd, ev, eu),
+                # target's (deg, id) orders the out-neighbor pair emission so
+                # wedge endpoints land in closing-edge orientation
+                "dt": np.where(fwd, dv, du),
+            }
+        )
+
+    o = j.map_batches(orient, batch_format="pandas").materialize()
+
+    def tag_s(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["s"], num_buckets)
+
+    _empty_w = pd.DataFrame(
+        {
+            "w1": pd.Series(dtype="int64"),
+            "w2": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "s" not in df.columns:
+            return _empty_w.copy()
+        d = df.sort_values(["s", "dt", "t"], kind="mergesort")
+        t = d["t"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(t, d["s"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty_w.copy()
+        w = pd.DataFrame({"w1": t[a_idx], "w2": t[b_idx]})
+        g = w.groupby(["w1", "w2"], sort=False).size()
+        return g.rename("c").reset_index()
+
+    wed = o.map_batches(tag_s, batch_format="pyarrow").groupby(_BUCKET).map_groups(
+        wedges, batch_format="pandas"
+    )
+
+    def tag_side(side: str, cols: list[str]):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.select(cols).rename_columns(["w1", "w2"] + cols[2:])
+            # keep column ORDER identical on both union sides
+            if "c" not in b.column_names:
+                b = b.append_column("c", pa.array(np.ones(len(b), np.int64)))
+            b = b.append_column("__side__", pa.array([side] * len(b)))
+            return _add_bucket(b, ["w1", "w2"], num_buckets)
+
+        return _t
+
+    both = wed.map_batches(
+        tag_side("w", ["w1", "w2", "c"]), batch_format="pyarrow"
+    ).union(o.map_batches(tag_side("e", ["s", "t"]), batch_format="pyarrow"))
+
+    def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "__side__" not in df.columns:
+            return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+        w = df[df["__side__"] == "w"]
+        ed = df[df["__side__"] == "e"]
+        if len(w) == 0 or len(ed) == 0:
+            return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+        hit = w.merge(
+            ed[["w1", "w2"]].drop_duplicates(), on=["w1", "w2"], how="inner"
+        )
+        return pd.DataFrame({"n": pd.Series([int(hit["c"].sum())], dtype="int64")})
+
+    parts = (
+        both.groupby(_BUCKET).map_groups(close_bucket, batch_format="pandas").to_pandas()
+    )
+    n_edges = e.count()
+    return int(n_edges), int(parts["n"].sum())

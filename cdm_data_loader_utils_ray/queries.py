@@ -6095,6 +6095,123 @@ GROUP BY a.o_orderkey, a.o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# 115. Group-wise Pareto skyline (dominance pruning, a plan shape nothing
+#      else in the catalog has): per order priority, the orders no other
+#      same-priority order beats on BOTH total price and recency.  The SQL
+#      twin is the quadratic NOT EXISTS; the engine exploits
+#      skyline(union) = skyline(union of local skylines): a map_batches
+#      local-frontier pass prunes ~everything, the frontier-sized union
+#      folds once (functions/skyline.pareto_frontier).
+# ---------------------------------------------------------------------------
+def skyline_orders(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.skyline import pareto_frontier
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pri": df["o_orderpriority"],
+                "o_orderkey": df["o_orderkey"],
+                "price": df["o_totalprice"],
+                "day": (df["o_orderdate"].astype("int64") // 86400000000),
+            }
+        )
+
+    out = pareto_frontier(
+        ds.map_batches(prep, batch_format="pandas"), "price", "day", by=["pri"]
+    )
+    out["day"] = out["day"].astype("int64")
+    return out.sort_values(["pri", "o_orderkey"]).reset_index(drop=True)[
+        ["pri", "o_orderkey", "price", "day"]
+    ]
+
+
+SKYLINE_ORDERS_SQL = """
+WITH d AS (
+  SELECT o_orderpriority AS pri, o_orderkey, o_totalprice AS price,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+  FROM orders
+)
+SELECT pri, o_orderkey, price, day FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b WHERE b.pri = a.pri
+    AND b.price >= a.price AND b.day >= a.day
+    AND (b.price > a.price OR b.day > a.day))
+"""
+
+
+# ---------------------------------------------------------------------------
+# 116. Distributed exact triangle counting over the co-purchase graph
+#      (functions/graph.triangle_count): degree-oriented wedge closing —
+#      out-degrees bounded O(sqrt(2m)) by the (deg, id) orientation, wedges
+#      emitted inside one source-bucket shuffle, closed by one more
+#      bucketed semi-join; degrees attach via the partitioned hash_join
+#      (never a node-sized broadcast).  The count is orientation-invariant,
+#      so the a<b<c 3-way self-join SQL twin is value-identical.
+# ---------------------------------------------------------------------------
+def triangle_copurchase(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.graph import (
+        triangle_count,
+        within_group_pairs,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    _empty = pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return _empty.copy()
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        pk = d["l_partkey"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(pk, d["l_orderkey"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty.copy()
+        return pd.DataFrame({"u": pk[a_idx], "v": pk[b_idx]}).drop_duplicates()
+
+    pairs_ds = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # global distinct edges (same pair appears across many order buckets)
+    edges = grouped_partial_sums(pairs_ds, ["u", "v"], {}, count_alias="__n")
+    n_edges, n_tri = triangle_count(edges, "u", "v", num_buckets=32)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+        }
+    )
+
+
+TRIANGLE_COPURCHASE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t AS (SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6111,6 +6228,8 @@ def registry() -> dict:
         # -- (0) newest this session -----------------------------------------
         "golden_record": (golden_record, GOLDEN_RECORD_SQL),
         "order_band_neighbors": (order_band_neighbors, ORDER_BAND_NEIGHBORS_SQL),
+        "skyline_orders": (skyline_orders, SKYLINE_ORDERS_SQL),
+        "triangle_copurchase": (triangle_copurchase, TRIANGLE_COPURCHASE_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),

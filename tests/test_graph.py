@@ -1,0 +1,57 @@
+"""triangle_count (functions/graph.py) vs brute-force enumeration on a
+random graph dense enough to exercise degree ties and the wedge combiner."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cdm_data_loader_utils_ray.functions.graph import triangle_count
+
+
+def _brute_triangles(edges: set) -> int:
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            n += 1
+    return n
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    nodes = 40
+    edges = set()
+    for _ in range(300):
+        a, b = rng.integers(0, nodes, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    df = pd.DataFrame(sorted(edges), columns=["u", "v"])
+    # feed endpoints in scrambled order — canon must fix it
+    flip = rng.random(len(df)) < 0.5
+    u = np.where(flip, df["v"], df["u"])
+    v = np.where(flip, df["u"], df["v"])
+    ds = rd.from_arrow(
+        pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    )
+    n_edges, n_tri = triangle_count(ds, num_buckets=4)
+    assert n_edges == len(edges)
+    assert n_tri == _brute_triangles(edges)
+
+
+def test_triangle_free_graph(ray_session):
+    import ray.data as rd
+
+    # bipartite graph has no triangles
+    df = pd.DataFrame(
+        [(a, b) for a in range(5) for b in range(10, 18)], columns=["u", "v"]
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    n_edges, n_tri = triangle_count(ds, num_buckets=3)
+    assert (n_edges, n_tri) == (40, 0)
