@@ -127,6 +127,21 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    t = LakeTable(args.lake)
+    if args.set is not None:
+        e = t.set_tag(args.set, args.epoch)
+        print(json.dumps({"tag": args.set, "epoch": e}))
+    elif args.delete is not None:
+        t.delete_tag(args.delete)
+        print(json.dumps({"deleted": args.delete}))
+    else:
+        print(json.dumps(t.tags()))
+    return 0
+
+
 def cmd_constraints(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
     from cdm_data_loader_utils_ray.stages.constraints import compile_constraints
@@ -171,7 +186,12 @@ def cmd_read(args) -> int:
         ranges[col] = (parse(lo), parse(hi))
     ray = _ray_session(args.num_cpus)
     table = LakeTable(args.lake)
-    manifest = None if args.epoch is None else table.read_manifest(args.epoch)
+    epoch = args.epoch
+    if getattr(args, "tag", None) is not None:
+        if epoch is not None:
+            raise SystemExit("--tag and --epoch are mutually exclusive")
+        epoch = table.resolve_tag(args.tag)
+    manifest = None if epoch is None else table.read_manifest(epoch)
     ds = table.read_state(manifest=manifest, column_range=ranges or None)
     ds.write_parquet(args.out)
     print(json.dumps({"rows": _parquet_dir_rows(args.out), "out": args.out}))
@@ -501,7 +521,21 @@ def main(argv=None) -> int:
         "--epoch", type=int, default=None,
         help="time travel: read this committed epoch instead of latest",
     )
+    rdp.add_argument(
+        "--tag", default=None,
+        help="time travel by snapshot tag name (mutually exclusive with --epoch)",
+    )
     rdp.set_defaults(fn=cmd_read)
+
+    tg = sub.add_parser(
+        "tag", help="snapshot tags: named epoch refs that also lease vacuum retention"
+    )
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--set", default=None, metavar="NAME",
+                    help="pin NAME to --epoch (default: current LATEST)")
+    tg.add_argument("--epoch", type=int, default=None)
+    tg.add_argument("--delete", default=None, metavar="NAME")
+    tg.set_defaults(fn=cmd_tag)
 
     chg = sub.add_parser("changes", help="export the Change Data Feed between epochs")
     chg.add_argument("--lake", required=True)

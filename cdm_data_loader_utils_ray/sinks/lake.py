@@ -298,6 +298,53 @@ class LakeTable:
             json.dumps(props, indent=1),
         )
 
+    # -- snapshot tags (named epoch refs, Iceberg-tag analogue) ---------------
+    def tags(self) -> dict:
+        """``name -> epoch`` of all snapshot tags (``{}`` when none)."""
+        p = os.path.join(self.manifest_dir, "TAGS.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def set_tag(self, name: str, epoch: int | None = None) -> int:
+        """Pin a name to a committed epoch (default: the current LATEST).
+        Tagged epochs survive :meth:`vacuum` regardless of ``keep_epochs``
+        — the tag is a retention lease, not just a bookmark.  Re-tagging an
+        existing name moves it.  Raises if the epoch has no committed
+        manifest or lies above LATEST (phase-1 of an in-flight write)."""
+        latest = self.latest_epoch()
+        if latest is None:
+            raise ValueError("cannot tag an empty table")
+        e = latest if epoch is None else int(epoch)
+        if e > latest:
+            raise ValueError(f"epoch {e} not committed (LATEST={latest})")
+        if not os.path.exists(
+            os.path.join(self.manifest_dir, f"manifest-{e:08d}.json")
+        ):
+            raise ValueError(f"no manifest for epoch {e} (vacuumed or never written)")
+        t = self.tags()
+        t[name] = e
+        _atomic_write(
+            os.path.join(self.manifest_dir, "TAGS.json"), json.dumps(t, indent=1)
+        )
+        return e
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag (missing name is a no-op); the next :meth:`vacuum`
+        may then reclaim the epoch's files."""
+        t = self.tags()
+        if t.pop(name, None) is not None:
+            _atomic_write(
+                os.path.join(self.manifest_dir, "TAGS.json"), json.dumps(t, indent=1)
+            )
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"unknown tag {name!r} (have: {sorted(t)})")
+        return t[name]
+
     # -- manifest log -------------------------------------------------------
     def latest_epoch(self) -> int | None:
         p = os.path.join(self.manifest_dir, LATEST)
@@ -677,7 +724,9 @@ class LakeTable:
         ABOVE the committed LATEST are phase-1 writes of an in-flight epoch
         (written before its manifest commits) — deleting them would make the
         upcoming commit reference missing paths, so they are kept; so is any
-        file whose name doesn't parse (conservative)."""
+        file whose name doesn't parse (conservative).  Epochs pinned by a
+        snapshot TAG (:meth:`set_tag`) are retained regardless of
+        ``keep_epochs`` — drop the tag to release the lease."""
         latest = self.latest_epoch()
         if latest is None:
             return []
@@ -687,7 +736,8 @@ class LakeTable:
             for f in os.listdir(self.manifest_dir)
             if f.startswith("manifest-")
         )
-        for e in epochs[-keep_epochs:]:
+        tagged = set(self.tags().values()) & set(epochs)
+        for e in sorted(set(epochs[-keep_epochs:]) | tagged):
             for p in self.read_manifest(e).partitions.values():
                 for f in p.files:
                     keep.add(self.abspath(f))
