@@ -186,3 +186,87 @@ def contaminated_docs(
         .groupby("__bucket__")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def source_overlap_matrix(
+    docs_ds,
+    source_col: str = "source",
+    text_column: str = "text",
+    k: int = 8,
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+    hashed: bool = False,
+) -> pd.DataFrame:
+    """Pairwise cross-source contamination matrix: for each unordered
+    source pair, the number of DISTINCT word ``k``-grams appearing in both
+    sources' documents — the corpus-level view of :func:`contaminated_docs`
+    (which benchmark leaked into which crawl, pre-mixing).
+
+    Same one-shuffle shape: per-batch distinct (source, gram) via the
+    shared shingle kernel, ONE gram-bucket shuffle whose kernel both
+    finishes the global distinct (all copies of a gram co-locate) and
+    emits the per-gram source pairs (``<= n_sources`` rows per gram, pair
+    emission via the ordered run kernel), then an n_sources^2-bounded
+    driver fold.  Null sources are dropped (SQL join semantics).
+    ``hashed=True`` swaps in the 8-byte-gram kernel for corpus scale."""
+    from cdm_data_loader_utils_ray.functions.graph import within_group_pairs
+
+    def grams(batch: pa.Table) -> pa.Table:
+        tb = batch.filter(pc.is_valid(batch[source_col]))
+        if hashed:
+            df = _doc_gram_hashes(tb[source_col], tb[text_column], k)
+        else:
+            df = _doc_grams(tb[source_col], tb[text_column], k)
+        df = df.drop_duplicates(["id", "gram"]).rename(columns={"id": "src"})
+        t = pa.Table.from_pandas(df[["src", "gram"]], preserve_index=False)
+        if hashed:
+            b = (df["gram"].to_numpy() % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("__bucket__", pa.array(b))
+        return _add_bucket(t, ["gram"], num_buckets)
+
+    _empty = pd.DataFrame(
+        {
+            "source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return _empty.copy()
+        d = (
+            df.drop_duplicates(["src", "gram"])  # global distinct: gram-local
+            .sort_values(["gram", "src"], kind="mergesort")
+        )
+        src = d["src"].to_numpy()
+        a_idx, b_idx = within_group_pairs(src, d["gram"].to_numpy())
+        if len(a_idx) == 0:
+            return _empty.copy()
+        w = pd.DataFrame({"source_a": src[a_idx], "source_b": src[b_idx]})
+        return w.groupby(["source_a", "source_b"], sort=False).size().rename(
+            "c"
+        ).reset_index()
+
+    parts = (
+        docs_ds.map_batches(grams, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__bucket__")
+        .map_groups(pair_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["source_a", "source_b"], sort=True)["c"]
+        .sum()
+        .rename("n_shared")
+        .reset_index()
+    )
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out

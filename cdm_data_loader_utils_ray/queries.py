@@ -6212,6 +6212,43 @@ SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# 117. Cross-source contamination matrix (the corpus-level view of entry
+#      43's decontamination): distinct shared word-8-grams per unordered
+#      source pair — which benchmark leaked into which crawl, answered
+#      BEFORE mixing.  One gram-bucket shuffle finishes the global
+#      (source, gram) distinct AND emits per-gram source pairs in-bucket
+#      (functions/decontam.source_overlap_matrix; hashed=True is the
+#      8-byte-gram 100-TB path, parity-tested).
+# ---------------------------------------------------------------------------
+def source_overlap(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.decontam import source_overlap_matrix
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_overlap_matrix(docs, k=8, num_buckets=32)
+
+
+SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t
+  FROM documents WHERE source IS NOT NULL
+),
+sh AS (
+  SELECT source,
+    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 6),
+                            i -> array_to_string(t[i:i+7], ' ')))
+    END AS s
+  FROM toks
+),
+sg AS (SELECT DISTINCT source, unnest(s) AS g FROM sh)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6230,6 +6267,7 @@ def registry() -> dict:
         "order_band_neighbors": (order_band_neighbors, ORDER_BAND_NEIGHBORS_SQL),
         "skyline_orders": (skyline_orders, SKYLINE_ORDERS_SQL),
         "triangle_copurchase": (triangle_copurchase, TRIANGLE_COPURCHASE_SQL),
+        "source_overlap": (source_overlap, SOURCE_OVERLAP_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),

@@ -207,3 +207,39 @@ def test_decontaminate_hashed_path_matches_string_path():
     )
     pd.testing.assert_frame_equal(s, h, check_dtype=False)
     assert s["doc_id"].tolist() == [1, 4, 5, 6]
+
+
+def test_source_overlap_hashed_matches_string_path(ray_session):
+    """source_overlap_matrix: the 8-byte hashed-gram scale path must count
+    the same shared-gram pairs as the SQL-exact string path (same
+    tokenizer, same short-doc conventions)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.decontam import source_overlap_matrix
+
+    docs = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b", "c", None, "c"],
+            "text": [
+                "the quick brown fox jumps over the lazy dog tonight",
+                "shared eight gram one two three four five six seven",
+                "shared eight gram one two three four five six seven",
+                "totally different words here with no overlap at all",
+                "the quick brown fox jumps over the lazy dog tonight",
+                "null source rows are dropped like the SQL join drops them",
+                "short doc",  # < k tokens -> whole-doc gram
+            ],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    a = source_overlap_matrix(ds, k=8, num_buckets=4)
+    ds2 = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False))
+    b = source_overlap_matrix(ds2, k=8, num_buckets=4, hashed=True)
+    pd.testing.assert_frame_equal(a, b)
+    # a<->c share the fox sentence's grams; a<->b share the counting one
+    got = {(r.source_a, r.source_b): r.n_shared for r in a.itertuples()}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    # 10-token sentences -> 3 distinct 8-gram windows each
+    assert got[("a", "c")] == 3 and got[("a", "b")] == 3
