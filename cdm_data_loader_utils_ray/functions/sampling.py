@@ -18,11 +18,13 @@ training-data recipe (per-language / per-source quotas).
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
 
 
 def _hex_threshold(rate: float) -> str:
@@ -316,4 +318,57 @@ def fixed_size_sample(
         parts.sort_values([uniform_column, id_column], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
+    )
+
+
+def fixed_size_sample_per_group(
+    ds,
+    group_columns: Sequence[str],
+    id_column: str,
+    k: int,
+    uniform_column: str = "u",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Deterministic exact-``k``-PER-GROUP sample: within each group, the k
+    smallest ``(portable_uniform(id), id)`` pairs — the stratified form of
+    :func:`fixed_size_sample` (which is global), i.e. quota sampling with
+    coordinated, rerun-stable draws.  SQL twin:
+    ``row_number() OVER (PARTITION BY group ORDER BY u, id) <= k``.
+
+    Scale shape: a per-batch per-group bottom-k combiner shrinks the
+    stream to <= k rows per (batch, group), then ONE group-bucket shuffle
+    finishes each group's bottom-k in its bucket — the group count may be
+    unbounded (no driver-side fold; returns a Dataset of
+    ``group_columns + [id_column, uniform_column]``).  Null ids are
+    excluded; null group keys form one group (SQL PARTITION BY semantics —
+    filter upstream to match a ``WHERE g IS NOT NULL`` twin)."""
+    groups = list(group_columns)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u, valid, _rng = portable_uniform(batch[id_column])
+        df = batch.select(groups + [id_column]).to_pandas()
+        df[uniform_column] = u
+        df = df[valid]
+        d = df.sort_values(groups + [uniform_column, id_column], kind="mergesort")
+        keep = d.groupby(groups, sort=False, dropna=False).cumcount() < k
+        return d[keep.to_numpy()]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, groups, num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if _BUCKET in df.columns:
+            df = df.drop(columns=[_BUCKET])
+        if len(df) == 0:
+            return df
+        d = df.sort_values(groups + [uniform_column, id_column], kind="mergesort")
+        keep = d.groupby(groups, sort=False, dropna=False).cumcount() < k
+        return d[keep.to_numpy()]
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pandas")
     )

@@ -6249,6 +6249,49 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 118. Exact-k-per-group deterministic sample (quota sampling): 50 docs per
+#      source via per-group bottom-k of the portable uniform draw
+#      (functions/sampling.fixed_size_sample_per_group) — a per-batch
+#      per-group bottom-k combiner then ONE group-bucket shuffle, so the
+#      group count may be unbounded (contrast entry 93's global bottom-k,
+#      which driver-merges).  Rerun/resume-stable: the draw is a pure
+#      function of doc_id.
+# ---------------------------------------------------------------------------
+def sample_per_source(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import (
+        fixed_size_sample_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id"])
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["source"]))
+
+    out = fixed_size_sample_per_group(
+        ds.map_batches(nonnull, batch_format="pyarrow"),
+        ["source"], "doc_id", k=50, num_buckets=16,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["u"] = out["u"].astype("int64")
+    return out.sort_values(["source", "u", "doc_id"]).reset_index(drop=True)[
+        ["source", "doc_id", "u"]
+    ]
+
+
+SAMPLE_PER_SOURCE_SQL = """
+WITH d AS (
+  SELECT source, doc_id,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS u
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+)
+SELECT source, doc_id, u FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+  FROM d
+) WHERE rn <= 50
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6268,6 +6311,7 @@ def registry() -> dict:
         "skyline_orders": (skyline_orders, SKYLINE_ORDERS_SQL),
         "triangle_copurchase": (triangle_copurchase, TRIANGLE_COPURCHASE_SQL),
         "source_overlap": (source_overlap, SOURCE_OVERLAP_SQL),
+        "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),

@@ -287,3 +287,41 @@ def test_scd2_history_multi_attr_and_key():
     assert list(out["valid_from"]) == [10, 20, 30]
     assert list(out["valid_to"].fillna(-1).astype(int)) == [20, 30, -1]
     assert list(out["is_current"]) == [False, False, True]
+
+
+def test_fixed_size_sample_per_group_quota_and_small_groups():
+    """Per-group bottom-k: exact k per large group, whole group when
+    smaller than k, identical across batch sizes (combiner losslessness)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sampling import (
+        fixed_size_sample_per_group,
+        portable_uniform,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 100 + ["b"] * 3 + ["c"] * 40,
+            "id": list(range(100)) + [500, 501, 502] + list(range(700, 740)),
+        }
+    )
+    want_u, _, _ = portable_uniform(pa.array(df["id"], pa.int64()))
+    df["u_ref"] = want_u
+    expect = {
+        g: set(
+            sub.sort_values(["u_ref", "id"]).head(10)["id"]
+        )
+        for g, sub in df.groupby("g")
+    }
+    for bs in (16, 1000):
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(df[["g", "id"]], preserve_index=False)
+        )
+        out = fixed_size_sample_per_group(
+            ds, ["g"], "id", k=10, num_buckets=4, batch_size=bs
+        ).to_pandas()
+        got = {g: set(sub["id"]) for g, sub in out.groupby("g")}
+        assert got == expect
+        assert len(out[out["g"] == "b"]) == 3  # group smaller than k kept whole
