@@ -24,7 +24,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
-from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket, hash_join
+from cdm_data_loader_utils_ray.stages.keyed import (
+    _BUCKET,
+    _add_bucket,
+    anti_join_keys,
+    hash_join,
+)
 
 
 def within_group_pairs(values: np.ndarray, groups: np.ndarray):
@@ -179,3 +184,82 @@ def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
     )
     n_edges = e.count()
     return int(n_edges), int(parts["n"].sum())
+
+
+def bfs_hops(
+    edges_ds,
+    seeds_ds,
+    max_hops: int,
+    node_col: str = "node",
+    u: str = "u",
+    v: str = "v",
+    num_buckets: int = 64,
+):
+    """Bounded-hop BFS: min-hop distance (0..max_hops) from a seed set over
+    the undirected graph in ``edges_ds``.  Returns a Dataset of
+    ``(node, dist)`` — every reached node once, seeds at 0 (seeds absent
+    from the graph still emit, like the recursive-CTE base case).
+
+    Each round is Dataset-native: frontier x adjacency via the partitioned
+    ``hash_join``, a distinct fold, and ``anti_join_keys`` against the
+    visited set, with a ``materialize()`` checkpoint per round.  BOUNDED
+    rounds only: per-round Dataset re-planning is superlinear in round
+    count (the connected-components lesson — 2.5s -> 81s/round measured),
+    so an unbounded fixpoint belongs to the task-loop BSP in
+    ``dedup.connected_components_distributed``; a hop-limited
+    neighborhood (the common case: "within k hops of the recall set")
+    stays clearer and fast in this form."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch[u].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    adj = edges_ds.map_batches(both, batch_format="pyarrow").materialize()
+
+    def seed0(batch: pa.Table) -> pa.Table:
+        t = batch.select(["node"])  # the dedup fold already renamed node_col
+        return t.append_column("dist", pa.array(np.zeros(len(t), np.int64)))
+
+    # distinct seeds (duplicate seed rows would double-emit at dist 0)
+    seeds = grouped_partial_sums(
+        seeds_ds.map_batches(
+            lambda t: t.select([node_col]).rename_columns(["node"]),
+            batch_format="pyarrow",
+        ),
+        ["node"], {}, count_alias="__s",
+    )
+    visited = seeds.map_batches(seed0, batch_format="pyarrow").materialize()
+    frontier = visited
+
+    def to_src(batch: pa.Table) -> pa.Table:
+        return batch.select(["node"]).rename_columns(["src"])
+
+    def to_node(batch: pa.Table) -> pa.Table:
+        return batch.select(["dst"]).rename_columns(["node"])
+
+    for d in range(1, max_hops + 1):
+        step = hash_join(
+            frontier.map_batches(to_src, batch_format="pyarrow"),
+            adj,
+            on=["src"],
+            num_buckets=num_buckets,
+        )
+        cand = grouped_partial_sums(
+            step.map_batches(to_node, batch_format="pyarrow"),
+            ["node"], {}, count_alias="__c",
+        )
+        new = anti_join_keys(cand, visited, ["node"]).materialize()
+        if new.count() == 0:
+            break
+
+        def stamp(batch: pa.Table, _d=d) -> pa.Table:
+            t = batch.select(["node"])
+            return t.append_column("dist", pa.array(np.full(len(t), _d, np.int64)))
+
+        nd = new.map_batches(stamp, batch_format="pyarrow")
+        visited = visited.union(nd).materialize()
+        frontier = new
+    return visited

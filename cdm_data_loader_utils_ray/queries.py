@@ -6292,6 +6292,92 @@ SELECT source, doc_id, u FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 119. Bounded-hop BFS distances (functions/graph.bfs_hops): min-hop from
+#      the Brand#4 parts over the >=2-co-occurrence co-purchase graph (the
+#      >=2 filter sparsifies: distances spread 0..6 instead of saturating
+#      at 2).  Frontier rounds are Dataset-native (partitioned hash_join +
+#      distinct fold + anti-join, one materialize checkpoint per round) —
+#      bounded rounds only; the unbounded fixpoint stays with the CC
+#      task-loop BSP (per-round re-planning is superlinear, measured).
+#      Oracle: WITH RECURSIVE walk + min(d).
+# ---------------------------------------------------------------------------
+def bfs_copurchase(sf_dir: str):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.graph import (
+        bfs_hops,
+        within_group_pairs,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    _empty = pd.DataFrame(
+        {
+            "u": pd.Series(dtype="int64"),
+            "v": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return _empty.copy()
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        pk = d["l_partkey"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(pk, d["l_orderkey"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty.copy()
+        w = pd.DataFrame({"u": pk[a_idx], "v": pk[b_idx]})
+        return w.groupby(["u", "v"], sort=False).size().rename("c").reset_index()
+
+    pair_counts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    folded = grouped_partial_sums(
+        pair_counts, ["u", "v"], {"n_orders": "c"}, count_alias="__nb"
+    )
+    edges = folded.filter(expr="n_orders >= 2")
+
+    seeds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).filter(
+        expr="p_brand == 'Brand#4'"
+    )
+    out = bfs_hops(
+        edges, seeds, max_hops=6, node_col="p_partkey", num_buckets=32
+    ).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)[["node", "dist"]]
+
+
+BFS_COPURCHASE_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+adj AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#4'),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT a.dst, w.d + 1 FROM walk w JOIN adj a ON a.src = w.node WHERE w.d < 6
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6312,6 +6398,7 @@ def registry() -> dict:
         "triangle_copurchase": (triangle_copurchase, TRIANGLE_COPURCHASE_SQL),
         "source_overlap": (source_overlap, SOURCE_OVERLAP_SQL),
         "sample_per_source": (sample_per_source, SAMPLE_PER_SOURCE_SQL),
+        "bfs_copurchase": (bfs_copurchase, BFS_COPURCHASE_SQL),
         "copurchase_pairs": (copurchase_pairs, COPURCHASE_PAIRS_SQL),
         "regr_price_qty": (regr_price_qty, REGR_PRICE_QTY_SQL),
         "user_type_gini": (user_type_gini, USER_TYPE_GINI_SQL),

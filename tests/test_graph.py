@@ -55,3 +55,41 @@ def test_triangle_free_graph(ray_session):
     ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
     n_edges, n_tri = triangle_count(ds, num_buckets=3)
     assert (n_edges, n_tri) == (40, 0)
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(13)
+    nodes, edges = 60, set()
+    for _ in range(90):
+        a, b = rng.integers(0, nodes, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = [0, 7, 7]  # duplicate seed must not double-emit
+    want, frontier = {0: 0, 7: 0}, {0, 7}
+    for d in range(1, 4):
+        nxt = {n for f in frontier for n in adj[f]} - set(want)
+        for n in nxt:
+            want[n] = d
+        frontier = nxt
+    e_ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+                "v": pa.array([b for _, b in sorted(edges)], pa.int64()),
+            }
+        )
+    )
+    s_ds = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+    got = bfs_hops(e_ds, s_ds, max_hops=3, num_buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == want
+    assert len(got) == len(want)
