@@ -6378,6 +6378,258 @@ SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# 120. Sequence-pattern hits (MATCH_RECOGNIZE-lite): per user, count
+#      OVERLAPPING occurrences of view -> (any) -> purchase in the
+#      (ts, event_id)-ordered event stream — fixed-symbol patterns with
+#      wildcards via one vectorized shifted-equality AND per key bucket
+#      (stages/temporal.sequence_pattern_counts).  Overlapping counting is
+#      deliberate: it stays a pure function of the sorted sequence, so the
+#      lead()-window SQL twin is exact.
+# ---------------------------------------------------------------------------
+def pattern_hits_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import sequence_pattern_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    out = sequence_pattern_counts(
+        ds, ["user_id"], ["ts", "event_id"], "event_type",
+        ["view", "*", "purchase"], num_buckets=32,
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[["user_id", "n_hits"]]
+
+
+PATTERN_HITS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM w
+WHERE event_type = 'view' AND e2 = 'purchase' AND e1 IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 121. Grouped IQR outlier detection (Tukey fences, A-family data quality):
+#      per event_type, count values outside [q1 - 1.5*iqr, q3 + 1.5*iqr].
+#      Boundaries come from the existing distributed grouped_quantiles
+#      (oracle-exact vs quantile_cont, entry 33), are broadcast once
+#      (ray.put lut), and the flag pass is one combiner-grouped count —
+#      the fence expression order (q1 - 1.5*(q3-q1)) is PINNED identically
+#      in numpy and the SQL twin so the float boundaries are IEEE-equal.
+# ---------------------------------------------------------------------------
+def iqr_outliers_events(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import (
+        grouped_partial_sums,
+        grouped_quantiles,
+    )
+
+    raw = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(pc.is_valid(batch["event_type"]), pc.is_valid(batch["value"]))
+        )
+
+    ds = raw.map_batches(nonnull, batch_format="pyarrow")
+    q = grouped_quantiles(ds, ["event_type"], "value", {"q1": 0.25, "q3": 0.75}).to_pandas()
+    q1 = q["q1"].to_numpy(np.float64)
+    q3 = q["q3"].to_numpy(np.float64)
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    fence_ref = ray.put(
+        {t: (l, h) for t, l, h in zip(q["event_type"], lo, hi)}
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(fence_ref)
+        codes, uniques = pd.factorize(df["event_type"], sort=False)
+        larr = np.array([lut[u][0] for u in uniques], dtype=np.float64)
+        harr = np.array([lut[u][1] for u in uniques], dtype=np.float64)
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "low": (v < larr[codes]).astype("int64"),
+                "high": (v > harr[codes]).astype("int64"),
+            }
+        )
+
+    counts = grouped_partial_sums(
+        ds.map_batches(flag, batch_format="pandas"),
+        ["event_type"], {"n_low": "low", "n_high": "high"}, count_alias="n_rows",
+    ).to_pandas()
+    fl = dict(zip(q["event_type"], zip(lo, hi)))
+    counts["lo_fence"] = _round_away(
+        counts["event_type"].map(lambda t: fl[t][0]).to_numpy(np.float64), 6
+    )
+    counts["hi_fence"] = _round_away(
+        counts["event_type"].map(lambda t: fl[t][1]).to_numpy(np.float64), 6
+    )
+    for c in ("n_rows", "n_low", "n_high"):
+        counts[c] = counts[c].astype("int64")
+    return counts.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n_rows", "n_low", "n_high", "lo_fence", "hi_fence"]
+    ]
+
+
+IQR_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM e GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM b
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(min(f.lo), 6) AS lo_fence,
+       round(max(f.hi), 6) AS hi_fence
+FROM e JOIN f USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 122. TPC-H Q18-style large-volume orders (HAVING over a pre-aggregated
+#      join): per-order quantity sums fold in a combiner pass FIRST (the
+#      100-TB move — lineitem never reaches the join at row grain), the
+#      surviving keys (<0.1% of orders) broadcast as a set, and only the
+#      matching orders rows join driver-side at aggregate size.
+#      l_quantity values are small integers-in-double, so per-order sums
+#      are exact regardless of accumulation order.
+# ---------------------------------------------------------------------------
+def q18_large_orders(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = grouped_partial_sums(
+        li, ["l_orderkey"], {"sum_qty": "l_quantity"}, count_alias="__n"
+    )
+    big = sums.filter(expr="sum_qty > 300").to_pandas()  # aggregate-sized
+    key_ref = ray.put(set(big["l_orderkey"].tolist()))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(key_ref)
+        return df[df["o_orderkey"].isin(keys)]
+
+    orders = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(match, batch_format="pandas")
+        .to_pandas()
+    )
+    out = orders.merge(
+        big[["l_orderkey", "sum_qty"]], left_on="o_orderkey", right_on="l_orderkey"
+    ).drop(columns=["l_orderkey"])
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(100).reset_index(drop=True)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    out["o_totalprice"] = _round_away(out["o_totalprice"], 6)
+    out["sum_qty"] = _round_away(out["sum_qty"], 6)
+    return out[["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+
+
+Q18_LARGE_ORDERS_SQL = """
+WITH s AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice,
+       round(sum_qty, 6) AS sum_qty
+FROM orders JOIN s ON o_orderkey = l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 123. Exact grouped embedding centroids (vector-mean aggregate): mean
+#      embedding per label over integer-quantized components — the
+#      kmeans-style (label, count, vecsum) combiner folds per batch, the
+#      driver fold is label-count-sized, and the single mean division is
+#      the only float op (exact on both engines; sums are int64 so
+#      accumulation order cannot matter — the centroid_assign lesson).
+#      SQL twin unnests the FLOAT list, CASTs to DOUBLE before the
+#      quantize multiply (FLOAT*10000 would round to float32).
+# ---------------------------------------------------------------------------
+def embedding_centroids(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        qm = np.round(mat.astype(np.float64) * 10000.0).astype(np.int64)
+        codes, uniques = pd.factorize(df["label"], sort=False)
+        sums = np.zeros((len(uniques), qm.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, qm)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        dims = qm.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(np.asarray(uniques), dims),
+                "dim": np.tile(np.arange(1, dims + 1, dtype=np.int64), len(uniques)),
+                "qsum": sums.reshape(-1),
+                "n": np.repeat(cnt, dims),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    folded = parts.groupby(["label", "dim"], sort=False)[["qsum", "n"]].sum().reset_index()
+    folded["centroid"] = _round_away(
+        folded["qsum"].to_numpy(np.float64) / folded["n"].to_numpy(np.float64) / 10000.0,
+        6,
+    )
+    folded["label"] = folded["label"].astype("int64")
+    folded["dim"] = folded["dim"].astype("int64")
+    folded["n"] = folded["n"].astype("int64")
+    return folded.sort_values(["label", "dim"]).reset_index(drop=True)[
+        ["label", "dim", "n", "centroid"]
+    ]
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH u AS (
+  -- lockstep unnest = ordinality (DuckDB has no WITH ORDINALITY)
+  SELECT label, unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+),
+q AS (
+  SELECT label, dim,
+         CAST(round(CAST(val AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+  FROM u
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0, 6)
+         AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6392,6 +6644,10 @@ def registry() -> dict:
     """
     return {
         # -- (0) newest this session -----------------------------------------
+        "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
+        "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
+        "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
+        "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
         "golden_record": (golden_record, GOLDEN_RECORD_SQL),
         "order_band_neighbors": (order_band_neighbors, ORDER_BAND_NEIGHBORS_SQL),
         "skyline_orders": (skyline_orders, SKYLINE_ORDERS_SQL),

@@ -373,3 +373,74 @@ def session_window(
     return projected.groupby(_BUCKET).map_groups(
         lambda df: sessions(df.drop(columns=[_BUCKET])), batch_format="pandas"
     )
+
+
+def sequence_pattern_counts(
+    ds,
+    by: Sequence[str],
+    order: Sequence[str],
+    col: str,
+    pattern: Sequence[str],
+    wildcard: str = "*",
+    num_buckets: int = 32,
+    out_col: str = "n_hits",
+):
+    """MATCH_RECOGNIZE-lite: count OVERLAPPING occurrences of a fixed
+    symbol ``pattern`` in each key's ``order``-sorted ``col`` sequence.
+
+    ``pattern`` is a list of symbols; ``wildcard`` entries match ANY row
+    (including a null ``col``) — they only require a row to exist at that
+    offset within the same key.  Overlapping counting keeps the semantics
+    a pure function of the sorted sequence (non-overlapping would need a
+    greedy scan no SQL twin can express); a window of length L starting at
+    i matches when every non-wildcard position equals its symbol and row
+    i+L-1 still belongs to row i's key.
+
+    One key-bucket shuffle, then a single vectorized shifted-equality AND
+    per bucket — no per-row loop, no pair materialization.  Partitioning
+    assumption: one key's whole sequence fits its bucket task (same as
+    the as-of / session kernels).  Returns ``by`` + ``out_col`` for keys
+    with at least one hit.
+    """
+    keys = list(by)
+    L = len(pattern)
+    if L == 0:
+        raise ValueError("pattern must be non-empty")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, keys, num_buckets)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                **{k: pd.Series(dtype=df[k].dtype) if k in df.columns
+                   else pd.Series(dtype="object") for k in keys},
+                out_col: pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) < L or col not in df.columns:
+            return empty
+        d = df.sort_values(keys + list(order), kind="mergesort").reset_index(drop=True)
+        kid = d.groupby(keys, sort=False, dropna=False).ngroup().to_numpy(np.int64)
+        vals = d[col].to_numpy()
+        n = len(d)
+        m = n - L + 1
+        match = kid[:m] == kid[L - 1:]  # window stays inside one key
+        for j, sym in enumerate(pattern):
+            if sym != wildcard:
+                match = match & (vals[j:m + j] == sym)
+        starts = np.flatnonzero(match)
+        if len(starts) == 0:
+            return empty
+        hit_kid = kid[starts]
+        uniq, counts = np.unique(hit_kid, return_counts=True)
+        first_row = np.searchsorted(kid, uniq)  # kid is sorted ascending
+        out = d.iloc[first_row][keys].reset_index(drop=True)
+        out[out_col] = counts.astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(count_bucket, batch_format="pandas")
+    )
