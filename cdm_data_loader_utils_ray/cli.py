@@ -184,6 +184,10 @@ def cmd_read(args) -> int:
                 return v
 
         ranges[col] = (parse(lo), parse(hi))
+    equals = {}
+    for spec in getattr(args, "equals", None) or []:
+        col, _, val = spec.partition(":")
+        equals[col] = val  # read_state casts to the committed column type
     ray = _ray_session(args.num_cpus)
     table = LakeTable(args.lake)
     epoch = args.epoch
@@ -192,7 +196,11 @@ def cmd_read(args) -> int:
             raise SystemExit("--tag and --epoch are mutually exclusive")
         epoch = table.resolve_tag(args.tag)
     manifest = None if epoch is None else table.read_manifest(epoch)
-    ds = table.read_state(manifest=manifest, column_range=ranges or None)
+    ds = table.read_state(
+        manifest=manifest,
+        column_range=ranges or None,
+        column_equals=equals or None,
+    )
     ds.write_parquet(args.out)
     print(json.dumps({"rows": _parquet_dir_rows(args.out), "out": args.out}))
     ray.shutdown()
@@ -516,6 +524,10 @@ def main(argv=None) -> int:
     rdp.add_argument(
         "--range", action="append",
         help="col:lo:hi (either bound empty for unbounded), repeatable",
+    )
+    rdp.add_argument(
+        "--equals", action="append",
+        help="col:value equality (Bloom-sidecar data skipping), repeatable",
     )
     rdp.add_argument(
         "--epoch", type=int, default=None,

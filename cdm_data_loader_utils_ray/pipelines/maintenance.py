@@ -22,7 +22,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from cdm_data_loader_utils_ray.core.schemas import DELETED_COLUMN
-from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.sinks.lake import (
+    BLOOM_SIDECAR_SUFFIX,
+    LakeTable,
+    Manifest,
+    PartitionEntry,
+)
 from cdm_data_loader_utils_ray.stages.partition import zorder_key
 
 
@@ -460,14 +465,22 @@ def clone_table(src: LakeTable, dst_dir: str, epoch: int | None = None) -> Manif
         raise ValueError(f"clone_table: {dst_dir} already has commits")
     for p in m.partitions.values():
         for f in p.files:
-            s, d = src.abspath(f), dst.abspath(f)
-            os.makedirs(os.path.dirname(d), exist_ok=True)
-            try:
-                os.link(s, d)
-            except OSError:
-                import shutil
+            # bloom sidecars ride along (immutable like their data file;
+            # advisory, so a missing one is fine)
+            rels = [f] + (
+                [f + BLOOM_SIDECAR_SUFFIX]
+                if os.path.exists(src.abspath(f + BLOOM_SIDECAR_SUFFIX))
+                else []
+            )
+            for rel in rels:
+                s, d = src.abspath(rel), dst.abspath(rel)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    import shutil
 
-                shutil.copy2(s, d)
+                    shutil.copy2(s, d)
     # keep the SOURCE epoch number: data-file names embed their epoch, and
     # vacuum treats names above LATEST as in-flight writes it must keep —
     # restarting at epoch 1 would make every cloned file look in-flight
@@ -485,6 +498,11 @@ def clone_table(src: LakeTable, dst_dir: str, epoch: int | None = None) -> Manif
         rename_history=dict(m.rename_history),
     )
     dst.commit(out)
+    # table properties (constraints, bloom_index config) travel with the
+    # clone — Delta CLONE semantics; epoch-independent, so a plain copy
+    props = src.get_properties()
+    if props:
+        dst.set_properties(props)
     return out
 
 

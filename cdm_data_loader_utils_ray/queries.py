@@ -580,6 +580,54 @@ WHERE seq >= CAST(floor(0.4 * (SELECT max(seq) FROM w)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# 124. Bloom-sidecar equality read (Delta bloom-index analogue): the lake is
+#      replayed with the ``bloom_index`` property set, so every data file
+#      carries a per-file Bloom bitset over ``path``; the point read
+#      ``column_equals={"path": ...}`` skips every chain whose sidecar
+#      proves the value absent BEFORE any data IO — footer min/max cannot
+#      prune this (each partition's path range spans the whole keyspace).
+#      tests/test_bloom_index.py poisons the pruned files to prove the
+#      skip; this entry hash-checks the read's exactness against the
+#      DuckDB final-state twin.
+# ---------------------------------------------------------------------------
+def cdc_bloom_read(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    lake_dir = os.path.join(work, "lake")
+    table = LakeTable(lake_dir)
+    table.set_properties({"bloom_index": {"columns": ["path"]}})
+    run_replay(ev, lake_dir, num_partitions=8)
+    got = table.read_state(column_equals={"path": "users/user-7.json"})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["repo", "path", "seq", "content_sha256"])
+
+    return got.map_batches(project, batch_format="pyarrow")
+
+
+CDC_BLOOM_READ_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'org0/stream' AS repo,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM ev)
+SELECT repo, path, seq, sha256(content) AS content_sha256
+FROM r WHERE rn = 1 AND op <> 'delete' AND path = 'users/user-7.json'
+"""
+
+
+# ---------------------------------------------------------------------------
 # 13b. Continuous-tailing mode (T7): the same event log fed through the
 #      shard-ACTOR tailer (state resident between micro-batches, snapshot
 #      commit) must converge to the identical final state — same oracle as
@@ -6645,6 +6693,7 @@ def registry() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
         "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
+        "cdc_bloom_read": (cdc_bloom_read, CDC_BLOOM_READ_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),

@@ -38,9 +38,15 @@ import tempfile
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# module level, not lazy: these run inside worker tasks, where a lazy
+# intra-package import would re-import the package without an import path
+# (the by-value serialization contract — see CLAUDE.md)
+from cdm_data_loader_utils_ray.functions.bloom import _probe_positions, bloom_contains
+from cdm_data_loader_utils_ray.functions.sketches import _hash64
 from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema, rename_columns
 from cdm_data_loader_utils_ray.state.upsert import merge_states
 
@@ -203,6 +209,98 @@ def chain_may_match(
                     return True
             except TypeError:
                 return True  # bound/stat type mismatch -> cannot prove disjoint
+    return False
+
+
+BLOOM_SIDECAR_SUFFIX = ".bloom.npz"
+
+
+def _bloom_config(props: dict):
+    """Parsed ``bloom_index`` table property, or None when unset.
+    ``{"bloom_index": {"columns": [...], "bits_per_value": 10,
+    "num_hashes": 5}}`` declares which columns get per-FILE Bloom
+    sidecars on every data-file write."""
+    cfg = props.get("bloom_index") or {}
+    cols = list(cfg.get("columns") or [])
+    if not cols:
+        return None
+    return cols, int(cfg.get("bits_per_value", 10)), int(cfg.get("num_hashes", 5))
+
+
+def write_bloom_sidecar(
+    data_path: str,
+    table: pa.Table,
+    columns: list[str],
+    bits_per_value: int = 10,
+    num_hashes: int = 5,
+) -> None:
+    """Per-file Bloom bitsets for EQUALITY data skipping (Delta bloom-index
+    analogue) — the complement of :func:`chain_may_match`: footer min/max
+    prunes range predicates but is useless on high-cardinality unordered
+    columns (a sha/path column's min..max spans everything in every file);
+    a Bloom sidecar proves absence of a specific value.
+
+    One ``<datafile>.bloom.npz`` next to each data file: a JSON meta blob
+    (hash count, column -> array key) plus one uint64 bitset per covered
+    column, sized ``bits_per_value`` bits per non-null row (10 bits + 5
+    hashes ~ 1% false positives).  Sidecars are ADVISORY — a missing or
+    unreadable one only costs pruning, never correctness — so they need no
+    fsync and no manifest entry; written atomically (tmp + rename) so a
+    torn write is just an absent sidecar.  Hashing is the shared
+    process-stable ``_hash64`` / double-hash probe used by
+    ``functions/bloom.py`` (build and probe must agree, nothing else)."""
+    arrays: dict[str, Any] = {}
+    meta_cols: dict[str, str] = {}
+    for i, c in enumerate(columns):
+        if c not in table.column_names:
+            continue
+        s = table[c].to_pandas().dropna()
+        num_words = max(1, (len(s) * bits_per_value + 63) // 64)
+        words = np.zeros(num_words, dtype=np.uint64)
+        if len(s):
+            pos = _probe_positions(_hash64(s), num_words * 64, num_hashes)
+            np.bitwise_or.at(
+                words,
+                pos.ravel() >> 6,
+                np.uint64(1) << (pos.ravel() & 63).astype(np.uint64),
+            )
+        key = f"b{i}"
+        arrays[key] = words
+        meta_cols[c] = key
+    if not arrays:
+        return
+    meta = json.dumps({"num_hashes": num_hashes, "columns": meta_cols})
+    tmp = data_path + BLOOM_SIDECAR_SUFFIX + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, meta=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays)
+    os.replace(tmp, data_path + BLOOM_SIDECAR_SUFFIX)
+
+
+def chain_may_contain(table_dir: str, files: list[str], column: str, probe) -> bool:
+    """Equality data skipping from Bloom sidecars: False only when EVERY
+    chain file's sidecar covers ``column`` and proves the probed value
+    absent.  Sound for LWW-merged state by the :func:`chain_may_match`
+    argument — a winner row's value exists verbatim in some chain file, so
+    a chain with no occurrence yields no matching winners.  Conservative
+    on any missing/unreadable sidecar or uncovered column (Bloom has no
+    false negatives, so a clear probe is proof of absence).
+
+    ``probe`` is a 1-row ``pandas.Series`` already cast to the column's
+    committed type (the caller owns the cast — dtype decides the hash)."""
+    for f in files:
+        sc = os.path.join(table_dir, f) + BLOOM_SIDECAR_SUFFIX
+        try:
+            with np.load(sc) as z:
+                meta = json.loads(bytes(z["meta"].tobytes()).decode())
+                key = meta["columns"].get(column)
+                if key is None:
+                    return True
+                words = z[key]
+                k = int(meta["num_hashes"])
+        except Exception:
+            return True  # absent/unreadable sidecar -> cannot prove absence
+        if bool(bloom_contains(words, probe, num_hashes=k)[0]):
+            return True
     return False
 
 
@@ -418,6 +516,10 @@ class LakeTable:
             os.fsync(fd)
         finally:
             os.close(fd)
+        cfg = _bloom_config(self.get_properties())
+        if cfg is not None:
+            cols, bpv, k = cfg
+            write_bloom_sidecar(path, table, cols, bits_per_value=bpv, num_hashes=k)
         live = len(table)
         if "is_deleted" in table.column_names:
             import pyarrow.compute as pc
@@ -454,6 +556,7 @@ class LakeTable:
         live_only: bool = True,
         column_range: dict | None = None,
         pids: "Sequence[int] | None" = None,
+        column_equals: dict | None = None,
     ):
         """Committed state as a ``ray.data.Dataset``: one task per
         partition LWW-merges its delta chain (streaming across
@@ -464,6 +567,15 @@ class LakeTable:
         footers prove no overlap are skipped before any data IO
         (:func:`chain_may_match` — Delta-style data skipping from the
         parquet statistics already on disk).
+
+        ``column_equals`` maps column -> value: rows are filtered to
+        equality AND, when the table carries Bloom sidecars for the column
+        (``bloom_index`` table property), chains whose sidecars prove the
+        value absent are skipped before any data IO
+        (:func:`chain_may_contain`) — the equality complement of the
+        footer-stat skipping, effective precisely where min/max is not
+        (high-cardinality unordered columns: shas, paths, ids).  The
+        equality also participates in footer skipping as a (v, v) range.
 
         ``pids`` restricts the read to a subset of partitions — the
         churn-proportional pre-image read for incremental view maintenance
@@ -498,6 +610,27 @@ class LakeTable:
                     f"column_range bound for {c!r} does not cast to {typ}: {e}"
                 ) from None
 
+        # equality predicates: cast once to the committed type; the same
+        # arrow -> pandas conversion as the sidecar build side, so the
+        # probe hashes with the identical dtype
+        probes: dict[str, Any] = {}
+        for c, v in dict(column_equals or {}).items():
+            if c not in m.schema.names:
+                raise ValueError(f"column_equals column {c!r} not in table schema")
+            if v is None:
+                raise ValueError("column_equals does not support null probes")
+            typ = m.schema.field(c).type
+            try:
+                cast = pa.scalar(v).cast(typ)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"column_equals value for {c!r} does not cast to {typ}: {e}"
+                ) from None
+            probes[c] = pa.array([cast.as_py()], type=typ).to_pandas()
+            if c in ranges:
+                raise ValueError(f"column {c!r} in both column_range and column_equals")
+            ranges[c] = (cast.as_py(), cast.as_py())  # footer + row filtering
+
         out_schema = m.schema
         if live_only and "is_deleted" in out_schema.names:
             out_schema = out_schema.remove(out_schema.get_field_index("is_deleted"))
@@ -513,6 +646,11 @@ class LakeTable:
                     for c, (lo, hi) in ranges.items()
                 ):
                     continue  # footer-proven disjoint: no data IO at all
+                if any(
+                    not chain_may_contain(table_dir, files, c, probe)
+                    for c, probe in probes.items()
+                ):
+                    continue  # Bloom-proven absent: no data IO at all
                 t = merge_chain_files(table_dir, files, m, column_ranges=ranges)
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
@@ -744,13 +882,23 @@ class LakeTable:
         removed = []
         for f in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, f)
-            if path in keep:
+            if path in keep or f.endswith(BLOOM_SIDECAR_SUFFIX):
                 continue
             m = re.fullmatch(r"part-\d+-epoch-(\d+)(?:-[0-9a-f]+)?\.parquet", f)
             if m is None or int(m.group(1)) > latest:
                 continue  # in-flight phase-1 write or foreign file: keep
             os.unlink(path)
             removed.append(path)
+            sc = path + BLOOM_SIDECAR_SUFFIX
+            if os.path.exists(sc):
+                os.unlink(sc)
+        # orphan sweep: sidecars whose data file is gone (e.g. removed by a
+        # pre-sidecar vacuum) are advisory metadata — safe to drop
+        for f in os.listdir(self.data_dir):
+            if f.endswith(BLOOM_SIDECAR_SUFFIX) and not os.path.exists(
+                os.path.join(self.data_dir, f[: -len(BLOOM_SIDECAR_SUFFIX)])
+            ):
+                os.unlink(os.path.join(self.data_dir, f))
         return removed
 
     def preview(self, n: int = 10) -> pa.Table:
