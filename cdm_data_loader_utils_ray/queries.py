@@ -3143,6 +3143,85 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 
 
 # ---------------------------------------------------------------------------
+# 125. STREAMING session windows (watermark family, next to entry 64's
+#      tumbling): per-user gap sessions built by the shard-actor
+#      aggregator — per-batch fragment combiner, key-hash routing, one
+#      vectorized interval-union merge per push.  Fed out of order (file
+#      order vs event time) with lateness=None, so close() must be EXACT:
+#      interval union is order-independent and the value sums are integer
+#      CENTS (float sums would merge in a different order than the SQL
+#      twin).  Watermark closing semantics are pinned by
+#      tests/test_streaming_sessions.py.
+# ---------------------------------------------------------------------------
+def streaming_sessions(sf_dir: str):
+    from cdm_data_loader_utils_ray.state.windows_stream import (
+        StreamingSessionAggregator,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ts": df["ts"],
+                # NaN survives the round: n counts non-null values
+                "cents": np.round(df["value"].to_numpy(np.float64) * 100.0),
+            }
+        )
+
+    agg = StreamingSessionAggregator(
+        "user_id", "cents", ts_column="ts",
+        gap_us=3_600_000_000, allowed_lateness_us=None, num_shards=4,
+    )
+    try:
+        agg.feed(ds.map_batches(cents, batch_format="pandas"), batch_size=2048)
+        out = agg.close().to_pandas()
+    finally:
+        agg.shutdown()
+    return pd.DataFrame(
+        {
+            "user_id": out["key"].astype("int64"),
+            "session_start": pd.to_datetime(
+                out["session_start_us"], unit="us"
+            ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "session_end": pd.to_datetime(
+                out["session_end_us"], unit="us"
+            ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": out["n"].astype("int64"),
+            "sum_value": _round_away(out["s"].to_numpy(np.float64) / 100.0, 4),
+        }
+    ).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT user_id, ts, value, cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(value) AS BIGINT) AS n_events,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # 65. CUBE grouping sets (A-family): doc counts + char sums by
 #     (lang, source) and every marginal.  ONE combiner aggregate over the
 #     finest grain; the three coarser grouping sets are derived from that
@@ -6694,6 +6773,7 @@ def registry() -> dict:
         # -- (0) newest this session -----------------------------------------
         "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
         "cdc_bloom_read": (cdc_bloom_read, CDC_BLOOM_READ_SQL),
+        "streaming_sessions": (streaming_sessions, STREAMING_SESSIONS_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),

@@ -216,3 +216,222 @@ class StreamingWindowAggregator:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION windows — gap-based, per-key, watermark-closed
+# ---------------------------------------------------------------------------
+def _merge_session_fragments(df: pd.DataFrame, gap: int) -> pd.DataFrame:
+    """ONE vectorized gaps-and-islands pass (sort + per-key cummax +
+    cumsum) merging session fragments whose gap-padded intervals touch —
+    interval union with gap tolerance is associative and commutative, so
+    the merged set is independent of arrival order."""
+    d = df.sort_values(["key", "start_us"], kind="mergesort").reset_index(drop=True)
+    grp = d.groupby("key", sort=False, dropna=False)
+    prev_end = grp["end_us"].cummax().groupby(d["key"], sort=False, dropna=False).shift()
+    new_session = prev_end.isna() | (d["start_us"] > prev_end + gap)
+    sid = new_session.cumsum()
+    out = d.groupby(sid, sort=False).agg(
+        key=("key", "first"),
+        start_us=("start_us", "min"),
+        end_us=("end_us", "max"),
+        n=("n", "sum"),
+        s=("s", "sum"),
+    )
+    return out.reset_index(drop=True)
+
+
+@ray.remote(num_cpus=0.25)
+class SessionShard:
+    """Open sessions for the KEYS routed to this shard, as a frame of
+    (key, start_us, end_us, n, s) intervals.  Each push concatenates the
+    incoming batch fragments with the open set and re-merges via
+    :func:`_merge_session_fragments`."""
+
+    def __init__(self, gap_us: int):
+        self.gap = int(gap_us)
+        self.open: pd.DataFrame | None = None
+        self.closed_end_below: int = -(2**63)
+        self.late_dropped = 0
+
+    def apply(self, fragments: pa.Table) -> int:
+        df = fragments.to_pandas()
+        # a fragment wholly below the close line would re-open (and
+        # re-emit) territory already emitted: at-most-once means drop it.
+        # Straddling fragments are kept (same trade as the tumbling shard).
+        late_mask = df["end_us"].to_numpy() < self.closed_end_below
+        late = int(df.loc[late_mask, "n"].sum())
+        self.late_dropped += late
+        df = df[~late_mask]
+        if len(df):
+            both = df if self.open is None else pd.concat(
+                [self.open, df], ignore_index=True
+            )
+            self.open = _merge_session_fragments(both, self.gap)
+        return late
+
+    def emit_end_below(self, end_threshold_us: int) -> pa.Table:
+        """Close (emit + drop) sessions whose end < threshold — no future
+        event at or above the watermark can extend them (it would need
+        ts <= end + gap, and threshold = watermark - gap)."""
+        self.closed_end_below = max(self.closed_end_below, end_threshold_us)
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.string()),
+                "session_start_us": pa.array([], type=pa.int64()),
+                "session_end_us": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.float64()),
+            }
+        )
+        if self.open is None or not len(self.open):
+            return empty
+        mask = self.open["end_us"].to_numpy() < end_threshold_us
+        if not mask.any():
+            return empty
+        out = self.open[mask]
+        self.open = self.open[~mask]
+        return pa.table(
+            {
+                "key": pa.array(
+                    [None if pd.isna(k) else str(k) for k in out["key"]],
+                    type=pa.string(),
+                ),
+                "session_start_us": pa.array(
+                    out["start_us"].to_numpy().astype("int64"), type=pa.int64()
+                ),
+                "session_end_us": pa.array(
+                    out["end_us"].to_numpy().astype("int64"), type=pa.int64()
+                ),
+                "n": pa.array(out["n"].to_numpy().astype("int64"), type=pa.int64()),
+                "s": pa.array(out["s"].to_numpy(dtype="float64"), type=pa.float64()),
+            }
+        )
+
+    def stats(self) -> dict:
+        n_open = 0 if self.open is None else int(len(self.open))
+        return {"open_sessions": n_open, "late_dropped": self.late_dropped}
+
+
+class StreamingSessionAggregator:
+    """Watermarked streaming session windows (gap-based), the session
+    member of the §2.11 streaming family next to
+    :class:`StreamingWindowAggregator`.
+
+    Per micro-batch the driver combiner reduces rows to per-key session
+    FRAGMENTS (the batch's own gap-merged intervals carrying count + sum),
+    so the per-push payload is fragment-sized.  Fragments route to shards
+    by KEY hash (a session lives wholly on one shard; tumbling routes by
+    window instead).  The watermark is ``max event time - lateness``; a
+    session closes when ``end < watermark - gap`` — no in-order future
+    event can extend it.  ``allowed_lateness_us=None`` disables in-stream
+    closing, making :meth:`close` EXACT for any arrival order (interval
+    union is order-independent; counts/sums are associative).
+
+    Late fragments wholly below the close line are counted
+    (``late_dropped``) and not applied — at-most-once emission, same trade
+    as the tumbling design."""
+
+    def __init__(
+        self,
+        key_column: str,
+        value_column: str,
+        ts_column: str = "ts",
+        gap_us: int = 1_800_000_000,
+        allowed_lateness_us: int | None = None,
+        num_shards: int = 4,
+    ):
+        self.key_column = key_column
+        self.value_column = value_column
+        self.ts_column = ts_column
+        self.gap = int(gap_us)
+        self.lateness = allowed_lateness_us
+        self.shards = [SessionShard.remote(self.gap) for _ in range(num_shards)]
+        self.max_ts = -(2**63)
+        self.emitted: list[pa.Table] = []
+        self.null_ts_dropped = 0
+
+    def _combine(self, df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[self.ts_column]
+        na = ts.isna()
+        if na.any():
+            self.null_ts_dropped += int(na.sum())
+            df = df[~na]
+            ts = df[self.ts_column]
+        if not len(df):
+            return pd.DataFrame(
+                {"key": [], "start_us": [], "end_us": [], "n": [], "s": []}
+            )
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_us = pd.Series(
+                ts.to_numpy().astype("datetime64[us]").astype("int64"), index=ts.index
+            )
+        else:
+            ts_us = ts.astype("int64")
+        d = pd.DataFrame(
+            {
+                "key": df[self.key_column],
+                "start_us": ts_us,
+                "end_us": ts_us,
+                "n": df[self.value_column].notna().astype("int64"),
+                "s": df[self.value_column].fillna(0.0).astype("float64"),
+            }
+        )
+        self.max_ts = max(self.max_ts, int(ts_us.max()))
+        return _merge_session_fragments(d, self.gap)
+
+    def feed(self, events_ds, batch_size: int = 65536) -> None:
+        P = len(self.shards)
+        for batch in events_ds.iter_batches(
+            batch_format="pandas", batch_size=batch_size
+        ):
+            if not len(batch):
+                continue
+            g = self._combine(batch)
+            if not len(g):
+                continue
+            shard_of = (
+                pd.util.hash_pandas_object(g["key"], index=False).to_numpy() % P
+            )
+            pushes = []
+            for sid in np.unique(shard_of):
+                sub = g[shard_of == sid]
+                pushes.append(
+                    self.shards[int(sid)].apply.remote(
+                        pa.Table.from_pandas(sub, preserve_index=False)
+                    )
+                )
+            ray.get(pushes)  # backpressure
+        self.advance()
+
+    def advance(self) -> None:
+        if self.lateness is None:
+            return
+        watermark = self.max_ts - self.lateness
+        got = ray.get(
+            [s.emit_end_below.remote(watermark - self.gap) for s in self.shards]
+        )
+        self.emitted.extend(t for t in got if t.num_rows)
+
+    def close(self) -> pa.Table:
+        got = ray.get([s.emit_end_below.remote(2**63 - 1) for s in self.shards])
+        self.emitted.extend(t for t in got if t.num_rows)
+        if not self.emitted:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.string()),
+                    "session_start_us": pa.array([], type=pa.int64()),
+                    "session_end_us": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(self.emitted)
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,140 @@
+"""Streaming session windows: exactness under disorder with
+lateness=None, watermark closing, late-fragment dropping, cross-batch
+session bridging — pinned against a brute-force per-key scan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cdm_data_loader_utils_ray.state.windows_stream import (
+    StreamingSessionAggregator,
+    _merge_session_fragments,
+)
+
+GAP = 100  # us
+
+
+def _brute_sessions(df, gap=GAP):
+    out = []
+    for k, g in df.dropna(subset=["ts"]).groupby("user", dropna=False):
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            m = sid == s
+            vals = g["v"].to_numpy()[m]
+            out.append(
+                (
+                    str(k),
+                    int(ts[m].min()),
+                    int(ts[m].max()),
+                    int(np.sum(~np.isnan(vals))),
+                    float(np.nansum(vals)),
+                )
+            )
+    return sorted(out)
+
+
+def _collect(agg):
+    t = agg.close().to_pandas()
+    return sorted(
+        (r["key"], int(r["session_start_us"]), int(r["session_end_us"]),
+         int(r["n"]), float(r["s"]))
+        for _, r in t.iterrows()
+    )
+
+
+def test_exact_under_disorder():
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 30, n),
+            "ts": rng.integers(0, 20000, n).astype("int64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    df.loc[rng.random(n) < 0.05, "v"] = np.nan  # null values still count rows? no: n counts non-null
+    agg = StreamingSessionAggregator(
+        "user", "v", ts_column="ts", gap_us=GAP,
+        allowed_lateness_us=None, num_shards=3,
+    )
+    try:
+        # shuffled feed in small batches: arrival order != event order
+        agg.feed(rd.from_pandas(df.sample(frac=1.0, random_state=1)), batch_size=257)
+        got = _collect(agg)
+    finally:
+        agg.shutdown()
+    exp = _brute_sessions(df)
+    assert [g[:4] for g in got] == [e[:4] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[4] == pytest.approx(e[4], abs=1e-9)
+
+
+def test_cross_batch_bridging():
+    # one session split across three pushes, middle batch arrives last
+    df = pd.DataFrame(
+        {"user": [1] * 6, "ts": [0, 50, 120, 170, 240, 290], "v": [1.0] * 6}
+    )
+    agg = StreamingSessionAggregator(
+        "user", "v", ts_column="ts", gap_us=GAP,
+        allowed_lateness_us=None, num_shards=2,
+    )
+    try:
+        for part in (df.iloc[[0, 1]], df.iloc[[4, 5]], df.iloc[[2, 3]]):
+            agg.feed(rd.from_pandas(part))
+        got = _collect(agg)
+    finally:
+        agg.shutdown()
+    assert got == [("1", 0, 290, 6, 6.0)]
+
+
+def test_watermark_closes_and_drops_late():
+    agg = StreamingSessionAggregator(
+        "user", "v", ts_column="ts", gap_us=GAP,
+        allowed_lateness_us=50, num_shards=2,
+    )
+    try:
+        agg.feed(rd.from_pandas(pd.DataFrame(
+            {"user": [1, 1], "ts": [0, 60], "v": [1.0, 1.0]})))
+        # watermark jumps far ahead: session [0,60] closes (end < wm - gap)
+        agg.feed(rd.from_pandas(pd.DataFrame(
+            {"user": [2], "ts": [10_000], "v": [1.0]})))
+        assert len(agg.emitted) >= 1
+        emitted = sorted(
+            tuple(r) for t in agg.emitted
+            for r in t.to_pandas()[["key", "session_start_us", "session_end_us"]]
+            .itertuples(index=False)
+        )
+        assert ("1", 0, 60) in emitted
+        # a fragment wholly inside closed territory drops as late
+        agg.feed(rd.from_pandas(pd.DataFrame(
+            {"user": [1], "ts": [30], "v": [1.0]})))
+        stats = agg.stats()
+        assert sum(s["late_dropped"] for s in stats) == 1
+        got = _collect(agg)
+    finally:
+        agg.shutdown()
+    # closed session emitted once; late event NOT re-applied
+    assert ("1", 0, 60, 2, 2.0) in got
+    assert ("2", 10_000, 10_000, 1, 1.0) in got
+    assert len(got) == 2
+
+
+def test_merge_fragments_null_keys_group_together():
+    df = pd.DataFrame(
+        {
+            "key": [None, None, "a"],
+            "start_us": [0, 50, 0],
+            "end_us": [0, 50, 0],
+            "n": [1, 1, 1],
+            "s": [1.0, 1.0, 1.0],
+        }
+    )
+    out = _merge_session_fragments(df, GAP)
+    assert len(out) == 2  # both null-key fragments merged into one session
+    nul = out[out["key"].isna()]
+    assert len(nul) == 1 and int(nul["n"].iloc[0]) == 2
