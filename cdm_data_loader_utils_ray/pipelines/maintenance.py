@@ -581,6 +581,7 @@ def merge_into(
     when_not_matched: str | None = "insert",
     run_id: str = "merge",
     on_duplicate: str = "error",
+    when_not_matched_by_source: str | None = None,
 ) -> Manifest:
     """Delta ``MERGE INTO`` analogue on the CDC key (reference
     ``spark_delta.py`` merge semantics): each source row either updates /
@@ -601,6 +602,14 @@ def merge_into(
     * ``on_duplicate``: 'error' (default — Delta MERGE raises on multiple
       source rows per target key) | 'reduce' (keep one deterministic
       winner per key: lexicographically greatest (commit, content)).
+    * ``when_not_matched_by_source``: ``None`` (default) leaves table keys
+      absent from the source untouched; ``'delete'`` removes them (Delta's
+      WHEN NOT MATCHED BY SOURCE THEN DELETE) — with the defaults for the
+      other two clauses this makes MERGE a full sync: the table converges
+      to exactly the source.  The stale keys come from one exact keyed
+      anti join of the state's keys against the source's keys; all three
+      branches produce DISJOINT key sets, so the shared seq stays unique
+      per key.
 
     With ``when_matched='delete'`` and ``when_not_matched='insert'`` the
     source is split by key existence (semi/anti join vs current state):
@@ -616,6 +625,8 @@ def merge_into(
         raise ValueError("when_not_matched must be 'insert' or None")
     if on_duplicate not in ("error", "reduce"):
         raise ValueError("on_duplicate must be 'error' or 'reduce'")
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError("when_not_matched_by_source must be 'delete' or None")
     m = table.latest_manifest()
     if m is None:
         raise ValueError("merge_into requires a committed table")
@@ -652,13 +663,18 @@ def merge_into(
 
         return _f
 
-    if when_matched == "delete" and when_not_matched == "insert":
-        # split: matched keys delete, unmatched keys insert (as upserts).
-        # Materialize both split inputs first — the two branches would
-        # otherwise each re-run the source dedup shuffle and the lake
-        # key scan (same convention as dedup_incremental's flag split).
+    keys = None
+    if when_not_matched_by_source == "delete" or (
+        when_matched == "delete" and when_not_matched == "insert"
+    ):
+        # branches share the source dedup shuffle and the lake key scan —
+        # materialize both once (same convention as dedup_incremental)
         src = src.materialize()
         keys = _state_keys().materialize()
+
+    if when_matched == "delete" and when_not_matched == "insert":
+        # split: matched keys delete, unmatched keys insert (as upserts) —
+        # a uniform op stamp would wrongly delete nonexistent keys
         matched = semi_join_keys(src, keys, ["repo", "path"])
         unmatched = anti_join_keys(src, keys, ["repo", "path"])
         events = matched.map_batches(to_events("delete"), batch_format="pyarrow").union(
@@ -667,6 +683,16 @@ def merge_into(
     else:
         if when_not_matched is None:
             # keep only matched keys: exact keyed semi join vs state keys
-            src = semi_join_keys(src, _state_keys(), ["repo", "path"])
+            src = semi_join_keys(src, keys if keys is not None else _state_keys(),
+                                 ["repo", "path"])
         events = src.map_batches(to_events(when_matched), batch_format="pyarrow")
+
+    if when_not_matched_by_source == "delete":
+        src_keys = src.map_batches(
+            lambda b: b.select(["repo", "path"]), batch_format="pyarrow"
+        )
+        stale = anti_join_keys(keys, src_keys, ["repo", "path"])
+        events = events.union(
+            stale.map_batches(to_events("delete"), batch_format="pyarrow")
+        )
     return apply_epoch(table, events, run=None, audit=False)

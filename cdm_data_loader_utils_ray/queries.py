@@ -6757,6 +6757,134 @@ FROM q GROUP BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# 126. TPC-H Q5-style region-local supplier revenue: the deepest join
+#      pyramid in the catalog (region -> nation -> {customer, supplier}
+#      broadcast dims; orders JOIN customer and lineitem JOIN orders as
+#      partitioned hash joins; the same-nation constraint filters AFTER
+#      the join).  Revenue uses the exact int64 1e-4-unit arithmetic
+#      (brand_nation_revenue lesson) so the 6-table sum is
+#      order-independent on both engines.
+# ---------------------------------------------------------------------------
+def q5_region_revenue(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nname_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nname_by_key)]
+    sup_ref = ray.put(
+        (
+            pa.array(supp["s_suppkey"].to_numpy(), type=pa.int64()),
+            pa.array(supp["s_nationkey"].to_numpy(), type=pa.int64()),
+        )
+    )
+    nset_ref = ray.put(pa.array(sorted(nname_by_key), type=pa.int64()))
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["c_nationkey"].cast(pa.int64()), value_set=ray.get(nset_ref)
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "o_custkey": b["c_custkey"].cast(pa.int64()),
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        sk, snat = ray.get(sup_ref)
+        idx = pc.index_in(batch["l_suppkey"].cast(pa.int64()), sk)
+        b = batch.filter(pc.is_valid(idx))
+        idx = pc.index_in(b["l_suppkey"].cast(pa.int64()), sk)
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "s_nationkey": snat.take(idx),
+                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+    ords = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    oc = hash_join(ords, cust, on=["o_custkey"], how="inner", num_buckets=32)
+    oc = oc.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(li, oc, on=["o_orderkey"], how="inner", num_buckets=32)
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["s_nationkey"], batch["c_nationkey"]))
+        return b.select(["s_nationkey", "rev_e4"])
+
+    agg = grouped_partial_sums(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        ["s_nationkey"], {"rev_e4": "rev_e4"}, count_alias="n_items",
+    ).to_pandas()
+    agg["n_name"] = agg["s_nationkey"].map(nname_by_key)
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["revenue"] = round_half_away(agg["rev_e4"].to_numpy(np.float64) / 1e4, 2)
+    return agg.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)[["n_name", "n_items", "revenue"]]
+
+
+Q5_REGION_REVENUE_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0,
+             2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6774,6 +6902,7 @@ def registry() -> dict:
         "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
         "cdc_bloom_read": (cdc_bloom_read, CDC_BLOOM_READ_SQL),
         "streaming_sessions": (streaming_sessions, STREAMING_SESSIONS_SQL),
+        "q5_region_revenue": (q5_region_revenue, Q5_REGION_REVENUE_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),

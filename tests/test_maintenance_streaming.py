@@ -511,3 +511,75 @@ def test_lookup_point_reads_prune_partitions(tmp_path):
     assert sorted(got2["content_sha256"].to_pylist()) == sorted(
         exp["content_sha256"].to_pylist()
     )
+
+
+def test_merge_into_not_matched_by_source_full_sync(lake_with_data):
+    """when_not_matched_by_source='delete' (Delta WHEN NOT MATCHED BY
+    SOURCE): with the default update+insert clauses, MERGE becomes a full
+    sync — the table converges to exactly the source."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    before = read_final_state_arrow(table).to_pandas()
+    assert len(before) > 3
+    # source: two existing keys (one updated) + one brand-new key
+    src = pd.DataFrame(
+        {
+            "repo": [before["repo"].iloc[0], before["repo"].iloc[1], "sync/new"],
+            "path": [before["path"].iloc[0], before["path"].iloc[1], "n.txt"],
+            "commit": ["s1", "s2", "s3"],
+            "lang": ["py", "py", "py"],
+            "content": ["synced-0", before["content"].iloc[1], "synced-new"],
+        }
+    )
+    merge_into(table, rd.from_pandas(src), when_not_matched_by_source="delete")
+    after = read_final_state_arrow(table).to_pandas()
+    keys = set(zip(after["repo"], after["path"]))
+    assert keys == set(zip(src["repo"], src["path"]))  # exactly the source
+    got = after.set_index(["repo", "path"])["content"]
+    assert got[(before["repo"].iloc[0], before["path"].iloc[0])] == "synced-0"
+    assert got[("sync/new", "n.txt")] == "synced-new"
+
+
+def test_merge_into_by_source_with_matched_only_update(lake_with_data):
+    """update + no-insert + delete-by-source: table converges to
+    (table ∩ source) with matched rows updated; unmatched source rows
+    neither insert nor block the stale delete."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    before = read_final_state_arrow(table).to_pandas()
+    src = pd.DataFrame(
+        {
+            "repo": [before["repo"].iloc[2], "never/seen"],
+            "path": [before["path"].iloc[2], "x.txt"],
+            "commit": ["k1", "k2"],
+            "lang": ["py", "py"],
+            "content": ["kept-and-updated", "ignored"],
+        }
+    )
+    merge_into(
+        table, rd.from_pandas(src),
+        when_not_matched=None, when_not_matched_by_source="delete",
+    )
+    after = read_final_state_arrow(table).to_pandas()
+    assert len(after) == 1
+    assert after["content"].iloc[0] == "kept-and-updated"
+
+
+def test_merge_into_by_source_validation(lake_with_data):
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import merge_into
+
+    table, _ = lake_with_data
+    src = pd.DataFrame(
+        {"repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"],
+         "content": ["x"]}
+    )
+    with pytest.raises(ValueError):
+        merge_into(table, rd.from_pandas(src), when_not_matched_by_source="upsert")
