@@ -462,6 +462,15 @@ class LakeTable:
     def commit(self, manifest: Manifest) -> None:
         """Phase-2 commit: manifest file first, then the LATEST pointer —
         both atomic renames.  Re-committing the same epoch is idempotent."""
+        if self.stage_manifest(manifest):
+            self.publish_epoch(manifest.epoch)
+
+    def stage_manifest(self, manifest: Manifest) -> bool:
+        """Write the durable manifest file WITHOUT flipping LATEST — the
+        first half of :meth:`commit`, split out so a multi-table
+        transaction (``pipelines/txn.py``) can stage every table before
+        any becomes visible.  Returns False for the idempotent replay
+        no-op (same epoch, same run), True when staged."""
         cur = self.latest_epoch()
         if cur is not None and manifest.epoch <= cur:
             try:
@@ -470,7 +479,7 @@ class LakeTable:
                 existing = None  # epoch inside the committed range but no
                 # manifest on disk (foreign/corrupt history): clear error below
             if existing is not None and existing.run_id == manifest.run_id:
-                return  # replayed commit of an already-applied epoch: no-op
+                return False  # replayed commit of an already-applied epoch
             raise ValueError(
                 f"commit epoch {manifest.epoch} <= committed epoch {cur} by a different run"
             )
@@ -485,7 +494,22 @@ class LakeTable:
             os.path.join(self.manifest_dir, f"manifest-{manifest.epoch:08d}.json"),
             manifest.to_json(),
         )
-        _atomic_write(os.path.join(self.manifest_dir, LATEST), str(manifest.epoch))
+        return True
+
+    def publish_epoch(self, epoch: int) -> None:
+        """Flip LATEST to a previously-staged epoch (atomic rename).
+        Idempotent: a pointer already at or past ``epoch`` is left alone,
+        so transaction recovery can re-publish blindly.  Raises if the
+        epoch was never staged — publishing an unstaged epoch would hand
+        readers a dangling pointer."""
+        if not os.path.exists(
+            os.path.join(self.manifest_dir, f"manifest-{epoch:08d}.json")
+        ):
+            raise ValueError(f"publish_epoch: epoch {epoch} was never staged")
+        cur = self.latest_epoch()
+        if cur is not None and cur >= epoch:
+            return
+        _atomic_write(os.path.join(self.manifest_dir, LATEST), str(epoch))
 
     # -- data files ---------------------------------------------------------
     def partition_file(self, pid: int, epoch: int) -> str:
