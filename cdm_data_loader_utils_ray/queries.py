@@ -6885,6 +6885,252 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# 127. Association rules over co-purchase baskets (market-basket
+#      support/confidence/lift): pair counts reuse the copurchase
+#      within-bucket emission (one orderkey-bucket shuffle, never a
+#      self-join); per-item basket counts and the basket total are
+#      aggregate-sized and join driver-side.  Ratios are division-only
+#      chains with PINNED shape — (n_ab/n_a) / (n_b/N) — so both engines
+#      produce bit-identical doubles before the shared rounding.
+# ---------------------------------------------------------------------------
+def assoc_rules_copurchase(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.graph import within_group_pairs
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    keyed = ds.map_batches(bucket, batch_format="pyarrow")
+
+    _empty = pd.DataFrame(
+        {
+            "u": pd.Series(dtype="int64"),
+            "v": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+            "items": pd.Series(dtype="int64"),
+            "baskets": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pairs_and_items(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return _empty.copy()
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        pk = d["l_partkey"].to_numpy(np.int64)
+        ok = d["l_orderkey"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(pk, ok)
+        # item rows double as per-item basket counts (v=-1 marker) and the
+        # bucket's basket count (u=v=-1) — one output stream, one fold
+        ic = pd.DataFrame({"u": pk, "v": np.int64(-1), "c": 0, "items": 1,
+                           "baskets": 0})
+        nb = pd.DataFrame({"u": [np.int64(-1)], "v": [np.int64(-1)], "c": [0],
+                           "items": [0],
+                           "baskets": [int(pd.unique(ok).size)]})
+        if len(a_idx) == 0:
+            return pd.concat([ic, nb], ignore_index=True)
+        w = pd.DataFrame({"u": pk[a_idx], "v": pk[b_idx]})
+        g = w.groupby(["u", "v"], sort=False).size().rename("c").reset_index()
+        g["items"] = 0
+        g["baskets"] = 0
+        return pd.concat([g, ic, nb], ignore_index=True)
+
+    folded = grouped_partial_sums(
+        keyed.groupby(_BUCKET).map_groups(pairs_and_items, batch_format="pandas"),
+        ["u", "v"], {"n_ab": "c", "n_i": "items", "nb": "baskets"},
+        count_alias="__n",
+    ).to_pandas()
+
+    N = float(folded.loc[(folded["u"] == -1) & (folded["v"] == -1), "nb"].sum())
+    items = folded[(folded["v"] == -1) & (folded["u"] != -1)]
+    n_of = dict(zip(items["u"].astype(np.int64), items["n_i"].astype(np.int64)))
+    pairs = folded[(folded["v"] != -1) & (folded["n_ab"] >= 2)]
+
+    # directed rules from the unordered pairs
+    fwd = pairs.rename(columns={"u": "ante", "v": "cons"})[["ante", "cons", "n_ab"]]
+    rev = pairs.rename(columns={"v": "ante", "u": "cons"})[["ante", "cons", "n_ab"]]
+    rules = pd.concat([fwd, rev], ignore_index=True)
+    n_a = rules["ante"].map(n_of).to_numpy(np.float64)
+    n_b = rules["cons"].map(n_of).to_numpy(np.float64)
+    n_ab = rules["n_ab"].to_numpy(np.float64)
+    conf = n_ab / n_a
+    rules["support"] = _round_away(n_ab / N, 6)
+    rules["confidence"] = _round_away(conf, 6)
+    rules["lift"] = _round_away(conf / (n_b / N), 6)
+    rules["ante"] = rules["ante"].astype("int64")
+    rules["cons"] = rules["cons"].astype("int64")
+    rules["n_ab"] = rules["n_ab"].astype("int64")
+    return rules.sort_values(["ante", "cons"]).reset_index(drop=True)[
+        ["ante", "cons", "n_ab", "support", "confidence", "lift"]
+    ]
+
+
+ASSOC_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM op),
+ic AS (SELECT l_partkey, count(*) AS n_i FROM op GROUP BY 1),
+pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_ab
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+d AS (SELECT u AS ante, v AS cons, n_ab FROM pr
+      UNION ALL SELECT v AS ante, u AS cons, n_ab FROM pr)
+SELECT d.ante, d.cons, CAST(d.n_ab AS BIGINT) AS n_ab,
+       round(CAST(d.n_ab AS DOUBLE) / (SELECT nb FROM n), 6) AS support,
+       round(CAST(d.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE), 6) AS confidence,
+       round((CAST(d.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE))
+             / (CAST(ib.n_i AS DOUBLE) / (SELECT nb FROM n)), 6) AS lift
+FROM d
+JOIN ic ia ON d.ante = ia.l_partkey
+JOIN ic ib ON d.cons = ib.l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 128. FORWARD as-of join (time-to-next-order): the mirror direction of
+#      entry 19's backward as-of — same single bucket shuffle, per-bucket
+#      merge_asof(direction='forward'), right side deduped in-bucket.
+#      Covers the 'forward' path of stages/temporal.asof_join with a hard
+#      oracle (DuckDB ASOF accepts <=).
+# ---------------------------------------------------------------------------
+def next_order_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = ["user_id" if n == "o_custkey" else "ts" if n == "o_orderdate" else n
+                 for n in batch.column_names]
+        return batch.rename_columns(names)
+
+    right = orders.map_batches(rename, batch_format="pyarrow")
+    joined = asof_join(
+        events, right, on="ts", by=["user_id"], num_buckets=16,
+        direction="forward", right_dedup=(["user_id", "ts"], "o_orderkey"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "ts", "o_orderkey"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["next_orderkey"] = out.pop("o_orderkey").fillna(-1).astype("int64")
+        out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+NEXT_ORDER_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       coalesce(o.o_orderkey, -1) AS next_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts <= o.ots
+"""
+
+
+# ---------------------------------------------------------------------------
+# 129. Grouped exact central moments (mean / variance / third moment per
+#      event_type): integer cents through grouped_exact_sums (arbitrary-
+#      precision distributed sums), then ONE float expression per moment
+#      with exact-integer numerators and denominators cast to double ONCE
+#      — n*S2 - S1^2 and n^2*S3 - 3n*S1*S2 + 2*S1^3 are exact Python ints
+#      (HUGEINT in the twin), so both engines round the same two casts and
+#      divide once.  skewness = m3 / (var * sqrt(var)) stays deterministic
+#      because sqrt IS correctly rounded (pow is not — never use pow(x,1.5)
+#      in an oracle-checked expression).
+# ---------------------------------------------------------------------------
+def moments_per_type(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_exact_sums
+
+    raw = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def nonnull(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(pc.is_valid(batch["event_type"]), pc.is_valid(batch["value"]))
+        )
+
+    ds = raw.map_batches(nonnull, batch_format="pyarrow")
+
+    def prepare(d: pd.DataFrame) -> pd.DataFrame:
+        x = _round_away(d["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        n = max(len(d), 1)
+        b = int(round(((1 << 62) // n) ** (1.0 / 3.0)))
+        while (b + 1) ** 3 * n <= (1 << 62):
+            b += 1
+        while b > 0 and b**3 * n > (1 << 62):
+            b -= 1
+        if np.abs(x).max(initial=0) > b:
+            raise ValueError(
+                f"moments_per_type: |cents| exceeds per-batch cube headroom ({b})"
+            )
+        return pd.DataFrame(
+            {"k": d["event_type"], "x": x, "xx": x * x, "xxx": x * x * x}
+        )
+
+    moments = grouped_exact_sums(ds, "k", prepare, ["x", "xx", "xxx"])
+    rows = []
+    for k in sorted(moments):
+        n, s1, s2, s3 = moments[k]
+        mean = float(s1) / float(n)
+        var = float(n * s2 - s1 * s1) / float(n * n)
+        m3 = float(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) / float(n**3)
+        sd3 = var * float(np.sqrt(var))
+        skew = None if sd3 == 0.0 else float(_round_away(m3 / sd3, 6))
+        rows.append(
+            {
+                "event_type": k,
+                "n": int(n),
+                "mean_cents": float(_round_away(mean, 6)),
+                "var_cents": float(_round_away(var, 6)),
+                "skewness": skew,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "mean_cents", "var_cents", "skewness"]
+    )
+
+
+MOMENTS_PER_TYPE_SQL = """
+WITH q AS (
+  SELECT event_type AS k, CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT k, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS s1,
+         sum(CAST(x AS HUGEINT) * x) AS s2,
+         sum(CAST(x AS HUGEINT) * x * x) AS s3
+  FROM q GROUP BY k
+),
+f AS (
+  SELECT k, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS var,
+         CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+           / CAST(n * n * n AS DOUBLE) AS m3
+  FROM s
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       round(mean, 6) AS mean_cents,
+       round(var, 6) AS var_cents,
+       CASE WHEN var * sqrt(var) = 0 THEN NULL
+            ELSE round(m3 / (var * sqrt(var)), 6) END AS skewness
+FROM f
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -6903,6 +7149,9 @@ def registry() -> dict:
         "cdc_bloom_read": (cdc_bloom_read, CDC_BLOOM_READ_SQL),
         "streaming_sessions": (streaming_sessions, STREAMING_SESSIONS_SQL),
         "q5_region_revenue": (q5_region_revenue, Q5_REGION_REVENUE_SQL),
+        "assoc_rules_copurchase": (assoc_rules_copurchase, ASSOC_RULES_SQL),
+        "next_order_events": (next_order_events, NEXT_ORDER_SQL),
+        "moments_per_type": (moments_per_type, MOMENTS_PER_TYPE_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
