@@ -200,6 +200,11 @@ def cmd_read(args) -> int:
         manifest=manifest,
         column_range=ranges or None,
         column_equals=equals or None,
+        columns=(
+            [c for c in args.columns.split(",") if c]
+            if getattr(args, "columns", None)
+            else None
+        ),
     )
     ds.write_parquet(args.out)
     print(json.dumps({"rows": _parquet_dir_rows(args.out), "out": args.out}))
@@ -528,6 +533,10 @@ def main(argv=None) -> int:
     rdp.add_argument(
         "--equals", action="append",
         help="col:value equality (Bloom-sidecar data skipping), repeatable",
+    )
+    rdp.add_argument(
+        "--columns", default=None,
+        help="comma-separated projection (pushed down to the parquet read)",
     )
     rdp.add_argument(
         "--epoch", type=int, default=None,

@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 # module level, not lazy: these run inside worker tasks, where a lazy
 # intra-package import would re-import the package without an import path
 # (the by-value serialization contract — see CLAUDE.md)
+from cdm_data_loader_utils_ray.core.schemas import DELETED_COLUMN, KEY_COLUMNS
 from cdm_data_loader_utils_ray.functions.bloom import _probe_positions, bloom_contains
 from cdm_data_loader_utils_ray.functions.sketches import _hash64
 from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema, rename_columns
@@ -331,7 +332,11 @@ def select_row_groups(md, column_ranges: dict) -> list[int]:
 
 
 def merge_chain_files(
-    table_dir: str, files: list[str], m: "Manifest", column_ranges: dict | None = None
+    table_dir: str,
+    files: list[str],
+    m: "Manifest",
+    column_ranges: dict | None = None,
+    columns: "Sequence[str] | None" = None,
 ) -> pa.Table:
     """LWW-merge one partition's delta-chain files, applying the manifest's
     ``rename_history`` per file BEFORE schema alignment (older chain files
@@ -345,26 +350,49 @@ def merge_chain_files(
     any LWW outcome.  Across a multi-file chain it could — pruning an
     out-of-range WINNER would resurrect an in-range loser from an older
     file — so longer chains always read fully (file-level skipping via
-    :func:`chain_may_match` still applies upstream)."""
+    :func:`chain_may_match` still applies upstream).
+
+    ``columns`` is a PROJECTION PUSHDOWN: only those parquet columns leave
+    storage (per-file physical names resolved through ``rename_history``,
+    so pre-rename files prune correctly).  The LWW merge itself always
+    needs the key columns + ``seq`` (+ ``is_deleted`` when the table has
+    it) — they are added to the read set here; callers wanting a narrower
+    result project after the merge."""
+    schema = m.schema
+    if columns is not None:
+        need = set(columns) | set(KEY_COLUMNS) | {"seq"}
+        if DELETED_COLUMN in m.schema.names:
+            need.add(DELETED_COLUMN)
+        schema = pa.schema([f for f in m.schema if f.name in need])
 
     def _read(f: str) -> pa.Table:
         path = os.path.join(table_dir, f)
-        if column_ranges and len(files) == 1:
+        pf = None
+        cols = None
+        if columns is not None:
             pf = pq.ParquetFile(path)
+            # physical -> logical via the rename map; pre-rename files
+            # carry the OLD physical name for a renamed logical column
+            cols = [
+                n
+                for n in pf.schema_arrow.names
+                if m.rename_history.get(n, n) in schema.names
+            ]
+        if column_ranges and len(files) == 1:
+            pf = pf or pq.ParquetFile(path)
             keep = select_row_groups(pf.metadata, column_ranges)
             if len(keep) < pf.metadata.num_row_groups:
-                return (
-                    pf.read_row_groups(keep)
-                    if keep
-                    else pf.schema_arrow.empty_table()
-                )
-        return pq.read_table(path)
+                if not keep:
+                    t = pf.schema_arrow.empty_table()
+                    return t.select(cols) if cols is not None else t
+                return pf.read_row_groups(keep, columns=cols)
+        return pq.read_table(path, columns=cols)
 
     parts = [
-        align_to_schema(rename_columns(_read(f), m.rename_history), m.schema)
+        align_to_schema(rename_columns(_read(f), m.rename_history), schema)
         for f in files
     ]
-    return merge_states(None, pa.concat_tables(parts), m.schema)
+    return merge_states(None, pa.concat_tables(parts), schema)
 
 
 class LakeTable:
@@ -581,6 +609,7 @@ class LakeTable:
         column_range: dict | None = None,
         pids: "Sequence[int] | None" = None,
         column_equals: dict | None = None,
+        columns: "Sequence[str] | None" = None,
     ):
         """Committed state as a ``ray.data.Dataset``: one task per
         partition LWW-merges its delta chain (streaming across
@@ -604,7 +633,12 @@ class LakeTable:
         ``pids`` restricts the read to a subset of partitions — the
         churn-proportional pre-image read for incremental view maintenance
         (pipelines/ivm.py): only partitions the CDF window names are
-        opened at all."""
+        opened at all.
+
+        ``columns`` is a PROJECTION PUSHDOWN: only the requested columns
+        (plus whatever the LWW merge and the predicates need internally)
+        are read from parquet at all — the prune-at-the-read rule for wide
+        tables.  Renamed columns prune correctly in pre-rename files."""
         import ray.data as rd
 
         m = manifest or self.latest_manifest()
@@ -655,7 +689,23 @@ class LakeTable:
                 raise ValueError(f"column {c!r} in both column_range and column_equals")
             ranges[c] = (cast.as_py(), cast.as_py())  # footer + row filtering
 
+        read_cols = None
+        if columns is not None:
+            for c in columns:
+                if c not in m.schema.names:
+                    raise ValueError(f"columns entry {c!r} not in table schema")
+            if live_only and DELETED_COLUMN in columns:
+                raise ValueError(
+                    "columns includes is_deleted but live_only=True drops it; "
+                    "pass live_only=False to read the tombstone flag"
+                )
+            # the merge + predicates need their own columns even when the
+            # caller did not request them; project back down after both
+            read_cols = list(dict.fromkeys(list(columns) + list(ranges)))
+
         out_schema = m.schema
+        if columns is not None:
+            out_schema = pa.schema([f for f in m.schema if f.name in set(columns)])
         if live_only and "is_deleted" in out_schema.names:
             out_schema = out_schema.remove(out_schema.get_field_index("is_deleted"))
 
@@ -675,7 +725,9 @@ class LakeTable:
                     for c, probe in probes.items()
                 ):
                     continue  # Bloom-proven absent: no data IO at all
-                t = merge_chain_files(table_dir, files, m, column_ranges=ranges)
+                t = merge_chain_files(
+                    table_dir, files, m, column_ranges=ranges, columns=read_cols
+                )
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
                 for c, (lo, hi) in ranges.items():
@@ -683,7 +735,7 @@ class LakeTable:
                         t = t.filter(pc.greater_equal(t[c], pa.scalar(lo)))
                     if hi is not None:
                         t = t.filter(pc.less_equal(t[c], pa.scalar(hi)))
-                out.append(t)
+                out.append(t.select(out_schema.names))
             # skipped-partition batches still need the output schema
             return pa.concat_tables(out) if out else out_schema.empty_table()
 

@@ -348,3 +348,43 @@ def test_read_state_types_range_bounds_from_schema(tmp_path, ray_session):
         table.read_state(column_range={"seq": ("not-a-number", None)}).to_pandas()
     with pytest.raises(ValueError, match="not in table schema"):
         table.read_state(column_range={"nope": (1, 2)}).to_pandas()
+
+
+def test_read_state_column_projection(ray_session, tmp_path):
+    """columns= is a projection PUSHDOWN: result matches the full read's
+    projection, predicates on non-requested columns still apply, and
+    validation rejects unknown / contradictory requests."""
+    import pytest
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=120, num_events=900, seed=19))
+    run_replay(ev, lake, num_partitions=4)
+    table = LakeTable(lake)
+
+    full = table.read_state().to_pandas().sort_values(["repo", "path"])
+    got = table.read_state(columns=["repo", "path", "content_sha256"]).to_pandas()
+    assert sorted(got.columns) == ["content_sha256", "path", "repo"]
+    got = got.sort_values(["repo", "path"])
+    assert got["content_sha256"].tolist() == full["content_sha256"].tolist()
+
+    # range predicate on a column NOT in the projection still filters
+    lo = int(full["seq"].quantile(0.5))
+    exp = full[full["seq"] >= lo]
+    got2 = table.read_state(
+        columns=["repo", "path"], column_range={"seq": (lo, None)}
+    ).to_pandas().sort_values(["repo", "path"])
+    assert "seq" not in got2.columns
+    assert got2["path"].tolist() == exp.sort_values(["repo", "path"])["path"].tolist()
+
+    with pytest.raises(ValueError):
+        table.read_state(columns=["nope"])
+    with pytest.raises(ValueError):
+        table.read_state(columns=["repo", "is_deleted"])  # live_only drops it
+    # tombstone flag IS readable with live_only=False
+    t3 = table.read_state(columns=["repo", "is_deleted"], live_only=False).to_pandas()
+    assert set(t3.columns) == {"repo", "is_deleted"}
+    assert t3["is_deleted"].any()  # fixture contains deletes
