@@ -88,6 +88,42 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Metadata-only table summary (DESCRIBE DETAIL analogue): epoch, schema,
+    partition/chain/file stats, tags, properties — straight from the
+    manifest, no Ray session and no data IO."""
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    t = LakeTable(args.lake)
+    m = t.latest_manifest()
+    if m is None:
+        print(json.dumps({"lake": args.lake, "committed": False}))
+        return 0
+    chains = [len(p.files) for p in m.partitions.values()]
+    out = {
+        "lake": args.lake,
+        "epoch": m.epoch,
+        "num_partitions": m.num_partitions,
+        "columns": [(f.name, str(f.type)) for f in m.schema],
+        "rows": sum(p.rows for p in m.partitions.values()),
+        "live_keys": (
+            sum(p.live_keys for p in m.partitions.values())
+            if all(p.live_keys >= 0 for p in m.partitions.values())
+            else None
+        ),
+        "bytes": sum(p.bytes for p in m.partitions.values()),
+        "files": sum(chains),
+        "max_chain_len": max(chains, default=0),
+        "hwm_seq": max((p.hwm_seq for p in m.partitions.values()), default=-1),
+        "rename_history": m.rename_history,
+        "tags": t.tags(),
+        "properties": t.get_properties(),
+        "run_id": m.run_id,
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
@@ -478,6 +514,12 @@ def main(argv=None) -> int:
     c.add_argument("--row-group-size", type=int, default=None,
                    help="rows per parquet row group (skipping granularity)")
     c.set_defaults(fn=cmd_compact)
+
+    dsc = sub.add_parser(
+        "describe", help="metadata-only table summary (no Ray, no data IO)"
+    )
+    dsc.add_argument("--lake", required=True)
+    dsc.set_defaults(fn=cmd_describe)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")
     v.add_argument("--lake", required=True)
