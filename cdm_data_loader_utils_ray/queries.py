@@ -7131,6 +7131,104 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# 130. Deterministic integer PageRank over the co-purchase graph (graph
+#      family's ranking member): 3 bounded iterations, all arithmetic
+#      integer (score//deg contributions, (85*sum)//100 damping) so the
+#      unrolled-CTE SQL twin reproduces every score bit-exactly — float
+#      PageRank's neighbor-sum order cannot be pinned across engines.
+#      Edge table streams; the node-sized score/degree lut broadcasts per
+#      round (dimension-sized here; hash_join variant for huge node sets,
+#      see functions/graph.pagerank_integer).
+# ---------------------------------------------------------------------------
+def pagerank_copurchase(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.graph import (
+        pagerank_integer,
+        within_group_pairs,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    _empty = pd.DataFrame(
+        {
+            "u": pd.Series(dtype="int64"),
+            "v": pd.Series(dtype="int64"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return _empty.copy()
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        pk = d["l_partkey"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(pk, d["l_orderkey"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty.copy()
+        w = pd.DataFrame({"u": pk[a_idx], "v": pk[b_idx]})
+        return w.groupby(["u", "v"], sort=False).size().rename("c").reset_index()
+
+    pair_counts = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    folded = grouped_partial_sums(
+        pair_counts, ["u", "v"], {"n_orders": "c"}, count_alias="__nb"
+    )
+    edges = folded.filter(expr="n_orders >= 2")
+    out = pagerank_integer(edges, iterations=3)
+    out["node"] = out["node"].astype("int64")
+    out["score"] = out["score"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)[["node", "score"]]
+
+
+PAGERANK_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS eu, b.l_partkey AS ev
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+adj AS (SELECT eu AS src, ev AS dst FROM e
+        UNION ALL SELECT ev AS src, eu AS dst FROM e),
+dg AS (SELECT src, count(*) AS d FROM adj GROUP BY src),
+s0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS score FROM dg),
+s1 AS (
+  SELECT dg.src AS node,
+         CAST(150000000000 + (85 * coalesce(inc.t, 0)) // 100 AS BIGINT) AS score
+  FROM dg LEFT JOIN (
+    SELECT a.dst AS node, sum(s0.score // dg.d) AS t
+    FROM s0 JOIN dg ON s0.node = dg.src JOIN adj a ON a.src = s0.node
+    GROUP BY a.dst) inc ON inc.node = dg.src
+),
+s2 AS (
+  SELECT dg.src AS node,
+         CAST(150000000000 + (85 * coalesce(inc.t, 0)) // 100 AS BIGINT) AS score
+  FROM dg LEFT JOIN (
+    SELECT a.dst AS node, sum(s1.score // dg.d) AS t
+    FROM s1 JOIN dg ON s1.node = dg.src JOIN adj a ON a.src = s1.node
+    GROUP BY a.dst) inc ON inc.node = dg.src
+),
+s3 AS (
+  SELECT dg.src AS node,
+         CAST(150000000000 + (85 * coalesce(inc.t, 0)) // 100 AS BIGINT) AS score
+  FROM dg LEFT JOIN (
+    SELECT a.dst AS node, sum(s2.score // dg.d) AS t
+    FROM s2 JOIN dg ON s2.node = dg.src JOIN adj a ON a.src = s2.node
+    GROUP BY a.dst) inc ON inc.node = dg.src
+)
+SELECT node, score FROM s3
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -7152,6 +7250,7 @@ def registry() -> dict:
         "assoc_rules_copurchase": (assoc_rules_copurchase, ASSOC_RULES_SQL),
         "next_order_events": (next_order_events, NEXT_ORDER_SQL),
         "moments_per_type": (moments_per_type, MOMENTS_PER_TYPE_SQL),
+        "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),

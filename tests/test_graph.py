@@ -93,3 +93,39 @@ def test_bfs_hops_matches_bruteforce(ray_session):
     got = bfs_hops(e_ds, s_ds, max_hops=3, num_buckets=4).to_pandas()
     assert dict(zip(got["node"], got["dist"])) == want
     assert len(got) == len(want)
+
+
+def test_pagerank_integer_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import pagerank_integer
+
+    rng = np.random.default_rng(3)
+    m = 400
+    e = pd.DataFrame({"u": rng.integers(0, 60, m), "v": rng.integers(0, 60, m)})
+    e = e[e.u != e.v].drop_duplicates().reset_index(drop=True)
+
+    got = pagerank_integer(rd.from_pandas(e), iterations=4).set_index("node")["score"]
+
+    # brute force: dense integer iteration with the same floor divisions
+    adj = pd.concat(
+        [e, e.rename(columns={"u": "v", "v": "u"})], ignore_index=True
+    )
+    nodes = np.unique(adj["u"])
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = adj.groupby("u").size().reindex(nodes).to_numpy()
+    score = np.full(len(nodes), 10**12, dtype=np.int64)
+    base = (15 * 10**12) // 100
+    for _ in range(4):
+        contrib = score // deg
+        t = np.zeros(len(nodes), dtype=np.int64)
+        for uu, vv in adj.itertuples(index=False):
+            t[idx[vv]] += contrib[idx[uu]]
+        score = base + (85 * t) // 100
+    exp = pd.Series(score, index=nodes)
+    assert sorted(got.index) == sorted(exp.index)
+    assert (got.reindex(exp.index).to_numpy() == exp.to_numpy()).all()
+    # sanity: a hub node outranks a leaf
+    assert got.max() > got.min()
