@@ -124,6 +124,26 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    from cdm_data_loader_utils_ray.pipelines.maintenance import (
+        alter_drop_column,
+        alter_rename_column,
+    )
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    t = LakeTable(args.lake)
+    if args.drop is not None:
+        m = alter_drop_column(t, args.drop)
+        print(json.dumps({"epoch": m.epoch, "dropped": args.drop}))
+    elif args.rename is not None:
+        old, _, new = args.rename.partition(":")
+        m = alter_rename_column(t, old, new)
+        print(json.dumps({"epoch": m.epoch, "renamed": [old, new]}))
+    else:
+        raise SystemExit("alter: pass --drop COL or --rename OLD:NEW")
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
@@ -520,6 +540,14 @@ def main(argv=None) -> int:
     )
     dsc.add_argument("--lake", required=True)
     dsc.set_defaults(fn=cmd_describe)
+
+    al = sub.add_parser(
+        "alter", help="metadata-only schema change: drop or rename a column"
+    )
+    al.add_argument("--lake", required=True)
+    al.add_argument("--drop", default=None, help="column to drop")
+    al.add_argument("--rename", default=None, help="OLD:NEW column rename")
+    al.set_defaults(fn=cmd_alter)
 
     v = sub.add_parser("vacuum", help="delete unreferenced data files")
     v.add_argument("--lake", required=True)

@@ -834,6 +834,12 @@ def apply_epoch(
         incoming = pa.schema(
             [pa.field(rename_map.get(f.name, f.name), f.type, f.nullable) for f in incoming]
         )
+    # columns dropped by ALTER TABLE stay dropped: exclude them from
+    # evolution or any feed still carrying the field would silently
+    # resurrect it on the next replay (tests/test_alter_schema.py)
+    dropped = set(table.get_properties().get("dropped_columns", []))
+    if dropped:
+        incoming = pa.schema([f for f in incoming if f.name not in dropped])
     if prior_state_sch is not None:
         event_sch = evolve_schema(event_schema_of(prior_state_sch), incoming)
     else:

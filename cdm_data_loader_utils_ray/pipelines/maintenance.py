@@ -50,8 +50,10 @@ def _rewrite_partitions(
     passing the hint)."""
     import ray.data as rd
 
-    from cdm_data_loader_utils_ray.sinks.lake import chain_may_match
-    from cdm_data_loader_utils_ray.state.upsert import merge_states
+    from cdm_data_loader_utils_ray.sinks.lake import (
+        chain_may_match,
+        merge_chain_files,
+    )
 
     m = table.latest_manifest()
     if m is None:
@@ -76,14 +78,11 @@ def _rewrite_partitions(
                              "rows": -1, "hwm_seq": -1, "live_keys": -1,
                              "bytes": -1, "touched_rows": 0})
                 continue
-            t = merge_states(
-                None,
-                pa.concat_tables(
-                    [pq.read_table(lake.abspath(f)) for f in chain],
-                    promote_options="permissive",
-                ),
-                m.schema,
-            )
+            # merge_chain_files applies rename_history PER FILE before
+            # alignment — reading raw and aligning to m.schema would null
+            # out pre-rename files' renamed columns (latent until
+            # alter_rename_column made old-named files routine)
+            t = merge_chain_files(table_dir, chain, m)
             new, touched = rewrite(t, pid)
             if new is None and len(chain) > 1:
                 new = t  # fold the chain even when the rewrite is a no-op
@@ -696,3 +695,97 @@ def merge_into(
             stale.map_batches(to_events("delete"), batch_format="pyarrow")
         )
     return apply_epoch(table, events, run=None, audit=False)
+
+
+_PROTECTED_COLUMNS = ("repo", "path", "seq", DELETED_COLUMN)
+
+
+def alter_drop_column(table: LakeTable, column: str, run_id: str = "alter") -> Manifest:
+    """``ALTER TABLE ... DROP COLUMN`` — METADATA-ONLY: the new manifest's
+    schema simply omits the column; no data file is touched.  Readers
+    project through the manifest schema (``align_to_schema`` drops columns
+    the schema lacks), so the column disappears from every read while
+    time-travel to pre-drop epochs still shows it.  Subsequent replays
+    align incoming events to the narrowed schema (the dropped field is
+    discarded on write).  Key/sequencing columns are protected.
+
+    The column is also recorded in the ``dropped_columns`` table property:
+    replays exclude it from schema evolution, so a feed still carrying the
+    field cannot silently resurrect it (delete the property entry to
+    re-admit the column as new data)."""
+    if column in _PROTECTED_COLUMNS:
+        raise ValueError(f"cannot drop engine column {column!r}")
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("no committed manifest to alter")
+    if column not in m.schema.names:
+        raise ValueError(f"column {column!r} not in table schema")
+    schema = m.schema.remove(m.schema.get_field_index(column))
+    out = Manifest(
+        epoch=m.epoch + 1,
+        num_partitions=m.num_partitions,
+        schema=schema,
+        partitions={
+            pid: PartitionEntry.from_json(p.to_json())
+            for pid, p in m.partitions.items()
+        },
+        parent_epoch=m.epoch,
+        run_id=f"{run_id}-{uuid.uuid4().hex[:8]}",
+        metrics={"dropped_column": column, "state_preserving_rewrite": True},
+        # the dropped column's rename history entries are kept: a pre-rename
+        # file's physical name must still resolve (to a now-absent logical
+        # name, which align_to_schema then drops)
+        rename_history=dict(m.rename_history),
+    )
+    table.commit(out)
+    props = table.get_properties()
+    dropped = list(props.get("dropped_columns", []))
+    if column not in dropped:
+        dropped.append(column)
+    props["dropped_columns"] = dropped
+    table.set_properties(props)
+    return out
+
+
+def alter_rename_column(
+    table: LakeTable, old: str, new: str, run_id: str = "alter"
+) -> Manifest:
+    """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (Delta
+    column-mapping analogue): the manifest schema carries the new name and
+    ``rename_history[old] = new`` teaches every reader to rename the old
+    physical name per file before alignment — existing data files are
+    never rewritten.  Chained renames compose: an earlier ``a -> old``
+    entry is rewritten to ``a -> new`` so files from BEFORE the first
+    rename still resolve in one hop."""
+    if old in _PROTECTED_COLUMNS or new in _PROTECTED_COLUMNS:
+        raise ValueError("cannot rename engine columns")
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("no committed manifest to alter")
+    if old not in m.schema.names:
+        raise ValueError(f"column {old!r} not in table schema")
+    if new in m.schema.names:
+        raise ValueError(f"column {new!r} already exists")
+    i = m.schema.get_field_index(old)
+    f = m.schema.field(i)
+    schema = m.schema.set(i, pa.field(new, f.type, f.nullable))
+    hist = {
+        phys: (new if logical == old else logical)
+        for phys, logical in m.rename_history.items()
+    }
+    hist[old] = new
+    out = Manifest(
+        epoch=m.epoch + 1,
+        num_partitions=m.num_partitions,
+        schema=schema,
+        partitions={
+            pid: PartitionEntry.from_json(p.to_json())
+            for pid, p in m.partitions.items()
+        },
+        parent_epoch=m.epoch,
+        run_id=f"{run_id}-{uuid.uuid4().hex[:8]}",
+        metrics={"renamed_column": [old, new], "state_preserving_rewrite": True},
+        rename_history=hist,
+    )
+    table.commit(out)
+    return out
