@@ -746,13 +746,16 @@ class LakeTable:
         )
 
     def lookup(self, keys, manifest: Manifest | None = None,
-               live_only: bool = True) -> pa.Table:
+               live_only: bool = True,
+               columns: "Sequence[str] | None" = None) -> pa.Table:
         """Point lookups: read ONLY the partitions that own the requested
         ``(repo, path)`` keys — pid is recomputed with the WRITER's
         assignment (``stable_key_hash % P``), so the IO is O(partitions
         touched), never O(table).  The 100-TB point-read path: a handful
         of keys opens a handful of partition chains.  Keys absent from the
-        table (or deleted, with ``live_only``) simply return no rows."""
+        table (or deleted, with ``live_only``) simply return no rows.
+        ``columns`` pushes a projection into the parquet read (same
+        contract as :meth:`read_state`)."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -760,8 +763,18 @@ class LakeTable:
         from cdm_data_loader_utils_ray.stages.partition import stable_key_hash
 
         m = manifest or self.latest_manifest()
+        out_schema = m.schema if m else pa.schema([])
+        if columns is not None and m is not None:
+            for c in columns:
+                if c not in m.schema.names:
+                    raise ValueError(f"columns entry {c!r} not in table schema")
+            out_schema = pa.schema([f for f in m.schema if f.name in set(columns)])
+        if live_only and DELETED_COLUMN in out_schema.names:
+            out_schema = out_schema.remove(
+                out_schema.get_field_index(DELETED_COLUMN)
+            )
         if m is None or not m.partitions or not keys:
-            return (m.schema if m else pa.schema([])).empty_table()
+            return out_schema.empty_table()
         kt = pa.table(
             {
                 KEY_COLUMNS[0]: pa.array([k[0] for k in keys], pa.string()),
@@ -778,7 +791,7 @@ class LakeTable:
             p = m.partitions.get(pid)
             if p is None:
                 continue
-            t = merge_chain_files(self.dir, p.files, m)
+            t = merge_chain_files(self.dir, p.files, m, columns=columns)
             comp = pc.binary_join_element_wise(
                 t[KEY_COLUMNS[0]].combine_chunks().cast(pa.string()),
                 t[KEY_COLUMNS[1]].combine_chunks().cast(pa.string()),
@@ -786,13 +799,12 @@ class LakeTable:
             )
             t = t.filter(pc.is_in(comp, value_set=want))
             if live_only and DELETED_COLUMN in t.column_names:
-                t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns(
-                    [DELETED_COLUMN]
-                )
+                t = t.filter(pc.equal(t[DELETED_COLUMN], False))
+            t = t.select(out_schema.names)
             if t.num_rows:
                 out.append(t)
         if not out:
-            return m.schema.empty_table()
+            return out_schema.empty_table()
         return pa.concat_tables(out, promote_options="permissive")
 
     def read_state_arrow(self, manifest: Manifest | None = None, live_only: bool = True) -> pa.Table:
@@ -1003,6 +1015,24 @@ class Catalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # roll forward any transaction that crashed mid-publish: journals
+        # under <root>/_txn are complete flip sets by construction
+        # (pipelines/txn.py), so recovery on open is always safe
+        from cdm_data_loader_utils_ray.pipelines.txn import recover_transactions
+
+        recover_transactions(self.txn_dir)
+
+    @property
+    def txn_dir(self) -> str:
+        return os.path.join(self.root, "_txn")
+
+    def transaction(self, commits: "list[tuple[LakeTable, Manifest]]") -> str:
+        """Atomically commit several (table, manifest) pairs — see
+        ``pipelines/txn.commit_transaction`` for the protocol and the
+        isolation trade."""
+        from cdm_data_loader_utils_ray.pipelines.txn import commit_transaction
+
+        return commit_transaction(commits, self.txn_dir)
 
     def table(self, namespace: str, name: str) -> LakeTable:
         return LakeTable(os.path.join(self.root, namespace, name))

@@ -388,3 +388,23 @@ def test_read_state_column_projection(ray_session, tmp_path):
     t3 = table.read_state(columns=["repo", "is_deleted"], live_only=False).to_pandas()
     assert set(t3.columns) == {"repo", "is_deleted"}
     assert t3["is_deleted"].any()  # fixture contains deletes
+
+
+def test_lookup_column_projection(ray_session, tmp_path):
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    ev = os.path.join(str(tmp_path), "events.parquet")
+    lake = os.path.join(str(tmp_path), "lake")
+    write_events(ev, make_events(num_keys=50, num_events=400, seed=41))
+    run_replay(ev, lake, num_partitions=4)
+    table = LakeTable(lake)
+    full = table.read_state().to_pandas()
+    want = [tuple(r) for r in full[["repo", "path"]].iloc[:3].itertuples(index=False)]
+    t = table.lookup(want, columns=["repo", "path", "content_sha256"])
+    assert sorted(t.column_names) == ["content_sha256", "path", "repo"]
+    exp = full.set_index(["repo", "path"]).loc[list(want), "content_sha256"]
+    assert sorted(t["content_sha256"].to_pylist()) == sorted(exp.tolist())
+    # full-schema lookup unchanged
+    t2 = table.lookup(want)
+    assert set(t2.column_names) == set(full.columns)

@@ -118,3 +118,32 @@ def test_validation_and_unstaged_publish(two_lakes):
         commit_transaction([(a, _next_manifest(a)), (a, _next_manifest(a))], txn_dir)
     with pytest.raises(ValueError):
         a.publish_epoch(a.latest_epoch() + 17)
+
+
+def test_catalog_transaction_and_recovery_on_open(two_lakes, tmp_path):
+    """Catalog wires the protocol: transaction() journals under
+    <root>/_txn, and opening a Catalog rolls crashed transactions
+    forward."""
+    from cdm_data_loader_utils_ray.sinks.lake import Catalog
+
+    (a, b), _ = two_lakes
+    root = os.path.join(str(tmp_path), "cat")
+    cat = Catalog(root)
+    ea, eb = a.latest_epoch(), b.latest_epoch()
+    cat.transaction([(a, _next_manifest(a)), (b, _next_manifest(b))])
+    assert (a.latest_epoch(), b.latest_epoch()) == (ea + 1, eb + 1)
+
+    # crashed txn: stage + journal only; a fresh Catalog open recovers it
+    ma, mb = _next_manifest(a), _next_manifest(b)
+    a.stage_manifest(ma)
+    b.stage_manifest(mb)
+    _atomic_write(
+        os.path.join(cat.txn_dir, "txn-cafe.json"),
+        json.dumps({"id": "cafe", "tables": [
+            {"dir": os.path.abspath(a.dir), "epoch": ma.epoch},
+            {"dir": os.path.abspath(b.dir), "epoch": mb.epoch},
+        ]}),
+    )
+    Catalog(root)  # open -> recover
+    assert (a.latest_epoch(), b.latest_epoch()) == (ea + 2, eb + 2)
+    assert [f for f in os.listdir(cat.txn_dir) if f.startswith("txn-")] == []
