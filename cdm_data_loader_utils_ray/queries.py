@@ -7229,6 +7229,89 @@ SELECT node, score FROM s3
 """
 
 
+# ---------------------------------------------------------------------------
+# 131. Conversion-window analytics: for every signup event, did a purchase
+#      by the same user follow within 7 days?  The forward as-of join
+#      finds the NEXT purchase per signup (one bucket shuffle), the window
+#      test compares integer MICROseconds (date_diff('second') truncation
+#      vs float total_seconds would disagree on sub-second gaps), and the
+#      per-user conversion rate is one division.
+# ---------------------------------------------------------------------------
+def conversion_within_week(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def signups(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "signup"))
+        return b.select(["event_id", "user_id", "ts"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        # pts duplicates ts: merge_asof keeps only the LEFT on-column, so
+        # the matched right timestamp must ride along under another name
+        return pa.table(
+            {"user_id": b["user_id"], "ts": b["ts"], "pts": b["ts"]}
+        )
+
+    left = ev.map_batches(signups, batch_format="pyarrow")
+    right = ev.map_batches(purchases, batch_format="pyarrow")
+    joined = asof_join(
+        left, right, on="ts", by=["user_id"], num_buckets=16,
+        direction="forward", right_dedup=(["user_id", "ts"], "pts"),
+    )
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        pts_us = df["pts"].to_numpy("datetime64[us]").astype("int64")
+        ok = df["pts"].notna().to_numpy() & ((pts_us - ts_us) <= WEEK_US)
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "conv": ok.astype("int64")}
+        )
+
+    agg = grouped_partial_sums(
+        joined.map_batches(flag, batch_format="pandas"),
+        ["user_id"], {"n_converted": "conv"}, count_alias="n_signups",
+    ).to_pandas()
+    agg["user_id"] = agg["user_id"].astype("int64")
+    agg["n_signups"] = agg["n_signups"].astype("int64")
+    agg["n_converted"] = agg["n_converted"].astype("int64")
+    agg["conv_rate"] = _round_away(
+        agg["n_converted"].to_numpy(np.float64) / agg["n_signups"].to_numpy(np.float64),
+        6,
+    )
+    return agg.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_signups", "n_converted", "conv_rate"]
+    ]
+
+
+CONVERSION_WEEK_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT DISTINCT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT s.user_id, s.event_id, s.ts, p.pts
+  FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.pts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(CASE WHEN pts IS NOT NULL
+                     AND date_diff('microsecond', ts, pts) <= 604800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       round(CAST(sum(CASE WHEN pts IS NOT NULL
+                           AND date_diff('microsecond', ts, pts) <= 604800000000
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS conv_rate
+FROM j GROUP BY user_id
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -7251,6 +7334,7 @@ def registry() -> dict:
         "next_order_events": (next_order_events, NEXT_ORDER_SQL),
         "moments_per_type": (moments_per_type, MOMENTS_PER_TYPE_SQL),
         "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
+        "conversion_within_week": (conversion_within_week, CONVERSION_WEEK_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
