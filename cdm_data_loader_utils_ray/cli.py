@@ -136,7 +136,9 @@ def cmd_alter(args) -> int:
         m = alter_drop_column(t, args.drop)
         print(json.dumps({"epoch": m.epoch, "dropped": args.drop}))
     elif args.rename is not None:
-        old, _, new = args.rename.partition(":")
+        old, sep, new = args.rename.partition(":")
+        if not sep or not old or not new:
+            raise SystemExit("alter: --rename takes OLD:NEW")
         m = alter_rename_column(t, old, new)
         print(json.dumps({"epoch": m.epoch, "renamed": [old, new]}))
     else:

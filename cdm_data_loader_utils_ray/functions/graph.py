@@ -307,6 +307,16 @@ def pagerank_integer(
     deg = deg.sort_values("src").reset_index(drop=True)
     nodes = deg["src"].to_numpy(np.int64)
     d_arr = deg["d"].to_numpy(np.int64)
+    # int64 headroom guard (repo convention — grouped_exact_sums,
+    # corr_qty_price): one hub can receive nearly the graph's whole score
+    # mass (~N*scale), and both the contribution fold and the
+    # damping_pct*t multiply run in int64.  Derived from the ACTUAL node
+    # count; the fix is a smaller scale (determinism is scale-free).
+    if len(nodes) * scale * max(damping_pct, 1) > (1 << 62):
+        raise ValueError(
+            "pagerank_integer: nodes * scale exceeds int64 headroom — "
+            f"lower scale to <= {(1 << 62) // (len(nodes) * max(damping_pct, 1))}"
+        )
     base = ((100 - damping_pct) * scale) // 100
     scores = np.full(len(nodes), scale, dtype=np.int64)
 

@@ -737,13 +737,17 @@ def alter_drop_column(table: LakeTable, column: str, run_id: str = "alter") -> M
         # name, which align_to_schema then drops)
         rename_history=dict(m.rename_history),
     )
-    table.commit(out)
+    # property BEFORE the commit: a crash in between leaves a listed-but-
+    # still-present column (benign — replays keep it until a later drop
+    # completes); the reverse order would leave a dropped column that the
+    # next replay's schema evolution silently resurrects (reviewed bug)
     props = table.get_properties()
     dropped = list(props.get("dropped_columns", []))
     if column not in dropped:
         dropped.append(column)
     props["dropped_columns"] = dropped
     table.set_properties(props)
+    table.commit(out)
     return out
 
 
@@ -757,6 +761,8 @@ def alter_rename_column(
     never rewritten.  Chained renames compose: an earlier ``a -> old``
     entry is rewritten to ``a -> new`` so files from BEFORE the first
     rename still resolve in one hop."""
+    if not old or not new:
+        raise ValueError("alter_rename_column: empty column name")
     if old in _PROTECTED_COLUMNS or new in _PROTECTED_COLUMNS:
         raise ValueError("cannot rename engine columns")
     m = table.latest_manifest()
@@ -766,6 +772,15 @@ def alter_rename_column(
         raise ValueError(f"column {old!r} not in table schema")
     if new in m.schema.names:
         raise ValueError(f"column {new!r} already exists")
+    if new in m.rename_history:
+        # 'new' is a RETIRED physical name: files written after this
+        # rename would store a physical column the per-file map remaps
+        # AGAIN (a -> b applied to a post-rename file's own 'a'), yielding
+        # duplicate columns and a failed read (reviewed bug)
+        raise ValueError(
+            f"column name {new!r} was previously renamed away and its "
+            "physical name is still mapped — pick a fresh name"
+        )
     i = m.schema.get_field_index(old)
     f = m.schema.field(i)
     schema = m.schema.set(i, pa.field(new, f.type, f.nullable))

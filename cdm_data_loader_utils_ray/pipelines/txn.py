@@ -101,9 +101,19 @@ def recover_transactions(txn_dir: str) -> list[str]:
             with open(path) as fh:
                 j = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            continue  # torn journal write = transaction never committed
-        for entry in j["tables"]:
-            LakeTable(entry["dir"]).publish_epoch(int(entry["epoch"]))
-        os.unlink(path)
+            continue  # unreadable journal: skip, never brick the catalog
+        try:
+            for entry in j["tables"]:
+                LakeTable(entry["dir"]).publish_epoch(int(entry["epoch"]))
+        except (ValueError, OSError):
+            # a participating table's manifest is gone (table deleted /
+            # moved): roll-forward impossible — leave the journal on disk
+            # as evidence and keep the catalog usable (reviewed: raising
+            # here made Catalog.__init__ permanently un-openable)
+            continue
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass  # concurrent recovery already cleaned it
         done.append(j["id"])
     return done

@@ -6530,13 +6530,15 @@ def pattern_hits_events(sf_dir: str):
 PATTERN_HITS_SQL = """
 WITH w AS (
   SELECT user_id, event_type,
-         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
   FROM events
 )
+-- no predicate on the +1 row: the wildcard matches ANY row including a
+-- null event_type, and e2 = 'purchase' already proves a row exists at +2
+-- (hence at +1) — an `e1 IS NOT NULL` test would wrongly test the VALUE
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM w
-WHERE event_type = 'view' AND e2 = 'purchase' AND e1 IS NOT NULL
+WHERE event_type = 'view' AND e2 = 'purchase'
 GROUP BY user_id
 """
 

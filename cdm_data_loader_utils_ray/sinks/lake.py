@@ -56,6 +56,9 @@ DATA_DIR = "data"
 AUDIT_DIR = "_audit"
 LATEST = "LATEST"
 
+# process-local (per worker) cache: PROPERTIES path -> ((path, mtime_ns), cfg)
+_BLOOM_CFG_CACHE: dict = {}
+
 
 def _atomic_write(path: str, payload: str) -> None:
     """Write-then-rename so readers never observe a partial file; the
@@ -255,7 +258,11 @@ def write_bloom_sidecar(
     for i, c in enumerate(columns):
         if c not in table.column_names:
             continue
-        s = table[c].to_pandas().dropna()
+        # drop nulls in ARROW, not pandas: int64-with-nulls -> pandas
+        # float64 would hash apart from the probe's int64 (reviewed bug —
+        # a dtype mismatch makes Bloom report false NEGATIVES, silently
+        # skipping chains that do hold the value)
+        s = table[c].drop_null().to_pandas()
         num_words = max(1, (len(s) * bits_per_value + 63) // 64)
         words = np.zeros(num_words, dtype=np.uint64)
         if len(s):
@@ -539,6 +546,25 @@ class LakeTable:
             return
         _atomic_write(os.path.join(self.manifest_dir, LATEST), str(epoch))
 
+    def _bloom_config_cached(self):
+        """Parsed ``bloom_index`` property without re-reading PROPERTIES
+        on every partition write (hot ingest path — a P=1024 epoch would
+        otherwise open+parse the same immutable JSON 1024 times).  The
+        cache keys on the file's mtime_ns: one os.stat per write, a
+        re-parse only when the property file actually changed."""
+        p = os.path.join(self.manifest_dir, "PROPERTIES.json")
+        try:
+            mt = os.stat(p).st_mtime_ns
+        except FileNotFoundError:
+            mt = None
+        key = (p, mt)
+        hit = _BLOOM_CFG_CACHE.get(p)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        cfg = None if mt is None else _bloom_config(self.get_properties())
+        _BLOOM_CFG_CACHE[p] = (key, cfg)
+        return cfg
+
     # -- data files ---------------------------------------------------------
     def partition_file(self, pid: int, epoch: int) -> str:
         return os.path.join(DATA_DIR, f"part-{pid:05d}-epoch-{epoch:08d}.parquet")
@@ -568,7 +594,7 @@ class LakeTable:
             os.fsync(fd)
         finally:
             os.close(fd)
-        cfg = _bloom_config(self.get_properties())
+        cfg = self._bloom_config_cached()
         if cfg is not None:
             cols, bpv, k = cfg
             write_bloom_sidecar(path, table, cols, bits_per_value=bpv, num_hashes=k)

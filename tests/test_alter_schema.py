@@ -100,3 +100,15 @@ def test_compact_preserves_pre_rename_files(lake):
     after = table.read_state().to_pandas().sort_values(["repo", "path"])
     assert after["revision"].notna().sum() == before["commit"].notna().sum()
     assert after["revision"].tolist() == before["commit"].tolist()
+
+
+def test_rename_to_retired_physical_name_rejected(lake):
+    """Reviewed bug: rename a->b then c->a would make every post-rename
+    file carry a physical 'a' that the per-file map remaps AGAIN,
+    yielding duplicate columns and a failed read."""
+    table, _ = lake
+    alter_rename_column(table, "lang", "language")
+    with pytest.raises(ValueError, match="previously renamed away"):
+        alter_rename_column(table, "commit", "lang")
+    with pytest.raises(ValueError):
+        alter_rename_column(table, "commit", "")

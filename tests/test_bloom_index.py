@@ -191,3 +191,22 @@ def test_compact_rewrites_sidecars(ray_session, tmp_path):
     target = full["path"].iloc[3]
     got = table.read_state(column_equals={"path": target}).to_pandas()
     assert len(got) == 1 and got["path"].iloc[0] == target
+
+
+def test_nullable_int_column_bloom_is_sound(ray_session, tmp_path):
+    """Reviewed bug: building the sidecar from pandas-after-dropna turned
+    an int64-with-nulls column into float64 hashes, so the int64 probe
+    missed (Bloom false NEGATIVE = silent row loss).  The build must drop
+    nulls in Arrow so the dtype matches the probe's."""
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.sinks.lake import write_bloom_sidecar
+
+    t = pa.table({"x": pa.array([5, None, 9], type=pa.int64())})
+    data = os.path.join(str(tmp_path), "f.parquet")
+    open(data, "wb").close()  # sidecar path anchor; data content unused
+    write_bloom_sidecar(data, t, ["x"])
+    probe = pa.array([5], type=pa.int64()).to_pandas()
+    assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe)
+    probe9 = pa.array([9], type=pa.int64()).to_pandas()
+    assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe9)
