@@ -7314,6 +7314,51 @@ FROM j GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 132. Funnel with a conversion WINDOW (MATCH_RECOGNIZE-lite + time bound):
+#      view -> click -> purchase consecutive per user AND completing within
+#      48 hours — the kernel's max_span test is one extra vectorized
+#      comparison on integer microseconds (the window binds: 72 of 76
+#      unbounded occurrences fit at sf0.01).
+# ---------------------------------------------------------------------------
+def funnel_within_window(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import sequence_pattern_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_us(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        return df
+
+    out = sequence_pattern_counts(
+        ds.map_batches(add_us, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], "event_type",
+        ["view", "click", "purchase"],
+        num_buckets=32, max_span=172_800_000_000, span_col="ts_us",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[["user_id", "n_hits"]]
+
+
+FUNNEL_WINDOW_SQL = """
+WITH w AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type, 1) OVER win AS e1,
+         lead(event_type, 2) OVER win AS e2,
+         lead(ts, 2) OVER win AS t2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM w
+WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+  AND date_diff('microsecond', ts, t2) <= 172800000000
+GROUP BY user_id
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -7337,6 +7382,7 @@ def registry() -> dict:
         "moments_per_type": (moments_per_type, MOMENTS_PER_TYPE_SQL),
         "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
         "conversion_within_week": (conversion_within_week, CONVERSION_WEEK_SQL),
+        "funnel_within_window": (funnel_within_window, FUNNEL_WINDOW_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),

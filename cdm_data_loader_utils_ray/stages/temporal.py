@@ -384,6 +384,8 @@ def sequence_pattern_counts(
     wildcard: str = "*",
     num_buckets: int = 32,
     out_col: str = "n_hits",
+    max_span: int | None = None,
+    span_col: str | None = None,
 ):
     """MATCH_RECOGNIZE-lite: count OVERLAPPING occurrences of a fixed
     symbol ``pattern`` in each key's ``order``-sorted ``col`` sequence.
@@ -396,6 +398,12 @@ def sequence_pattern_counts(
     i matches when every non-wildcard position equals its symbol and row
     i+L-1 still belongs to row i's key.
 
+    ``max_span`` (with ``span_col``, an integer column — convert
+    timestamps to the unit the window is defined in first) additionally
+    requires ``span_col[i + L - 1] - span_col[i] <= max_span``: the whole
+    occurrence must fit a time window (funnel-with-conversion-window
+    semantics).  The test is one more vectorized comparison.
+
     One key-bucket shuffle, then a single vectorized shifted-equality AND
     per bucket — no per-row loop, no pair materialization.  Partitioning
     assumption: one key's whole sequence fits its bucket task (same as
@@ -406,6 +414,8 @@ def sequence_pattern_counts(
     L = len(pattern)
     if L == 0:
         raise ValueError("pattern must be non-empty")
+    if (max_span is None) != (span_col is None):
+        raise ValueError("max_span and span_col come together")
 
     def tag(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, keys, num_buckets)
@@ -429,6 +439,9 @@ def sequence_pattern_counts(
         for j, sym in enumerate(pattern):
             if sym != wildcard:
                 match = match & (vals[j:m + j] == sym)
+        if max_span is not None:
+            sv = d[span_col].to_numpy(np.int64)
+            match = match & ((sv[L - 1:] - sv[:m]) <= max_span)
         starts = np.flatnonzero(match)
         if len(starts) == 0:
             return empty

@@ -83,3 +83,32 @@ def test_pattern_longer_than_sequence():
     df = pd.DataFrame({"user": [1, 2, 2], "t": [0, 0, 1], "sym": ["a", "a", "b"]})
     assert _run(df, ["a", "b", "a"]) == {}
     assert _run(df, ["a", "b"]) == {2: 1}
+
+
+def test_max_span_window():
+    df = pd.DataFrame(
+        {
+            "user": [1] * 4,
+            "t": [0, 10, 200, 205],
+            "sym": ["a", "b", "a", "b"],
+        }
+    )
+    df["span"] = df["t"]
+
+    def run(max_span):
+        res = sequence_pattern_counts(
+            rd.from_pandas(df), ["user"], ["t"], "sym", ["a", "b"],
+            num_buckets=2, max_span=max_span, span_col="span",
+        ).to_pandas()
+        return int(res["n_hits"].sum()) if len(res) else 0
+
+    assert run(1000) == 2   # both occurrences fit
+    assert run(15) == 2     # gaps 10 and 5 both fit
+    assert run(7) == 1      # only the 205-200=5 one
+    assert run(1) == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sequence_pattern_counts(
+            rd.from_pandas(df), ["user"], ["t"], "sym", ["a"], max_span=5,
+        )
