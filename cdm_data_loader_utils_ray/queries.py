@@ -7359,6 +7359,44 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 133. EXACT set-similarity self-join (PPJoin-lite): all document pairs
+#      with token-set Jaccard >= 0.9 — the deterministic complement of the
+#      MinHash/SimHash candidate generators (those trade recall for
+#      pruning; this prunes by the prefix-filter pigeonhole and loses
+#      nothing).  Threshold test is pure integer (100*i >= 90*union), the
+#      only float is the reported ratio.
+# ---------------------------------------------------------------------------
+def ssjoin_documents(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.ssjoin import ssjoin_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ssjoin_jaccard(ds, "doc_id", "text", threshold_pct=90, num_buckets=32)
+    out["jaccard"] = _round_away(out["jaccard"].to_numpy(np.float64), 6)
+    return out
+
+
+SSJOIN_DOCUMENTS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9A-Za-z_]+')) AS t
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6)
+         AS jaccard
+FROM i JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE 100 * inter >= 90 * (sa.n + sb.n - inter)
+"""
+
+
 def registry() -> dict:
     """name -> (callable, oracle_sql | None).
 
@@ -7383,6 +7421,7 @@ def registry() -> dict:
         "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
         "conversion_within_week": (conversion_within_week, CONVERSION_WEEK_SQL),
         "funnel_within_window": (funnel_within_window, FUNNEL_WINDOW_SQL),
+        "ssjoin_documents": (ssjoin_documents, SSJOIN_DOCUMENTS_SQL),
         "iqr_outliers_events": (iqr_outliers_events, IQR_OUTLIERS_SQL),
         "q18_large_orders": (q18_large_orders, Q18_LARGE_ORDERS_SQL),
         "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
