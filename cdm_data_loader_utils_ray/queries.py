@@ -7402,12 +7402,13 @@ def registry() -> dict:
 
     ORDER MATTERS: the verify driver checks entries in registry order up to a
     per-round budget (r1/r2/r3 checked the first 24/32/50). Entries are
-    therefore ordered by verification priority: (1) entries that have never
-    had a driver CORRECTNESS row (the r3 late batch, VERDICT r3 item #1),
-    (2) entries new this round, (3) one representative per core §2 operator
-    family, (4) mature entries with multiple prior driver-green rows last —
-    they rotate out of the window, pytest (test_queries_oracle.py) still
-    checks every entry against its DuckDB twin every run.
+    therefore ordered by verification priority: (0) entries newest this
+    session (never driver-checked), (1) the r3 late batch (VERDICT r3 item
+    #1), (2) entries from earlier round-4 batches, (3) one representative
+    per core §2 operator family, (4) mature entries with multiple prior
+    driver-green rows last — they rotate out of the window, pytest
+    (test_queries_oracle.py) still checks every entry against its DuckDB
+    twin every run.
     """
     return {
         # -- (0) newest this session -----------------------------------------
