@@ -7397,19 +7397,63 @@ WHERE 100 * inter >= 90 * (sa.n + sb.n - inter)
 """
 
 
-def registry() -> dict:
-    """name -> (callable, oracle_sql | None).
+# ORDER MATTERS: the verify driver checks entries in registry order up to a
+# per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
+# front of the window explicitly: first the 32 entries that had never been
+# inside the driver window through r4 (VERDICT r4 item #1 — exact list),
+# then new round-5 entries as they land (positions 33+, still inside the
+# ~50-entry window).  Everything not named here keeps its literal order
+# after the priority block; pytest (test_queries_oracle.py) sweeps every
+# entry against its DuckDB twin every run regardless of position.
+_PRIORITY: tuple = (
+    # -- the 32 never-driver-checked entries (r1-r4 union), VERDICT r4 #1 --
+    "event_sequences",
+    "leakage_safe_split",
+    "sketch_topk_skewed",
+    "knn_ivf_indexed",
+    "knn_ivfpq",
+    "duplicate_substrings",
+    "substring_dedup_text",
+    "substring_dedup_keep_first",
+    "semantic_dedup_clusters",
+    "temperature_mix",
+    "source_cap",
+    "near_dedup_corpus",
+    "duplicate_paragraphs",
+    "paragraph_dedup_text",
+    "centroid_assign",
+    "debounce_events",
+    "melt_lineitem",
+    "corr_qty_price",
+    "ntile_deciles",
+    "string_agg_events",
+    "mad_per_type",
+    "rolling_window_user",
+    "rolling_time_user",
+    "json_props_stats",
+    "sample_documents",
+    "q3_shipping_priority",
+    "user_streaks",
+    "spearman_qty_disc",
+    "dau_wow",
+    "incremental_agg",
+    "bigram_pmi",
+    "scd2_user_type",
+    # -- new in round 5 (never driver-checked; append as they land) --------
+)
 
-    ORDER MATTERS: the verify driver checks entries in registry order up to a
-    per-round budget (r1/r2/r3 checked the first 24/32/50). Entries are
-    therefore ordered by verification priority: (0) entries newest this
-    session (never driver-checked), (1) the r3 late batch (VERDICT r3 item
-    #1), (2) entries from earlier round-4 batches, (3) one representative
-    per core §2 operator family, (4) mature entries with multiple prior
-    driver-green rows last — they rotate out of the window, pytest
-    (test_queries_oracle.py) still checks every entry against its DuckDB
-    twin every run.
-    """
+
+def registry() -> dict:
+    """name -> (callable, oracle_sql | None).  See _PRIORITY for ordering."""
+    entries = _registry_entries()
+    out = {k: entries[k] for k in _PRIORITY}
+    for k, v in entries.items():
+        if k not in out:
+            out[k] = v
+    return out
+
+
+def _registry_entries() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
         "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
