@@ -781,6 +781,16 @@ def alter_rename_column(
             f"column name {new!r} was previously renamed away and its "
             "physical name is still mapped — pick a fresh name"
         )
+    if new in set(m.rename_history.values()):
+        # 'new' is a retired logical TARGET (e.g. a->b then DROP b leaves
+        # the a->b mapping so pre-rename files still resolve): admitting
+        # c->b would make TWO physical names (a and c) map to one logical
+        # name, and any file carrying both renames to duplicate columns —
+        # merge_chain_files then crashes on every read/compact (r4 advice)
+        raise ValueError(
+            f"column name {new!r} is still a rename target of an older "
+            "physical column — pick a fresh name"
+        )
     i = m.schema.get_field_index(old)
     f = m.schema.field(i)
     schema = m.schema.set(i, pa.field(new, f.type, f.nullable))

@@ -102,10 +102,25 @@ def recover_transactions(txn_dir: str) -> list[str]:
                 j = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue  # unreadable journal: skip, never brick the catalog
+        # validate the SHAPE before touching any table: a journal that
+        # parses as JSON but is not {id, tables: [{dir, epoch}, ...]}
+        # would raise KeyError/TypeError out of Catalog.__init__ —
+        # recreating the brick-on-open failure (r4 advice).  Malformed
+        # journals stay on disk as evidence, like unreadable ones.
+        if not (
+            isinstance(j, dict)
+            and isinstance(j.get("id"), str)
+            and isinstance(j.get("tables"), list)
+            and all(
+                isinstance(e, dict) and "dir" in e and "epoch" in e
+                for e in j["tables"]
+            )
+        ):
+            continue
         try:
             for entry in j["tables"]:
                 LakeTable(entry["dir"]).publish_epoch(int(entry["epoch"]))
-        except (ValueError, OSError):
+        except (TypeError, ValueError, OSError):
             # a participating table's manifest is gone (table deleted /
             # moved): roll-forward impossible — leave the journal on disk
             # as evidence and keep the catalog usable (reviewed: raising

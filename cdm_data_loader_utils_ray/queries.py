@@ -3165,8 +3165,12 @@ def streaming_sessions(sf_dir: str):
             {
                 "user_id": df["user_id"],
                 "ts": df["ts"],
-                # NaN survives the round: n counts non-null values
-                "cents": np.round(df["value"].to_numpy(np.float64) * 100.0),
+                # NaN survives the round: n counts non-null values.
+                # HALF-AWAY to match the twin's round(value*100, 0) —
+                # np.round is half-EVEN and would diverge on exact halves
+                # (none in the current corpora, but the convention is the
+                # invariant; r4 advice)
+                "cents": _round_away(df["value"].to_numpy(np.float64) * 100.0, 0),
             }
         )
 

@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -218,6 +219,12 @@ def chain_may_match(
 
 BLOOM_SIDECAR_SUFFIX = ".bloom.npz"
 
+# Identifies the exact bit-position scheme a sidecar was built with:
+# pd.util.hash_pandas_object (whose output may change across pandas
+# versions) + the double-hash probe layout.  Bump "v1" if the probe
+# derivation in functions/bloom.py ever changes shape.
+_BLOOM_HASH_SCHEME = f"pandas-{pd.__version__}-v1"
+
 
 def _bloom_config(props: dict):
     """Parsed ``bloom_index`` table property, or None when unset.
@@ -277,7 +284,20 @@ def write_bloom_sidecar(
         meta_cols[c] = key
     if not arrays:
         return
-    meta = json.dumps({"num_hashes": num_hashes, "columns": meta_cols})
+    meta = json.dumps(
+        {
+            "num_hashes": num_hashes,
+            "columns": meta_cols,
+            # hash-scheme marker (r4 advice): sidecars persist _hash64 bit
+            # positions to DISK, but _hash64's contract is only stable-
+            # within-run (pd.util.hash_pandas_object).  If a pandas upgrade
+            # ever changes the hash, a stale sidecar would produce Bloom
+            # FALSE NEGATIVES — silently wrong read_state(column_equals)
+            # results, not just lost pruning.  chain_may_contain treats a
+            # scheme mismatch as unreadable (conservative True).
+            "hash_scheme": _BLOOM_HASH_SCHEME,
+        }
+    )
     tmp = data_path + BLOOM_SIDECAR_SUFFIX + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, meta=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays)
@@ -300,6 +320,11 @@ def chain_may_contain(table_dir: str, files: list[str], column: str, probe) -> b
         try:
             with np.load(sc) as z:
                 meta = json.loads(bytes(z["meta"].tobytes()).decode())
+                if meta.get("hash_scheme") != _BLOOM_HASH_SCHEME:
+                    # sidecar built under a different (or unrecorded) hash
+                    # scheme — its bit positions may not match this run's
+                    # probe; trusting it risks false negatives
+                    return True
                 key = meta["columns"].get(column)
                 if key is None:
                     return True

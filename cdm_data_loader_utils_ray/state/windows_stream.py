@@ -32,6 +32,29 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+_INT_TO_NULLABLE = {
+    pa.int8(): pd.Int64Dtype(),
+    pa.int16(): pd.Int64Dtype(),
+    pa.int32(): pd.Int64Dtype(),
+    pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.Int64Dtype(),
+    pa.uint16(): pd.Int64Dtype(),
+    pa.uint32(): pd.Int64Dtype(),
+}
+
+
+def _stable_pandas(tbl: pa.Table) -> pd.DataFrame:
+    """Arrow -> pandas with NULL-PROOF integer dtypes.
+
+    Default ``to_pandas`` turns an int column into int64 for null-free
+    batches but float64 for batches containing nulls, so the SAME key
+    hashes (and therefore routes) differently across batches — fragments
+    of one key land on different shards, never merge, and close() emits
+    overlapping duplicate sessions (r4 advice).  Nullable ``Int64`` is
+    identical either way, for both driver routing and the shard-side
+    concat/groupby merges."""
+    return tbl.to_pandas(types_mapper=_INT_TO_NULLABLE.get)
+
 
 @ray.remote(num_cpus=0.25)
 class WindowShard:
@@ -46,7 +69,7 @@ class WindowShard:
 
     def apply(self, partials: pa.Table) -> int:
         """Merge a batch's (window_start_us, key, n, s) combiner rows."""
-        df = partials.to_pandas()
+        df = _stable_pandas(partials)
         late_mask = df["window_start_us"].to_numpy() < self.closed_below
         late = int(df.loc[late_mask, "n"].sum())
         self.late_dropped += late
@@ -136,7 +159,7 @@ class StreamingWindowAggregator:
             self.null_ts_dropped += int(na.sum())
             df = df[~na]
             ts = df[self.ts_column]
-        if np.issubdtype(ts.dtype, np.datetime64):
+        if pd.api.types.is_datetime64_any_dtype(ts):
             # normalize EVERY datetime64 unit (ns/us/ms/s — pandas 2.x keeps
             # the source parquet's unit) to microseconds before the integer
             # window arithmetic; assuming "non-ns means us" mis-scales
@@ -167,12 +190,12 @@ class StreamingWindowAggregator:
         """One pass over a micro-batch Dataset: in-batch combine, push each
         shard its windows' partials, then advance the watermark."""
         P = len(self.shards)
-        for batch in events_ds.iter_batches(
-            batch_format="pandas", batch_size=batch_size
+        for raw in events_ds.iter_batches(
+            batch_format="pyarrow", batch_size=batch_size
         ):
-            if not len(batch):
+            if not raw.num_rows:
                 continue
-            g = self._combine(batch)
+            g = self._combine(_stable_pandas(raw))
             shard_of = (g["window_start_us"] // self.window_us) % P
             pushes = []
             for sid in shard_of.unique():
@@ -255,7 +278,7 @@ class SessionShard:
         self.late_dropped = 0
 
     def apply(self, fragments: pa.Table) -> int:
-        df = fragments.to_pandas()
+        df = _stable_pandas(fragments)
         # a fragment wholly below the close line would re-open (and
         # re-emit) territory already emitted: at-most-once means drop it.
         # Straddling fragments are kept (same trade as the tumbling shard).
@@ -362,7 +385,7 @@ class StreamingSessionAggregator:
             return pd.DataFrame(
                 {"key": [], "start_us": [], "end_us": [], "n": [], "s": []}
             )
-        if np.issubdtype(ts.dtype, np.datetime64):
+        if pd.api.types.is_datetime64_any_dtype(ts):
             ts_us = pd.Series(
                 ts.to_numpy().astype("datetime64[us]").astype("int64"), index=ts.index
             )
@@ -382,12 +405,12 @@ class StreamingSessionAggregator:
 
     def feed(self, events_ds, batch_size: int = 65536) -> None:
         P = len(self.shards)
-        for batch in events_ds.iter_batches(
-            batch_format="pandas", batch_size=batch_size
+        for raw in events_ds.iter_batches(
+            batch_format="pyarrow", batch_size=batch_size
         ):
-            if not len(batch):
+            if not raw.num_rows:
                 continue
-            g = self._combine(batch)
+            g = self._combine(_stable_pandas(raw))
             if not len(g):
                 continue
             shard_of = (

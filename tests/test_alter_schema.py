@@ -112,3 +112,21 @@ def test_rename_to_retired_physical_name_rejected(lake):
         alter_rename_column(table, "commit", "lang")
     with pytest.raises(ValueError):
         alter_rename_column(table, "commit", "")
+
+
+def test_rename_to_retired_logical_target_rejected(lake):
+    """r4 advice (high): rename lang->lang2 then DROP lang2 keeps the
+    lang->lang2 mapping (pre-rename files must still resolve), so lang2 is
+    no longer in the schema OR the history KEYS — renaming commit->lang2
+    used to be accepted, committing a manifest where two physical names
+    map to one logical name; every subsequent read crashed on duplicate
+    columns in merge_chain_files."""
+    table, _ = lake
+    alter_rename_column(table, "lang", "lang2")
+    alter_drop_column(table, "lang2")
+    with pytest.raises(ValueError, match="rename target"):
+        alter_rename_column(table, "commit", "lang2")
+    # the table is still fully readable (the bad manifest never committed)
+    state = table.read_state().to_pandas()
+    assert "lang2" not in state.columns
+    assert len(state) > 0

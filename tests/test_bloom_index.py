@@ -210,3 +210,54 @@ def test_nullable_int_column_bloom_is_sound(ray_session, tmp_path):
     assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe)
     probe9 = pa.array([9], type=pa.int64()).to_pandas()
     assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe9)
+
+
+def test_hash_scheme_mismatch_is_conservative(tmp_path):
+    """r4 advice: sidecars persist pd.util.hash_pandas_object bit positions
+    whose only contract is stable-within-run.  A sidecar recorded under a
+    DIFFERENT pandas hash scheme (e.g. written before an upgrade) must be
+    treated as unreadable — conservative True — never trusted, or a hash
+    change turns pruning into silent false negatives."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.sinks.lake import (
+        BLOOM_SIDECAR_SUFFIX,
+        write_bloom_sidecar,
+    )
+
+    t = pa.table({"x": pa.array([5, 9], type=pa.int64())})
+    data = os.path.join(str(tmp_path), "f.parquet")
+    open(data, "wb").close()
+    write_bloom_sidecar(data, t, ["x"])
+    sc = data + BLOOM_SIDECAR_SUFFIX
+
+    # current-scheme sidecar proves absence of an unseen value
+    probe = pa.array([12345], type=pa.int64()).to_pandas()
+    assert not chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe)
+
+    # rewrite the sidecar with a foreign scheme marker: same bits, but the
+    # reader may no longer trust them
+    with np.load(sc) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        arrays = {k: z[k] for k in z.files if k != "meta"}
+    meta["hash_scheme"] = "pandas-0.0.0-v1"
+    with open(sc, "wb") as f:
+        np.savez(
+            f,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
+        )
+    assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe)
+
+    # legacy sidecar with NO marker at all is equally untrusted
+    del meta["hash_scheme"]
+    with open(sc, "wb") as f:
+        np.savez(
+            f,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
+        )
+    assert chain_may_contain(str(tmp_path), ["f.parquet"], "x", probe)

@@ -2,6 +2,9 @@
 lateness=None, watermark closing, late-fragment dropping, cross-batch
 session bridging — pinned against a brute-force per-key scan."""
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -138,3 +141,87 @@ def test_merge_fragments_null_keys_group_together():
     assert len(out) == 2  # both null-key fragments merged into one session
     nul = out[out["key"].isna()]
     assert len(nul) == 1 and int(nul["n"].iloc[0]) == 2
+
+
+def test_nullable_int_key_routes_dtype_stable(ray_session):
+    """r4 advice: routing hashed the raw per-batch pandas dtype; a
+    nullable-int key column converts to int64 for null-free batches but
+    float64 for batches containing nulls, so the SAME key hashed to
+    different shards, its fragments never merged, and close() emitted
+    overlapping duplicate sessions.  Conversion now pins integer columns
+    to nullable Int64 on every batch."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 20, n).astype("float64"),
+            "ts": rng.integers(0, 15000, n).astype("int64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    # nulls clustered so that SOME batches are null-free and others not
+    df.loc[: n // 10, "user"] = np.nan
+    df["user"] = df["user"].astype("Int64")  # arrow int64 with nulls
+
+    agg = StreamingSessionAggregator(
+        "user", "v", ts_column="ts", gap_us=GAP, allowed_lateness_us=None,
+        num_shards=4,
+    )
+    # The source must be PARQUET: in-memory pandas/arrow blocks keep
+    # nullable Int64 through Ray's batch conversion and mask the bug, but
+    # parquet-read batches use plain arrow->pandas, which yields float64
+    # keys for batches containing nulls and int64 for null-free batches —
+    # the dtype flip that (pre-fix) split one key across shards.
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    cut = n // 8
+    assert df["user"][:cut].isna().any() and not df["user"][cut:].isna().any()
+    d = tempfile.mkdtemp(prefix="sess_nullkey_")
+
+    def _plain_table(part: pd.DataFrame) -> _pa.Table:
+        # NO pandas schema metadata (Table.from_pandas embeds it, and
+        # to_pandas then restores Int64, masking the bug): files written
+        # by other engines carry a plain int64 column
+        return _pa.table(
+            {
+                "user": _pa.array(part["user"], type=_pa.int64()),
+                "ts": _pa.array(part["ts"], type=_pa.int64()),
+                "v": _pa.array(part["v"], type=_pa.float64()),
+            }
+        )
+
+    _pq.write_table(_plain_table(df.iloc[:cut]), os.path.join(d, "a.parquet"))
+    _pq.write_table(_plain_table(df.iloc[cut:]), os.path.join(d, "b.parquet"))
+    src = rd.read_parquet(d)
+    seen = {
+        str(b["user"].dtype)
+        for b in src.iter_batches(batch_format="pandas", batch_size=128)
+    }
+    assert {"int64", "float64"} <= seen, f"repro precondition lost: {seen}"
+    agg.feed(src, batch_size=128)
+    got = agg.close().to_pandas()
+
+    # no overlapping duplicate sessions: for each key, sessions separated
+    # by > gap, and fragment merge must equal the brute-force scan
+    brute = _brute_sessions(
+        df.rename(columns={}).assign(user=df["user"].astype("float64"))
+    )
+    # brute stringifies float keys ('3.0'); engine emits Int64 ('3') —
+    # compare on the numeric value
+    def norm(rows):
+        return sorted(
+            (("null" if k in ("nan", "None", "<NA>") else str(int(float(k)))),
+             a, b, c, round(s, 9))
+            for (k, a, b, c, s) in rows
+        )
+
+    got_rows = [
+        ("<NA>" if pd.isna(r["key"]) else str(r["key"]),
+         int(r["session_start_us"]), int(r["session_end_us"]),
+         int(r["n"]), float(r["s"]))
+        for _, r in got.iterrows()
+    ]
+    brute_keyed = [("nan" if k == "nan" else k, a, b, c, s)
+                   for (k, a, b, c, s) in brute]
+    assert norm(got_rows) == norm(brute_keyed)

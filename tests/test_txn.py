@@ -147,3 +147,30 @@ def test_catalog_transaction_and_recovery_on_open(two_lakes, tmp_path):
     Catalog(root)  # open -> recover
     assert (a.latest_epoch(), b.latest_epoch()) == (ea + 2, eb + 2)
     assert [f for f in os.listdir(cat.txn_dir) if f.startswith("txn-")] == []
+
+
+def test_malformed_journal_shapes_never_raise(tmp_path):
+    """r4 advice: a journal that PARSES as JSON but has the wrong shape
+    (non-dict, missing keys, non-dict entries) used to raise KeyError/
+    TypeError out of recovery — bricking Catalog open.  Malformed journals
+    must be skipped, left on disk as evidence."""
+    import json as _json
+
+    from cdm_data_loader_utils_ray.pipelines.txn import recover_transactions
+
+    d = str(tmp_path)
+    shapes = [
+        [1, 2, 3],                       # non-dict
+        {"id": "x"},                     # missing tables
+        {"tables": []},                  # missing id
+        {"id": "x", "tables": "nope"},   # tables not a list
+        {"id": "x", "tables": [42]},     # entry not a dict
+        {"id": "x", "tables": [{"dir": "/nowhere"}]},  # entry missing epoch
+        {"id": 7, "tables": []},         # id wrong type
+    ]
+    for i, j in enumerate(shapes):
+        with open(os.path.join(d, f"txn-{i}.json"), "w") as f:
+            _json.dump(j, f)
+    assert recover_transactions(d) == []
+    # evidence retained
+    assert len([f for f in os.listdir(d) if f.startswith("txn-")]) == len(shapes)
