@@ -29,3 +29,38 @@ try:  # pragma: no cover
     _pa.jemalloc_set_decay_ms(-1)
 except Exception:
     pass
+
+# Make Ray's read-path import probe THREAD-SAFE.  ray.data's filesystem
+# resolution does `from fsspec.implementations.http import HTTPFileSystem`
+# per Dataset construction, catching ModuleNotFoundError (aiohttp is
+# absent here).  A FAILED module import is never cached — every probe
+# re-executes the module — so two driver threads constructing Datasets can
+# race the import, and the loser sees a bare ImportError from the
+# partially-initialized module, crashing the read (measured — see
+# queries.referential_integrity's r4 history; a one-shot warm-up import
+# does NOT fix this, precisely because the failure isn't cached).  When
+# the real import fails, install a stub module whose HTTPFileSystem is a
+# class nothing instantiates: every probe then succeeds deterministically,
+# Ray's isinstance check is False (correct — no HTTP fs exists here), and
+# any attempt to actually USE it raises the original error.
+try:  # pragma: no cover
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except ImportError:  # pragma: no cover
+    try:
+        import sys as _sys
+        import types as _types
+
+        import fsspec.implementations as _fsimpl
+
+        class _UnavailableHTTPFileSystem:
+            """Stand-in for fsspec's HTTPFileSystem when aiohttp is absent."""
+
+            def __init__(self, *a, **k):
+                raise ImportError("HTTPFileSystem unavailable: aiohttp is not installed")
+
+        _m = _types.ModuleType("fsspec.implementations.http")
+        _m.HTTPFileSystem = _UnavailableHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _m
+        _fsimpl.http = _m
+    except Exception:
+        pass

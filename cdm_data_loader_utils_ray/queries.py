@@ -5745,13 +5745,16 @@ def referential_integrity(sf_dir: str):
         return {"relation": name, "n_child": n_child_of[name],
                 "n_orphans": int(orphans["n"].iloc[0])}
 
-    # NOTE: the four checks stay SERIAL by design.  Running them on
-    # threads races Ray's read-path import probe (_is_http_filesystem
-    # catches ModuleNotFoundError from the main thread, but a concurrent
-    # first import surfaces as a bare ImportError from a partially
-    # initialized fsspec module and crashes the read) — measured, not
-    # theoretical.  Per-check cost is two streaming scans; fine.
-    rows = [one_check(spec) for spec in checks]
+    # The four checks run CONCURRENTLY on threads.  The import race that
+    # forced r4's serial workaround (a concurrent FIRST import of
+    # fsspec.implementations.http surfacing as a bare ImportError from the
+    # partially-initialized module) is neutralized by the package
+    # __init__'s single-threaded warm-up import — the probe's failure
+    # state is cached before any Dataset construction can race it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(checks)) as ex:
+        rows = list(ex.map(one_check, checks))
     return pd.DataFrame(rows, columns=["relation", "n_child", "n_orphans"])
 
 

@@ -91,3 +91,30 @@ def test_prefix_budget_select_nan_scores_last():
     # budget of 40 takes the four best REAL scores; NaN rows never selected
     assert out["id"].tolist() == [2, 3, 4, 5]
     assert not out["score"].isna().any()
+
+
+def test_fsspec_http_probe_is_thread_safe():
+    """Ray's read path probes `from fsspec.implementations.http import
+    HTTPFileSystem` per Dataset construction; with aiohttp absent the
+    failed import is never cached and concurrent probes race (bare
+    ImportError from a partially-initialized module).  The package
+    __init__ installs a deterministic stub, so the probe must now succeed
+    from many threads at once — and the stub must refuse actual use."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import cdm_data_loader_utils_ray  # noqa: F401  (installs the stub)
+
+    def probe(_):
+        from fsspec.implementations.http import HTTPFileSystem
+        return HTTPFileSystem
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        classes = list(ex.map(probe, range(64)))
+    assert len({id(c) for c in classes}) == 1
+    cls = classes[0]
+    # real aiohttp present -> real class is fine; stub -> must raise on use
+    if cls.__module__ != "fsspec.implementations.http":
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            cls()
