@@ -56,6 +56,7 @@ MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 AUDIT_DIR = "_audit"
 LATEST = "LATEST"
+COMMIT_BACKEND_FILE = "COMMIT_BACKEND"
 
 # process-local (per worker) cache: PROPERTIES path -> ((path, mtime_ns), cfg)
 _BLOOM_CFG_CACHE: dict = {}
@@ -430,13 +431,53 @@ def merge_chain_files(
 class LakeTable:
     """One logical table in the lake (Delta-table analogue)."""
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, *, object_store=None):
         self.dir = table_dir
         self.manifest_dir = os.path.join(table_dir, MANIFEST_DIR)
         self.data_dir = os.path.join(table_dir, DATA_DIR)
         self.audit_dir = os.path.join(table_dir, AUDIT_DIR)
         for d in (self.manifest_dir, self.data_dir, self.audit_dir):
             os.makedirs(d, exist_ok=True)
+        # Commit backend: default is the POSIX rename path; a table created
+        # with create_object_store() carries a COMMIT_BACKEND marker and
+        # routes stage/publish/latest through the conditional-put protocol
+        # (sinks/oscommit.py) — the marker makes every later
+        # ``LakeTable(dir)`` (cdc.py constructs them internally) reopen
+        # with the same commit semantics.  ``object_store`` injects a
+        # custom store (e.g. a real S3 adapter); default is the
+        # directory-backed one rooted at the manifest dir.
+        self._oslog = None
+        if object_store is None and os.path.exists(
+            os.path.join(self.manifest_dir, COMMIT_BACKEND_FILE)
+        ):
+            with open(os.path.join(self.manifest_dir, COMMIT_BACKEND_FILE)) as f:
+                if f.read().strip() == "object-store":
+                    from cdm_data_loader_utils_ray.sinks.oscommit import (
+                        DirObjectStore,
+                    )
+
+                    object_store = DirObjectStore(self.manifest_dir)
+        if object_store is not None:
+            from cdm_data_loader_utils_ray.sinks.oscommit import (
+                ObjectStoreManifestLog,
+            )
+
+            self._oslog = ObjectStoreManifestLog(object_store)
+
+    @classmethod
+    def create_object_store(cls, table_dir: str, store=None) -> "LakeTable":
+        """Create (or reopen) a table whose manifest COMMIT runs on the
+        object-store conditional-put protocol instead of POSIX rename —
+        the deployment mode for S3/GCS/MinIO-backed lakes, where rename
+        does not exist.  Only the commit path is store-abstracted here:
+        properties/tags are advisory last-writer-wins sidecars (plain puts
+        on a real store), and vacuum/clone remain directory-level
+        operations of the bridge layout."""
+        t = cls(table_dir)
+        _atomic_write(
+            os.path.join(t.manifest_dir, COMMIT_BACKEND_FILE), "object-store"
+        )
+        return cls(table_dir, object_store=store)
 
     # -- table properties (epoch-independent sidecar) -------------------------
     def get_properties(self) -> dict:
@@ -505,6 +546,8 @@ class LakeTable:
 
     # -- manifest log -------------------------------------------------------
     def latest_epoch(self) -> int | None:
+        if self._oslog is not None:
+            return self._oslog.latest_epoch()
         p = os.path.join(self.manifest_dir, LATEST)
         if not os.path.exists(p):
             return None
@@ -516,6 +559,8 @@ class LakeTable:
         return None if e is None else self.read_manifest(e)
 
     def read_manifest(self, epoch: int) -> Manifest:
+        if self._oslog is not None:
+            return Manifest.from_json(self._oslog.read(epoch))
         with open(os.path.join(self.manifest_dir, f"manifest-{epoch:08d}.json")) as f:
             return Manifest.from_json(f.read())
 
@@ -550,6 +595,18 @@ class LakeTable:
             os.fsync(fd)
         finally:
             os.close(fd)
+        if self._oslog is not None:
+            # last stager of an epoch wins (mirrors the POSIX overwrite of
+            # manifest-{e}.json): clear older runs' staging litter first
+            from cdm_data_loader_utils_ray.sinks.oscommit import staged_key
+
+            prefix = f"staged-{manifest.epoch:08d}-"
+            mine = staged_key(manifest.epoch, manifest.run_id)
+            for k in self._oslog.store.list_keys(prefix):
+                if k != mine:
+                    self._oslog.store.delete(k)
+            self._oslog.stage(manifest.epoch, manifest.to_json(), manifest.run_id)
+            return True
         _atomic_write(
             os.path.join(self.manifest_dir, f"manifest-{manifest.epoch:08d}.json"),
             manifest.to_json(),
@@ -562,6 +619,28 @@ class LakeTable:
         so transaction recovery can re-publish blindly.  Raises if the
         epoch was never staged — publishing an unstaged epoch would hand
         readers a dangling pointer."""
+        if self._oslog is not None:
+            # COMMIT POINT here is the conditional put of the final
+            # manifest object (not a pointer flip): resolve the staged
+            # payload's run_id, then let put_if_absent arbitrate.
+            from cdm_data_loader_utils_ray.sinks.oscommit import final_key
+
+            staged = [
+                k
+                for k in self._oslog.store.list_keys(f"staged-{epoch:08d}-")
+            ]
+            if not staged:
+                if self._oslog.store.get(final_key(epoch)) is not None:
+                    return  # already committed (idempotent re-publish)
+                raise ValueError(f"publish_epoch: epoch {epoch} was never staged")
+            payload = self._oslog.store.get(staged[0])
+            if payload is None:  # raced with a concurrent publish's cleanup
+                if self._oslog.store.get(final_key(epoch)) is not None:
+                    return
+                raise ValueError(f"publish_epoch: epoch {epoch} was never staged")
+            run_id = Manifest.from_json(payload.decode()).run_id
+            self._oslog.publish(epoch, run_id)
+            return
         if not os.path.exists(
             os.path.join(self.manifest_dir, f"manifest-{epoch:08d}.json")
         ):
@@ -1038,6 +1117,9 @@ class LakeTable:
                 os.path.join(self.data_dir, f[: -len(BLOOM_SIDECAR_SUFFIX)])
             ):
                 os.unlink(os.path.join(self.data_dir, f))
+        if self._oslog is not None:
+            # crash litter: staging keys whose epoch already committed
+            self._oslog.gc_staged()
         return removed
 
     def preview(self, n: int = 10) -> pa.Table:
