@@ -342,3 +342,173 @@ def pagerank_integer(
         scores = base + (damping_pct * t) // 100
 
     return pd.DataFrame({"node": nodes, "score": scores})
+
+
+# -- distributed integer PageRank (scale path) -------------------------------
+#
+# Same BSP-task shape as dedup.connected_components_distributed: one
+# Dataset pass buckets the edges, the bounded iteration loop runs as raw
+# Ray tasks over plasma-resident shards.  The driver never holds node-
+# sized state — peak driver memory is O(num_buckets) refs (verdict r4
+# item 4: pagerank_integer's per-round node-sized lut broadcast was the
+# scale-killer at >=1e8 nodes).
+
+
+def _pr_prep_shard(block, num_buckets: int):
+    """Split one materialized edge block into per-src-bucket pieces,
+    plasma-put worker-side (dict of refs through the driver, never data).
+    Bucket identity comes from the BUCKET COLUMN — Ray coalesces/splits
+    map_groups outputs across blocks."""
+    import ray
+
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if t.num_rows == 0 or "__pr_bucket" not in t.column_names:
+        return {}
+    out = {}
+    for bid in pc.unique(t["__pr_bucket"].combine_chunks()).to_pylist():
+        sel = t.filter(pc.equal(t["__pr_bucket"], bid)).select(["src", "dst"])
+        out[int(bid)] = ray.put(sel)
+    return out
+
+
+def _pr_assemble(*parts):
+    return pa.concat_tables(parts)
+
+
+def _pr_init(edges: pa.Table, scale: int):
+    """One shard's node/degree/initial-score arrays.  All edges with
+    src s live in bucket(s), so s's total degree is shard-local."""
+    src = edges["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, deg = np.unique(src, return_counts=True)
+    return nodes, deg.astype(np.int64), np.full(len(nodes), scale, np.int64), len(nodes)
+
+
+def _pr_propagate(edges: pa.Table, nodes, deg, scores, num_buckets: int):
+    """contrib(s) = score(s) // deg(s) for this shard's srcs (all local),
+    pre-summed per dst and routed to dst-buckets — the edge-sized work
+    stays in the task; only (dst, partial_sum) aggregates move."""
+    contrib = scores // deg
+    src = edges["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = contrib[np.searchsorted(nodes, src)]
+    order = np.argsort(dst, kind="stable")
+    ds_, cs = dst[order], c[order]
+    uniq, starts = np.unique(ds_, return_index=True)
+    sums = np.add.reduceat(cs, starts)
+    db = uniq % num_buckets
+    return [
+        (uniq[db == b], sums[db == b]) for b in range(num_buckets)
+    ]
+
+
+def _pr_update(nodes, base: int, damping_pct: int, *partials):
+    """Fold incoming (dst, partial) aggregates into this node-shard and
+    apply the integer damping step — bit-identical to the driver
+    variant's ``base + (damping_pct * t) // 100``."""
+    t = np.zeros(len(nodes), dtype=np.int64)
+    for pn, pt in partials:
+        if len(pn):
+            np.add.at(t, np.searchsorted(nodes, pn), pt)
+    return base + (damping_pct * t) // 100
+
+
+def _pr_emit(nodes, scores) -> pa.Table:
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "score": pa.array(scores, pa.int64())}
+    )
+
+
+def pagerank_integer_distributed(
+    edges_ds,
+    iterations: int = 3,
+    u: str = "u",
+    v: str = "v",
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    num_buckets: int = 64,
+):
+    """Scale path of :func:`pagerank_integer` — bit-identical scores, but
+    node state lives SHARDED in the object store (bucket = node %
+    num_buckets) and each bounded round is a fan-out of raw Ray tasks
+    (propagate per src-shard -> update per dst-shard).  Per the measured
+    Dataset-re-planning lesson (see connected_components_distributed),
+    the iteration never re-enters Ray Data; Dataset in, Dataset out."""
+    import ray
+    import ray.data as rd
+
+    nb = num_buckets
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch[u].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "__pr_bucket": pa.array(src % nb, pa.int64()),
+            }
+        )
+
+    shards_ds = (
+        edges_ds.map_batches(both, batch_format="pyarrow")
+        .groupby("__pr_bucket")
+        .map_groups(lambda df: df, batch_format="pandas")
+        .materialize()
+    )
+    block_refs = shards_ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+        )
+
+    prep_r = ray.remote(_pr_prep_shard)
+    asm_r = ray.remote(_pr_assemble)
+    init_r = ray.remote(num_returns=4)(_pr_init)
+    prop_r = ray.remote(_pr_propagate)
+    upd_r = ray.remote(_pr_update)
+    emit_r = ray.remote(_pr_emit)
+
+    pieces: dict[int, list] = {}
+    for d in ray.get([prep_r.remote(r, nb) for r in block_refs]):
+        for bid, ref in d.items():
+            pieces.setdefault(bid, []).append(ref)
+    edges_of = {
+        bid: (prs[0] if len(prs) == 1 else asm_r.remote(*prs))
+        for bid, prs in pieces.items()
+    }
+    buckets = sorted(edges_of)
+    nodes_of, deg_of, scores_of, count_of = {}, {}, {}, {}
+    for b in buckets:
+        nodes_of[b], deg_of[b], scores_of[b], count_of[b] = init_r.remote(
+            edges_of[b], scale
+        )
+    n_nodes = sum(ray.get([count_of[b] for b in buckets]))
+    # same int64 headroom guard as the driver variant (a hub can receive
+    # nearly the whole graph's score mass, ~N*scale, before the
+    # damping_pct multiply)
+    if n_nodes * scale * max(damping_pct, 1) > (1 << 62):
+        raise ValueError(
+            "pagerank_integer_distributed: nodes * scale exceeds int64 "
+            f"headroom — lower scale to <= {(1 << 62) // (n_nodes * max(damping_pct, 1))}"
+        )
+    base = ((100 - damping_pct) * scale) // 100
+
+    for _ in range(iterations):
+        prop = {
+            b: prop_r.options(num_returns=nb).remote(
+                edges_of[b], nodes_of[b], deg_of[b], scores_of[b], nb
+            )
+            for b in buckets
+        }
+        scores_of = {
+            c: upd_r.remote(
+                nodes_of[c], base, damping_pct, *[prop[b][c] for b in buckets]
+            )
+            for c in buckets
+        }
+
+    return rd.from_arrow_refs(
+        [emit_r.remote(nodes_of[b], scores_of[b]) for b in buckets]
+    )

@@ -6775,7 +6775,7 @@ FROM q GROUP BY label, dim
 #      (brand_nation_revenue lesson) so the 6-table sum is
 #      order-independent on both engines.
 # ---------------------------------------------------------------------------
-def q5_region_revenue(sf_dir: str):
+def q5_region_revenue(sf_dir: str, broadcast_limit: int = 2_000_000):
     import ray
 
     from cdm_data_loader_utils_ray.core.rounding import round_half_away
@@ -6790,15 +6790,36 @@ def q5_region_revenue(sf_dir: str):
     rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     nname_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(nname_by_key)]
-    sup_ref = ray.put(
-        (
-            pa.array(supp["s_suppkey"].to_numpy(), type=pa.int64()),
-            pa.array(supp["s_nationkey"].to_numpy(), type=pa.int64()),
-        )
-    )
     nset_ref = ray.put(pa.array(sorted(nname_by_key), type=pa.int64()))
+
+    def supp_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["s_nationkey"].cast(pa.int64()), value_set=ray.get(nset_ref)
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                "s_nationkey": b["s_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    # supplier is the classic broadcast side, but only UNDER the threshold
+    # (r4 verdict item 5): a dim that outgrew driver memory falls back to
+    # the partitioned hash join below — same green result, pinned by
+    # test_q5_join_fallback at a forced tiny limit
+    supp_ds = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_filter, batch_format="pyarrow")
+    use_broadcast = supp_ds.count() <= broadcast_limit
+    if use_broadcast:
+        supp = supp_ds.to_pandas()
+        sup_ref = ray.put(
+            (
+                pa.array(supp["s_suppkey"].to_numpy(), type=pa.int64()),
+                pa.array(supp["s_nationkey"].to_numpy(), type=pa.int64()),
+            )
+        )
 
     def cust_side(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(
@@ -6825,22 +6846,34 @@ def q5_region_revenue(sf_dir: str):
             }
         )
 
-    def li_side(batch: pa.Table) -> pa.Table:
-        sk, snat = ray.get(sup_ref)
-        idx = pc.index_in(batch["l_suppkey"].cast(pa.int64()), sk)
-        b = batch.filter(pc.is_valid(idx))
-        idx = pc.index_in(b["l_suppkey"].cast(pa.int64()), sk)
+    def _rev_e4(b: pa.Table) -> pa.Array:
         cents = np.rint(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         disc = np.rint(
             b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
+        return pa.array(cents * (100 - disc), type=pa.int64())
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        sk, snat = ray.get(sup_ref)
+        idx = pc.index_in(batch["l_suppkey"].cast(pa.int64()), sk)
+        b = batch.filter(pc.is_valid(idx))
+        idx = pc.index_in(b["l_suppkey"].cast(pa.int64()), sk)
         return pa.table(
             {
                 "o_orderkey": b["l_orderkey"].cast(pa.int64()),
                 "s_nationkey": snat.take(idx),
-                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+                "rev_e4": _rev_e4(b),
+            }
+        )
+
+    def li_raw(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "rev_e4": _rev_e4(batch),
             }
         )
 
@@ -6850,10 +6883,27 @@ def q5_region_revenue(sf_dir: str):
     ords = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(orders_side, batch_format="pyarrow")
-    li = _read(
+    li_src = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_side, batch_format="pyarrow")
+    )
+    if use_broadcast:
+        li = li_src.map_batches(li_side, batch_format="pyarrow")
+    else:
+        renamed = supp_ds.map_batches(
+            lambda b: b.rename_columns(["l_suppkey", "s_nationkey"]),
+            batch_format="pyarrow",
+        )
+        li = hash_join(
+            li_src.map_batches(li_raw, batch_format="pyarrow"),
+            renamed,
+            on=["l_suppkey"],
+            how="inner",
+            num_buckets=32,
+        ).map_batches(
+            lambda b: b.select(["o_orderkey", "s_nationkey", "rev_e4"]),
+            batch_format="pyarrow",
+        )
 
     oc = hash_join(ords, cust, on=["o_custkey"], how="inner", num_buckets=32)
     oc = oc.map_batches(
@@ -7153,7 +7203,7 @@ FROM f
 def pagerank_copurchase(sf_dir: str):
     from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
     from cdm_data_loader_utils_ray.functions.graph import (
-        pagerank_integer,
+        pagerank_integer_distributed,
         within_group_pairs,
     )
     from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
@@ -7194,7 +7244,14 @@ def pagerank_copurchase(sf_dir: str):
         pair_counts, ["u", "v"], {"n_orders": "c"}, count_alias="__nb"
     )
     edges = folded.filter(expr="n_orders >= 2")
-    out = pagerank_integer(edges, iterations=3)
+    # scale path (r4 verdict item 4): node state sharded in plasma, the
+    # bounded rounds are raw tasks — bit-identical to pagerank_integer
+    # (pinned by test_pagerank_distributed_bit_exact_vs_driver), driver
+    # memory independent of node count
+    out = (
+        pagerank_integer_distributed(edges, iterations=3, num_buckets=16)
+        .to_pandas()
+    )
     out["node"] = out["node"].astype("int64")
     out["score"] = out["score"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)[["node", "score"]]

@@ -118,3 +118,15 @@ def test_fsspec_http_probe_is_thread_safe():
 
         with _pytest.raises(ImportError):
             cls()
+
+
+def test_q5_join_fallback_matches_broadcast(ray_session):
+    """r4 verdict item 5: the supplier dim collect is gated behind a
+    broadcast threshold; at a forced tiny limit q5 takes the partitioned
+    hash-join fallback and must produce identical rows."""
+    from cdm_data_loader_utils_ray.queries import q5_region_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = q5_region_revenue(sf)
+    b = q5_region_revenue(sf, broadcast_limit=0)
+    assert a.equals(b)
