@@ -144,3 +144,88 @@ def project_pca(
         return batch.append_column(output_column, out.cast(pa.list_(pa.float64())))
 
     return ds.map_batches(proj, batch_format="pyarrow", batch_size=batch_size)
+
+
+def quantized_dim_sums(
+    ds, embedding_column: str = "embedding", scale: int = 10_000,
+    batch_size: int = 8192,
+):
+    """Exact per-dimension INTEGER sums of the quantized embeddings:
+    ``(n, sum_i round(x_i * scale))`` — the order-free building block the
+    oracle-checked projection needs (integer addition commutes; a float
+    mean does not).  One streaming pass, (d+1)-sized partials."""
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"n": [], "s": []})
+        x = _to_matrix(batch[embedding_column]).astype(np.float64)
+        q = round_half_away(x * float(scale), 0).astype(np.int64)
+        return pd.DataFrame({"n": [len(q)], "s": [q.sum(axis=0).tobytes()]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    n = 0
+    s = None
+    for r in parts:
+        if r["n"] == []:
+            continue
+        n += int(r["n"])
+        sv = np.frombuffer(r["s"], dtype=np.int64)
+        s = sv.copy() if s is None else s + sv
+    if s is None:
+        raise ValueError("quantized_dim_sums: empty dataset")
+    return n, s
+
+
+def project_pca_quantized(
+    ds,
+    qsum: np.ndarray,
+    n: int,
+    qcomponents: np.ndarray,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    out_prefix: str = "y",
+    scale: int = 10_000,
+    batch_size: int = 8192,
+):
+    """EXACT integer mean-centered projection — the SQL-twinnable variant
+    of :func:`project_pca` (same map_batches matmul shape, no float fold
+    anywhere): ``y = (n * qx - qsum) @ qc.T`` computes the centered
+    projection in NUMERATOR space (multiply by n instead of dividing by
+    it), so both engines sum identical int64 terms in any order.
+    ``qcomponents`` is any (k, d) int matrix — projection needs no
+    orthogonality, so oracle entries can draw it from data rows.
+
+    int64 headroom: |term| <= (n*max|qx| + |qsum|) * max|qc|, summed over
+    d — guarded below per batch (repo convention: grouped_exact_sums)."""
+    qs = np.asarray(qsum, dtype=np.int64)
+    qc = np.asarray(qcomponents, dtype=np.int64)
+    d = qs.shape[0]
+    from cdm_data_loader_utils_ray.core.rounding import round_half_away
+
+    def proj(batch: pa.Table) -> pa.Table:
+        cols = {id_column: pa.array([], pa.int64())} if len(batch) == 0 else {}
+        if len(batch) == 0:
+            for j in range(qc.shape[0]):
+                cols[f"{out_prefix}{j}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        x = _to_matrix(batch[embedding_column]).astype(np.float64)
+        qx = round_half_away(x * float(scale), 0).astype(np.int64)
+        num = n * qx - qs
+        bound = int(np.abs(num).max(initial=0)) * int(
+            np.abs(qc).max(initial=0)
+        ) * d
+        if bound > (1 << 62):
+            raise ValueError(
+                "project_pca_quantized: int64 headroom exceeded — lower "
+                "scale or center first"
+            )
+        y = num @ qc.T
+        cols = {id_column: batch[id_column].cast(pa.int64())}
+        for j in range(qc.shape[0]):
+            cols[f"{out_prefix}{j}"] = pa.array(y[:, j], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=batch_size)

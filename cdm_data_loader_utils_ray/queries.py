@@ -7461,6 +7461,112 @@ WHERE 100 * inter >= 90 * (sa.n + sb.n - inter)
 """
 
 
+# ---------------------------------------------------------------------------
+# 134. Audit metrics round-trip (reference audit/metrics.py:84-93,
+#      audit/checkpoint.py:54-60): replay a deterministically-corrupted
+#      event log (op='noop' on every 97th event) and read back the audit
+#      METRICS table the run upserted; the oracle recomputes records_read /
+#      records_valid / records_invalid straight from the events table.
+#      First driver-checked entry over the audit surface (r4 verdict #6).
+# ---------------------------------------------------------------------------
+def audit_metrics(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.audit.tables import AuditLog
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    t = pq.read_table(ev)
+    seq = t["seq"].to_numpy()  # = event_id + 1
+    bad = (seq - 1) % 97 == 0
+    op = np.asarray(t["op"].to_pylist(), dtype=object)
+    op[bad] = "noop"  # out-of-domain op -> rejected by check_op_domain
+    t = t.set_column(t.column_names.index("op"), "op", pa.array(op, pa.string()))
+    pq.write_table(t, ev)
+    run_replay(ev, os.path.join(work, "lake"), num_partitions=8)
+    log = AuditLog(LakeTable(os.path.join(work, "lake")).audit_dir)
+    m = log.read("metrics").to_pandas()
+    out = m[["pipeline", "records_read", "records_valid", "records_invalid"]].copy()
+    for c in ("records_read", "records_valid", "records_invalid"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("pipeline").reset_index(drop=True)
+
+
+AUDIT_METRICS_SQL = """
+SELECT 'cdc_replay' AS pipeline,
+       CAST(count(*) AS BIGINT) AS records_read,
+       CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS records_valid,
+       CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS records_invalid
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 135. Oracle-checked PCA projection (functions/pca.py joins the checked
+#      set — r4 verdict #8): exact integer mean-centered projection in
+#      NUMERATOR space, y = (n*qx - qsum) @ qc.T with qx = round(x*1e4).
+#      The component matrix is drawn from data rows (vec_id < 4, sorted)
+#      — projection needs no orthogonality, so the same rows are
+#      addressable in SQL; the eigendecomposition fit stays library-only
+#      (float fold order has no SQL twin, documented in pca.py).
+# ---------------------------------------------------------------------------
+def pca_project(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.pca import (
+        project_pca_quantized,
+        quantized_dim_sums,
+    )
+
+    c_tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "<", 4)],
+        columns=["vec_id", "embedding"],
+    )
+    cids = np.asarray(c_tbl["vec_id"], dtype=np.int64)
+    order = np.argsort(cids)
+    c_mat = np.asarray(c_tbl["embedding"].to_pylist(), dtype=np.float32)[order]
+    qc = _round_away(c_mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n, qs = quantized_dim_sums(ds, "embedding")
+    return project_pca_quantized(ds, qs, n, qc)
+
+
+PCA_PROJECT_SQL = """
+WITH q AS (
+  -- lockstep unnest = ordinality; CAST to DOUBLE before the multiply
+  -- (FLOAT * 10000 rounds the product to float32 — centroid_assign gotcha)
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+  FROM embeddings
+),
+s AS (
+  SELECT dim, CAST(sum(qv) AS BIGINT) AS qs, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY dim
+),
+c AS (
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS rk, dim, qv AS qc
+  FROM q WHERE vec_id < 4
+),
+y AS (
+  SELECT q.vec_id, c.rk,
+         CAST(sum((s.n * q.qv - s.qs) * c.qc) AS BIGINT) AS yv
+  FROM q JOIN s USING (dim) JOIN c USING (dim)
+  GROUP BY q.vec_id, c.rk
+)
+SELECT vec_id,
+       max(CASE WHEN rk = 0 THEN yv END) AS y0,
+       max(CASE WHEN rk = 1 THEN yv END) AS y1,
+       max(CASE WHEN rk = 2 THEN yv END) AS y2,
+       max(CASE WHEN rk = 3 THEN yv END) AS y3
+FROM y GROUP BY vec_id
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -7504,6 +7610,8 @@ _PRIORITY: tuple = (
     "bigram_pmi",
     "scd2_user_type",
     # -- new in round 5 (never driver-checked; append as they land) --------
+    "audit_metrics",
+    "pca_project",
 )
 
 
@@ -7551,6 +7659,8 @@ def _registry_entries() -> dict:
         "type_transitions": (type_transitions, TYPE_TRANSITIONS_SQL),
         "chi2_lang_source": (chi2_lang_source, CHI2_LANG_SOURCE_SQL),
         "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
+        "audit_metrics": (audit_metrics, AUDIT_METRICS_SQL),
+        "pca_project": (pca_project, PCA_PROJECT_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
