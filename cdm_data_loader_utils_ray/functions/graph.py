@@ -479,6 +479,11 @@ def pagerank_integer_distributed(
         for bid, prs in pieces.items()
     }
     buckets = sorted(edges_of)
+    if not buckets:  # edge blocks existed but all were empty
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+        )
     nodes_of, deg_of, scores_of, count_of = {}, {}, {}, {}
     for b in buckets:
         nodes_of[b], deg_of[b], scores_of[b], count_of[b] = init_r.remote(

@@ -6818,7 +6818,9 @@ def q5_region_revenue(sf_dir: str, broadcast_limit: int = 2_000_000):
     # test_q5_join_fallback at a forced tiny limit
     supp_ds = _read(
         sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).map_batches(supp_filter, batch_format="pyarrow")
+    ).map_batches(supp_filter, batch_format="pyarrow").materialize()
+    # materialize once: count() for the gate and the broadcast collect (or
+    # the join's re-read) reuse the same blocks instead of re-scanning
     use_broadcast = supp_ds.count() <= broadcast_limit
     if use_broadcast:
         supp = supp_ds.to_pandas()
