@@ -223,7 +223,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "events": applied,
         "events_per_sec": round(applied / headline),
-        "curation_sec": round(curation, 3),
+        "curation_sec": round(curation, 3) if curation is not None else None,
     }
     ray.shutdown()
     return out

@@ -404,9 +404,19 @@ def _pr_propagate(edges: pa.Table, nodes, deg, scores, num_buckets: int):
 def _pr_update(nodes, base: int, damping_pct: int, *partials):
     """Fold incoming (dst, partial) aggregates into this node-shard and
     apply the integer damping step — bit-identical to the driver
-    variant's ``base + (damping_pct * t) // 100``."""
+    variant's ``base + (damping_pct * t) // 100``.
+
+    With ``num_buckets=1`` Ray's ``num_returns=1`` hands the whole
+    1-element propagate LIST through as one object instead of unpacking
+    it — normalize both shapes (review r5)."""
     t = np.zeros(len(nodes), dtype=np.int64)
-    for pn, pt in partials:
+    flat = []
+    for p in partials:
+        if isinstance(p, list):
+            flat.extend(p)
+        else:
+            flat.append(p)
+    for pn, pt in flat:
         if len(pn):
             np.add.at(t, np.searchsorted(nodes, pn), pt)
     return base + (damping_pct * t) // 100
@@ -501,12 +511,15 @@ def pagerank_integer_distributed(
     base = ((100 - damping_pct) * scale) // 100
 
     for _ in range(iterations):
-        prop = {
-            b: prop_r.options(num_returns=nb).remote(
+        prop = {}
+        for b in buckets:
+            r = prop_r.options(num_returns=nb).remote(
                 edges_of[b], nodes_of[b], deg_of[b], scores_of[b], nb
             )
-            for b in buckets
-        }
+            # num_returns=1 yields ONE ref (to the 1-element list), not a
+            # ref list — wrap so prop[b][c] below stays uniform; _pr_update
+            # unwraps the list-valued object (review r5)
+            prop[b] = [r] if nb == 1 else r
         scores_of = {
             c: upd_r.remote(
                 nodes_of[c], base, damping_pct, *[prop[b][c] for b in buckets]

@@ -213,15 +213,19 @@ def project_pca_quantized(
             return pa.table(cols)
         x = _to_matrix(batch[embedding_column]).astype(np.float64)
         qx = round_half_away(x * float(scale), 0).astype(np.int64)
-        num = n * qx - qs
-        bound = int(np.abs(num).max(initial=0)) * int(
-            np.abs(qc).max(initial=0)
-        ) * d
-        if bound > (1 << 62):
+        # headroom guard BEFORE the multiply, in Python ints (n * qx can
+        # itself wrap int64; a post-multiply check would read the wrapped
+        # values and pass — review r5):
+        #   |num| <= n*max|qx| + max|qs|;  |y| <= |num| * max|qc| * d
+        max_qx = int(np.abs(qx).max(initial=0))
+        max_qs = int(np.abs(qs).max(initial=0))
+        max_qc = int(np.abs(qc).max(initial=0))
+        if (int(n) * max_qx + max_qs) * max(max_qc, 1) * d > (1 << 62):
             raise ValueError(
                 "project_pca_quantized: int64 headroom exceeded — lower "
                 "scale or center first"
             )
+        num = n * qx - qs
         y = num @ qc.T
         cols = {id_column: batch[id_column].cast(pa.int64())}
         for j in range(qc.shape[0]):

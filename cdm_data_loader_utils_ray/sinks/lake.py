@@ -58,6 +58,10 @@ AUDIT_DIR = "_audit"
 LATEST = "LATEST"
 COMMIT_BACKEND_FILE = "COMMIT_BACKEND"
 
+# process-local: table_dir (abspath) -> injected ObjectStore, so internal
+# LakeTable(dir) constructions reuse a custom store (see create_object_store)
+_STORE_REGISTRY: dict = {}
+
 # process-local (per worker) cache: PROPERTIES path -> ((path, mtime_ns), cfg)
 _BLOOM_CFG_CACHE: dict = {}
 
@@ -447,6 +451,14 @@ class LakeTable:
         # custom store (e.g. a real S3 adapter); default is the
         # directory-backed one rooted at the manifest dir.
         self._oslog = None
+        if object_store is None:
+            # a custom store injected via create_object_store(dir, store=...)
+            # is registered process-wide so INTERNAL constructions
+            # (run_replay builds LakeTable(dir) itself) commit through the
+            # SAME store — without this, the user's handle and the
+            # pipeline's handles would write divergent manifest logs
+            # (review r5 split-brain finding)
+            object_store = _STORE_REGISTRY.get(os.path.abspath(table_dir))
         if object_store is None and os.path.exists(
             os.path.join(self.manifest_dir, COMMIT_BACKEND_FILE)
         ):
@@ -472,11 +484,18 @@ class LakeTable:
         does not exist.  Only the commit path is store-abstracted here:
         properties/tags are advisory last-writer-wins sidecars (plain puts
         on a real store), and vacuum/clone remain directory-level
-        operations of the bridge layout."""
+        operations of the bridge layout.
+
+        A custom ``store`` is registered PROCESS-WIDE for this table dir,
+        so pipeline internals that construct ``LakeTable(dir)`` themselves
+        commit through the same store (driver-side commits only; data
+        files still go via the filesystem path)."""
         t = cls(table_dir)
         _atomic_write(
             os.path.join(t.manifest_dir, COMMIT_BACKEND_FILE), "object-store"
         )
+        if store is not None:
+            _STORE_REGISTRY[os.path.abspath(table_dir)] = store
         return cls(table_dir, object_store=store)
 
     # -- table properties (epoch-independent sidecar) -------------------------

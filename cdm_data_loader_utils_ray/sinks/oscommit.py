@@ -50,7 +50,7 @@ import tempfile
 from typing import Protocol
 
 LATEST_HINT = "LATEST_HINT"
-_FINAL_RE = re.compile(r"manifest-(\d{8})\.json")
+_FINAL_RE = re.compile(r"manifest-(\d{8,})\.json")  # {:08d} grows past 1e8 epochs
 
 
 class ObjectStore(Protocol):
@@ -125,6 +125,14 @@ class DirObjectStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._path(key))
+        # dir fsync: staged manifests are phase-1 of the txn protocol —
+        # the journal may already be the commit point when this entry must
+        # survive power loss (review r5: put_if_absent fsynced, put didn't)
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def get(self, key: str) -> bytes | None:
         try:
@@ -246,7 +254,7 @@ class ObjectStoreManifestLog:
         a staged key normally deletes at publish)."""
         removed = []
         for k in self.store.list_keys("staged-"):
-            m = re.match(r"staged-(\d{8})-", k)
+            m = re.match(r"staged-(\d{8,})-", k)
             if m and self.store.get(final_key(int(m.group(1)))) is not None:
                 self.store.delete(k)
                 removed.append(k)

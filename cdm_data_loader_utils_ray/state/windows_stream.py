@@ -40,6 +40,10 @@ _INT_TO_NULLABLE = {
     pa.uint8(): pd.Int64Dtype(),
     pa.uint16(): pd.Int64Dtype(),
     pa.uint32(): pd.Int64Dtype(),
+    # uint64 can't widen into Int64 — use the unsigned extension dtype
+    # (same null-proof property; omitting it reintroduced the flip for
+    # uint64 keys, review r5)
+    pa.uint64(): pd.UInt64Dtype(),
 }
 
 

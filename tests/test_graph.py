@@ -190,3 +190,29 @@ def test_pagerank_distributed_million_nodes_off_driver(ray_session):
     for _ in range(2):
         s = base + (85 * (2 * (s // 2))) // 100
     assert int(scores["score"].iloc[0]) == s
+
+
+def test_pagerank_distributed_single_bucket(ray_session):
+    """Review r5: num_buckets=1 makes Ray's num_returns=1 hand back a
+    bare ref to the 1-element list — must still work and stay bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import (
+        pagerank_integer,
+        pagerank_integer_distributed,
+    )
+
+    rng = np.random.default_rng(4)
+    e = pd.DataFrame({"u": rng.integers(0, 30, 200), "v": rng.integers(0, 30, 200)})
+    e = e[e.u != e.v].drop_duplicates().reset_index(drop=True)
+    drv = pagerank_integer(rd.from_pandas(e), iterations=3, scale=10**9)
+    one = (
+        pagerank_integer_distributed(
+            rd.from_pandas(e), iterations=3, scale=10**9, num_buckets=1
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    drv = drv.sort_values("node").reset_index(drop=True)
+    assert (drv["score"].to_numpy() == one["score"].to_numpy()).all()

@@ -175,3 +175,38 @@ def test_lake_table_object_store_crash_window(ray_session, tmp_path):
     assert t.stage_manifest(m2)
     t.publish_epoch(2)
     assert t.latest_epoch() == 2
+
+
+def test_injected_store_reaches_internal_constructions(ray_session, tmp_path):
+    """Review r5 split-brain: a custom store passed to
+    create_object_store must also be used by LakeTable(dir) instances the
+    PIPELINE constructs internally — otherwise the user's handle and
+    run_replay write divergent manifest logs with no error."""
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.synth import make_events, write_events
+
+    calls = {"put_if_absent": 0}
+
+    class SpyStore(DirObjectStore):
+        def put_if_absent(self, key, data):
+            calls["put_if_absent"] += 1
+            return super().put_if_absent(key, data)
+
+    d = os.path.join(str(tmp_path), "t")
+    t = LakeTable.create_object_store(d, store=SpyStore(os.path.join(d, "_manifest")))
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    write_events(ev, make_events(num_keys=50, num_events=400, seed=3))
+    run_replay(ev, d, num_partitions=2)  # constructs LakeTable(d) internally
+    assert calls["put_if_absent"] >= 1  # commit went through the injected store
+    assert t.latest_epoch() is not None  # and the user's handle sees it
+
+
+def test_wide_epoch_numbers_stay_visible(tmp_path):
+    """Review r5: {:08d} grows to 9+ digits past epoch 99,999,999; the
+    listing regex must keep matching or committed epochs disappear."""
+    store = DirObjectStore(str(tmp_path))
+    log = ObjectStoreManifestLog(store)
+    big = 123_456_789  # 9 digits
+    log.stage(big, _payload(big, "r"), "r")
+    assert log.publish(big, "r") is True
+    assert log.latest_epoch() == big

@@ -225,3 +225,20 @@ def test_nullable_int_key_routes_dtype_stable(ray_session):
     brute_keyed = [("nan" if k == "nan" else k, a, b, c, s)
                    for (k, a, b, c, s) in brute]
     assert norm(got_rows) == norm(brute_keyed)
+
+
+def test_stable_pandas_covers_uint64():
+    """Review r5: uint64 was missing from the nullable mapper — the
+    dtype-flip routing bug applied to uint64 keys unchanged (plus values
+    past 2^53 corrupt through float64)."""
+    import pyarrow as pa
+
+    from cdm_data_loader_utils_ray.state.windows_stream import _stable_pandas
+
+    big = 2**63 + 11  # not representable in int64 or exactly in float64
+    with_nulls = pa.table({"k": pa.array([big, None], type=pa.uint64())})
+    null_free = pa.table({"k": pa.array([big, 7], type=pa.uint64())})
+    a = _stable_pandas(with_nulls)["k"]
+    b = _stable_pandas(null_free)["k"]
+    assert str(a.dtype) == str(b.dtype) == "UInt64"
+    assert int(a.iloc[0]) == big and int(b.iloc[0]) == big
