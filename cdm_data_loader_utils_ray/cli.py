@@ -154,6 +154,15 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from cdm_data_loader_utils_ray.pipelines.maintenance import expire_snapshots
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    expired = expire_snapshots(LakeTable(args.lake), keep_epochs=args.keep)
+    print(json.dumps({"expired_epochs": expired}))
+    return 0
+
+
 def cmd_restore(args) -> int:
     from cdm_data_loader_utils_ray.pipelines.maintenance import restore
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
@@ -555,6 +564,14 @@ def main(argv=None) -> int:
     v.add_argument("--lake", required=True)
     v.add_argument("--keep", type=int, default=2)
     v.set_defaults(fn=cmd_vacuum)
+
+    ex = sub.add_parser(
+        "expire", help="delete manifests older than the kept epoch window "
+        "(tags lease retention; Iceberg expire_snapshots analogue)"
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--keep", type=int, default=10)
+    ex.set_defaults(fn=cmd_expire)
 
     rs = sub.add_parser(
         "restore", help="roll the table back to an earlier epoch (metadata-only)"

@@ -387,6 +387,52 @@ def migrate_partitions(
     return new_m
 
 
+def expire_snapshots(table: LakeTable, keep_epochs: int = 10) -> list[int]:
+    """Iceberg ``expire_snapshots`` analogue: delete MANIFEST files older
+    than the last ``keep_epochs`` committed epochs.  Complements
+    :meth:`LakeTable.vacuum` (which reclaims DATA files): every manifest
+    is self-contained (full partition state, ~100 B per partition), so at
+    P=32k a long-lived table accrues megabytes of manifest JSON per epoch
+    forever without this.
+
+    Kept regardless of age: the newest ``keep_epochs`` manifests, every
+    TAGGED epoch (tags are retention leases, same as vacuum), and any
+    manifest above the committed LATEST (phase-1 of an in-flight commit).
+    After expiry: time travel / restore / CDF reads below the kept window
+    raise FileNotFoundError — the documented retention trade (identical to
+    Delta/Iceberg).  Returns the expired epoch numbers."""
+    if keep_epochs < 1:
+        raise ValueError("expire_snapshots: keep_epochs must be >= 1")
+    latest = table.latest_epoch()
+    if latest is None:
+        return []
+    epochs = sorted(
+        int(f[len("manifest-"):-len(".json")])
+        for f in os.listdir(table.manifest_dir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    committed = [e for e in epochs if e <= latest]
+    keep = set(committed[-keep_epochs:]) | set(table.tags().values())
+    keep.update(e for e in epochs if e > latest)  # in-flight staging
+    expired = []
+    for e in epochs:
+        if e in keep:
+            continue
+        if table._oslog is not None:
+            from cdm_data_loader_utils_ray.sinks.oscommit import final_key
+
+            table._oslog.store.delete(final_key(e))
+        else:
+            try:
+                os.unlink(
+                    os.path.join(table.manifest_dir, f"manifest-{e:08d}.json")
+                )
+            except FileNotFoundError:
+                pass
+        expired.append(e)
+    return expired
+
+
 def restore(table: LakeTable, epoch: int) -> Manifest:
     """Delta ``RESTORE TABLE ... TO VERSION`` analogue: re-commit the table
     state of an earlier epoch as a NEW epoch.  Metadata-only — no data file
