@@ -877,7 +877,16 @@ def apply_epoch(
         timing = os.environ.get("CDM_RAY_PHASE_TIMING")
         _t = time.perf_counter
         t0 = _t()
-        staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
+        # RUN-UNIQUE staging dir: two concurrent writers racing the same
+        # epoch used to share (and rmtree!) one path — the winner's
+        # cleanup yanked slice files from under the loser's merge, turning
+        # the clean commit-guard rejection into a mid-pipeline
+        # FileNotFoundError (reproduced by the two-process oscommit race
+        # test).  Unique dirs mean losers always reach the guard; crashed
+        # runs' litter is swept by vacuum (epoch <= LATEST).
+        staging = os.path.join(
+            table.dir, "_staging", f"epoch-{epoch:08d}-{run.run_id[:8]}"
+        )
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
         # Phase A never needs the content bytes: sha is deferred to
@@ -1008,7 +1017,16 @@ def apply_epoch(
 
         import ray.data as rd
 
-        staging = os.path.join(table.dir, "_staging", f"epoch-{epoch:08d}")
+        # RUN-UNIQUE staging dir: two concurrent writers racing the same
+        # epoch used to share (and rmtree!) one path — the winner's
+        # cleanup yanked slice files from under the loser's merge, turning
+        # the clean commit-guard rejection into a mid-pipeline
+        # FileNotFoundError (reproduced by the two-process oscommit race
+        # test).  Unique dirs mean losers always reach the guard; crashed
+        # runs' litter is swept by vacuum (epoch <= LATEST).
+        staging = os.path.join(
+            table.dir, "_staging", f"epoch-{epoch:08d}-{run.run_id[:8]}"
+        )
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
         router = PrepAndRoute(prep, staging, group_size=_staging_group_size(P))

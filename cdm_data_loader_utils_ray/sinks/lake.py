@@ -708,15 +708,25 @@ class LakeTable:
         cost of more footer entries.  None keeps the parquet default."""
         rel = self.partition_file(pid, epoch)
         path = self.abspath(rel)
-        pq.write_table(table, path, compression="zstd", row_group_size=row_group_size)
+        # write-then-RENAME, never in place: an in-place rewrite by a task
+        # retry or a concurrent same-epoch writer would tear the file
+        # under readers of an already-committed manifest (the commit guard
+        # rejects the loser AFTER its phase-1 writes).  The rename makes
+        # every visible state a complete file; losers merely overwrite
+        # with an equally complete file.
+        import uuid as _uuid
+
+        tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp, compression="zstd", row_group_size=row_group_size)
         # fsync before any manifest can reference this file — the manifest
         # and LATEST are fsynced in _atomic_write, and a durable manifest
         # pointing at page-cache-only parquet breaks crash resume
-        fd = os.open(path, os.O_RDONLY)
+        fd = os.open(tmp, os.O_RDONLY)
         try:
             os.fsync(fd)
         finally:
             os.close(fd)
+        os.replace(tmp, path)
         cfg = self._bloom_config_cached()
         if cfg is not None:
             cols, bpv, k = cfg
@@ -1136,9 +1146,28 @@ class LakeTable:
                 os.path.join(self.data_dir, f[: -len(BLOOM_SIDECAR_SUFFIX)])
             ):
                 os.unlink(os.path.join(self.data_dir, f))
+            # crashed write_partition temp (write-then-rename): safe to
+            # drop once its epoch committed (nothing is still renaming it)
+            m = re.match(r"part-\d+-epoch-(\d+).*\.parquet\.tmp-", f)
+            if m is not None and int(m.group(1)) <= latest:
+                try:
+                    os.unlink(os.path.join(self.data_dir, f))
+                except FileNotFoundError:
+                    pass
         if self._oslog is not None:
             # crash litter: staging keys whose epoch already committed
             self._oslog.gc_staged()
+        # shuffle-staging litter: run-unique dirs (_staging/epoch-E-RUN)
+        # from crashed runs; an epoch at or below LATEST has committed, so
+        # nothing can still be reading its slices
+        stage_root = os.path.join(self.dir, "_staging")
+        if os.path.isdir(stage_root):
+            import shutil
+
+            for d in os.listdir(stage_root):
+                m = re.match(r"(?:epoch|migrate)-(\d+)", d)
+                if m is not None and int(m.group(1)) <= latest:
+                    shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
         return removed
 
     def preview(self, n: int = 10) -> pa.Table:

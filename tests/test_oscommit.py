@@ -210,3 +210,84 @@ def test_wide_epoch_numbers_stay_visible(tmp_path):
     log.stage(big, _payload(big, "r"), "r")
     assert log.publish(big, "r") is True
     assert log.latest_epoch() == big
+
+
+def test_two_process_concurrent_replay_race(tmp_path):
+    """TWO separate processes replay the same events into the same
+    object-store table SIMULTANEOUSLY.  The conditional put arbitrates:
+    any epoch is committed by exactly one writer; the loser either skips
+    idempotently or fails with the concurrent-writer error — and the
+    final state always converges to the LWW oracle, never a torn mix."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path)
+    script = r"""
+import os, sys
+os.environ.setdefault("RAY_ADDRESS", "local")
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR", ignore_reinit_error=True)
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+try:
+    run_replay(sys.argv[1], sys.argv[2], num_partitions=2, epochs=3)
+    print("REPLAY_OK")
+except ValueError as e:
+    if "different run" in str(e) or "committed epoch" in str(e):
+        print("REPLAY_LOST_RACE")
+    else:
+        raise
+ray.shutdown()
+"""
+    ev = os.path.join(d, "ev.parquet")
+    lake = os.path.join(d, "lake")
+    gen = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "from cdm_data_loader_utils_ray.synth import make_events, write_events; "
+        f"write_events({ev!r}, make_events(num_keys=60, num_events=600, seed=21)); "
+        "from cdm_data_loader_utils_ray.sinks.lake import LakeTable; "
+        f"LakeTable.create_object_store({lake!r})"
+    )
+    subprocess.run([sys.executable, "-c", gen], check=True, timeout=120)
+    sc = os.path.join(d, "race.py")
+    with open(sc, "w") as f:
+        f.write(script)
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, sc, ev, lake],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert sum("REPLAY_OK" in o for o in outs) >= 1, outs
+
+    # converged, uncorrupted final state == LWW oracle (fresh process)
+    check = (
+        "import sys; sys.path.insert(0, '/root/repo'); import os; "
+        "os.environ.setdefault('RAY_ADDRESS','local'); import ray; "
+        "ray.init(address='local', num_cpus=2, include_dashboard=False, "
+        "logging_level='ERROR'); "
+        "from cdm_data_loader_utils_ray.pipelines.cdc import "
+        "read_final_state_arrow, run_replay; "
+        "from cdm_data_loader_utils_ray.sinks.lake import LakeTable; "
+        f"run_replay({ev!r}, {lake!r}, num_partitions=2, epochs=3); "
+        f"st = read_final_state_arrow(LakeTable({lake!r})); "
+        "import duckdb; con = duckdb.connect(); "
+        "o = con.sql(\"\"\"WITH r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY repo, path ORDER BY seq DESC) rn "
+        f"FROM read_parquet('{ev}')) "
+        "SELECT count(*) n FROM r WHERE rn=1 AND op<>'delete'\"\"\").fetchone()[0]; "
+        "assert st.num_rows == o, (st.num_rows, o); print('CONVERGED'); "
+        "ray.shutdown()"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", check], capture_output=True, text=True,
+        timeout=300, env=env,
+    )
+    assert "CONVERGED" in out.stdout, out.stdout + out.stderr
