@@ -7829,6 +7829,63 @@ def lake_restore_read(sf_dir: str):
     return state.select(["repo", "path", "seq", "content_sha256"])
 
 
+# ---------------------------------------------------------------------------
+# 140. expire_snapshots read-back: replay in epochs, expire all but the
+#      newest manifest, read — retention of the manifest LOG must never
+#      change committed state (the kept manifest is self-contained).
+# ---------------------------------------------------------------------------
+def lake_expire_read(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.pipelines.maintenance import expire_snapshots
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    lake_dir = os.path.join(work, "lake")
+    run_replay(ev, lake_dir, num_partitions=8, epochs=4)
+    table = LakeTable(lake_dir)
+    expire_snapshots(table, keep_epochs=1)
+    state = read_final_state_arrow(LakeTable(lake_dir))
+    return state.select(["repo", "path", "seq", "content_sha256"])
+
+
+# ---------------------------------------------------------------------------
+# 141. Sorted-compaction read-back: replay in epochs, compact with
+#      sort_by=path and small row groups (tight footer stats for
+#      data skipping), read — the state-preserving rewrite must reproduce
+#      the LWW state exactly.  (zorder_by needs >=2 NUMERIC columns; the
+#      CDC state has one, so the Morton path stays pytest-covered via its
+#      own synthetic tables — test_zorder_skipping.)
+# ---------------------------------------------------------------------------
+def lake_compact_sorted_read(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.pipelines.maintenance import compact
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    lake_dir = os.path.join(work, "lake")
+    run_replay(ev, lake_dir, num_partitions=8, epochs=3)
+    table = LakeTable(lake_dir)
+    compact(table, sort_by="path", row_group_size=512)
+    state = read_final_state_arrow(LakeTable(lake_dir))
+    return state.select(["repo", "path", "seq", "content_sha256"])
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -7878,6 +7935,8 @@ _PRIORITY: tuple = (
     "cdc_oscommit_replay",
     "migrate_repartition_read",
     "lake_restore_read",
+    "lake_expire_read",
+    "lake_compact_sorted_read",
 )
 
 
@@ -7931,6 +7990,8 @@ def _registry_entries() -> dict:
         "cdc_oscommit_replay": (cdc_oscommit_replay, _CDC_STATE_SQL),
         "migrate_repartition_read": (migrate_repartition_read, _CDC_STATE_SQL),
         "lake_restore_read": (lake_restore_read, _CDC_STATE_SQL),
+        "lake_expire_read": (lake_expire_read, _CDC_STATE_SQL),
+        "lake_compact_sorted_read": (lake_compact_sorted_read, _CDC_STATE_SQL),
         # -- (1) never driver-checked before r4 (r3 entries 51-71) ----------
         "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
         "mode_per_user": (mode_per_user, MODE_PER_USER_SQL),
