@@ -7712,6 +7712,35 @@ ORDER BY 1, 2, 3
 """
 
 
+def _replayed_state(sf_dir: str, *, epochs: int = 1, pre=None, post=None):
+    """Shared shell of the lakehouse read-back entries: derive the CDC
+    event log from the sf events table, optionally prepare the table
+    (``pre(lake_dir)``), replay, optionally mutate (``post(table)``), and
+    return the re-read state projected to the hash-compared columns.
+    Every caller shares the _CDC_STATE_SQL twin — the mutation under test
+    must be state-preserving (or state-restoring)."""
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        read_final_state_arrow,
+        run_replay,
+    )
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    lake_dir = os.path.join(work, "lake")
+    if pre is not None:
+        pre(lake_dir)
+    run_replay(ev, lake_dir, num_partitions=8, epochs=epochs)
+    if post is not None:
+        post(LakeTable(lake_dir))
+    state = read_final_state_arrow(LakeTable(lake_dir))
+    return state.select(["repo", "path", "seq", "content_sha256"])
+
+
 _CDC_STATE_SQL = """
 WITH ev AS (
   SELECT event_id + 1 AS seq,
@@ -7735,23 +7764,11 @@ FROM r WHERE rn = 1 AND op <> 'delete'
 #      S16 commit primitive under the hard driver gate, not just pytest.
 # ---------------------------------------------------------------------------
 def cdc_oscommit_replay(sf_dir: str):
-    import tempfile
-
-    import __ray_entry__ as entrymod
-
-    from cdm_data_loader_utils_ray.pipelines.cdc import (
-        read_final_state_arrow,
-        run_replay,
-    )
     from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
-    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
-    lake_dir = os.path.join(work, "lake")
-    LakeTable.create_object_store(lake_dir)
-    run_replay(ev, lake_dir, num_partitions=8, epochs=3)
-    state = read_final_state_arrow(LakeTable(lake_dir))
-    return state.select(["repo", "path", "seq", "content_sha256"])
+    return _replayed_state(
+        sf_dir, epochs=3, pre=LakeTable.create_object_store
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7762,25 +7779,11 @@ def cdc_oscommit_replay(sf_dir: str):
 #      (and the CDF partition-remap fallback machinery behind it).
 # ---------------------------------------------------------------------------
 def migrate_repartition_read(sf_dir: str):
-    import tempfile
-
-    import __ray_entry__ as entrymod
-
-    from cdm_data_loader_utils_ray.pipelines.cdc import (
-        read_final_state_arrow,
-        run_replay,
-    )
     from cdm_data_loader_utils_ray.pipelines.maintenance import migrate_partitions
-    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
-    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
-    lake_dir = os.path.join(work, "lake")
-    run_replay(ev, lake_dir, num_partitions=8)
-    table = LakeTable(lake_dir)
-    migrate_partitions(table, 5)
-    state = read_final_state_arrow(LakeTable(lake_dir))
-    return state.select(["repo", "path", "seq", "content_sha256"])
+    return _replayed_state(
+        sf_dir, post=lambda t: migrate_partitions(t, 5)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7789,44 +7792,34 @@ def migrate_repartition_read(sf_dir: str):
 #      metadata-only rollback must read back as the ORIGINAL LWW state.
 # ---------------------------------------------------------------------------
 def lake_restore_read(sf_dir: str):
-    import tempfile
-
-    import __ray_entry__ as entrymod
-
-    from cdm_data_loader_utils_ray.pipelines.cdc import (
-        read_final_state_arrow,
-        run_replay,
-    )
     from cdm_data_loader_utils_ray.pipelines.maintenance import (
         restore,
         update_where,
     )
-    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
-    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
-    lake_dir = os.path.join(work, "lake")
-    m1 = run_replay(ev, lake_dir, num_partitions=8)
-    table = LakeTable(lake_dir)
-    update_where(
-        table,
-        lambda b: pa.array(
-            np.nan_to_num(
-                pc.binary_length(b["content"]).to_numpy(zero_copy_only=False).astype(np.float64),
-                nan=1.0,
-            )
-            % 3
-            == 0
-        ),
-        lambda b: b.set_column(
-            b.column_names.index("content"),
-            "content",
-            pc.binary_join_element_wise(b["content"], "-touched", ""),
-        ),
-    )
-    restore(table, m1.epoch)
-    state = read_final_state_arrow(LakeTable(lake_dir))
-    return state.select(["repo", "path", "seq", "content_sha256"])
+    def mutate_then_rollback(table):
+        pre_epoch = table.latest_epoch()
+        update_where(
+            table,
+            lambda b: pa.array(
+                np.nan_to_num(
+                    pc.binary_length(b["content"])
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64),
+                    nan=1.0,
+                )
+                % 3
+                == 0
+            ),
+            lambda b: b.set_column(
+                b.column_names.index("content"),
+                "content",
+                pc.binary_join_element_wise(b["content"], "-touched", ""),
+            ),
+        )
+        restore(table, pre_epoch)
+
+    return _replayed_state(sf_dir, post=mutate_then_rollback)
 
 
 # ---------------------------------------------------------------------------
@@ -7835,25 +7828,11 @@ def lake_restore_read(sf_dir: str):
 #      change committed state (the kept manifest is self-contained).
 # ---------------------------------------------------------------------------
 def lake_expire_read(sf_dir: str):
-    import tempfile
-
-    import __ray_entry__ as entrymod
-
-    from cdm_data_loader_utils_ray.pipelines.cdc import (
-        read_final_state_arrow,
-        run_replay,
-    )
     from cdm_data_loader_utils_ray.pipelines.maintenance import expire_snapshots
-    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
-    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
-    lake_dir = os.path.join(work, "lake")
-    run_replay(ev, lake_dir, num_partitions=8, epochs=4)
-    table = LakeTable(lake_dir)
-    expire_snapshots(table, keep_epochs=1)
-    state = read_final_state_arrow(LakeTable(lake_dir))
-    return state.select(["repo", "path", "seq", "content_sha256"])
+    return _replayed_state(
+        sf_dir, epochs=4, post=lambda t: expire_snapshots(t, keep_epochs=1)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7865,25 +7844,12 @@ def lake_expire_read(sf_dir: str):
 #      own synthetic tables — test_zorder_skipping.)
 # ---------------------------------------------------------------------------
 def lake_compact_sorted_read(sf_dir: str):
-    import tempfile
-
-    import __ray_entry__ as entrymod
-
-    from cdm_data_loader_utils_ray.pipelines.cdc import (
-        read_final_state_arrow,
-        run_replay,
-    )
     from cdm_data_loader_utils_ray.pipelines.maintenance import compact
-    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
 
-    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
-    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
-    lake_dir = os.path.join(work, "lake")
-    run_replay(ev, lake_dir, num_partitions=8, epochs=3)
-    table = LakeTable(lake_dir)
-    compact(table, sort_by="path", row_group_size=512)
-    state = read_final_state_arrow(LakeTable(lake_dir))
-    return state.select(["repo", "path", "seq", "content_sha256"])
+    return _replayed_state(
+        sf_dir, epochs=3,
+        post=lambda t: compact(t, sort_by="path", row_group_size=512),
+    )
 
 
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
