@@ -58,6 +58,42 @@ def grouped_partial_sums(
     return partials.groupby("__bucket__").map_groups(final, batch_format="pandas")
 
 
+def grouped_partial_minmax(
+    ds,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    batch_size: int = 65536,
+):
+    """Distributed ``GROUP BY keys`` with min/max aggregates (same combiner
+    shape as :func:`grouped_partial_sums` — min/max are idempotent folds, so
+    per-batch partials then one bucket shuffle give the exact result).
+
+    ``aggs`` maps output column -> (input column, 'min' | 'max').
+    """
+    keys = list(keys)
+    out_cols = list(aggs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for out, (col, how) in aggs.items():
+            parts[out] = g[col].max() if how == "max" else g[col].min()
+        agg = pd.DataFrame(parts).reset_index()
+        t = pa.Table.from_pandas(agg, preserve_index=False)
+        return _add_bucket(t, keys, 64).to_pandas()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket__"])
+        g = df.groupby(keys, sort=False, dropna=False)
+        folded = {}
+        for out, (_col, how) in aggs.items():
+            folded[out] = g[out].max() if how == "max" else g[out].min()
+        return pd.DataFrame(folded).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby("__bucket__").map_groups(final, batch_format="pandas")
+
+
 def global_counts(ds, predicates: Mapping[str, str], batch_size: int = 65536) -> pd.DataFrame:
     """Global ``count(*)`` + conditional counts in ONE streaming pass
     (reference metrics: records_read / valid / invalid).  ``predicates``

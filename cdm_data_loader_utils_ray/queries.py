@@ -7852,6 +7852,824 @@ def lake_compact_sorted_read(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# 142. TPC-H Q6: single-scan filtered revenue aggregate — the purest
+#      predicate-pushdown + combiner shape (no shuffle at all; one scalar
+#      fold on one-row partials).  Discount matched on exact integer cents.
+# ---------------------------------------------------------------------------
+def q6_revenue_delta(sf_dir: str):
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
+        )
+        b = batch.filter(keep)
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        m = (disc >= 2) & (disc <= 4)
+        return pa.table(
+            {
+                "rev_e4": pa.array([int((cents[m] * disc[m]).sum())], type=pa.int64()),
+                "n": pa.array([int(m.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rev = float(parts["rev_e4"].sum()) / 1e4
+    return pd.DataFrame(
+        {
+            "revenue": _round_away(np.array([rev]), 2),
+            "n_items": np.array([int(parts["n"].sum())], dtype=np.int64),
+        }
+    )
+
+
+Q6_REVENUE_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# 143. TPC-H Q4 (adapted: no l_commitdate/receiptdate in the corpus —
+#      "late" = shipped >60 days after the order date): priority counts of
+#      quarter orders with a late lineitem.  The EXISTS collapses to a
+#      per-order MAX(l_shipdate) — grouped_partial_minmax is the combiner
+#      (one row per orderkey enters the join), then one partitioned hash
+#      join and a 5-row count fold.
+# ---------------------------------------------------------------------------
+def q4_priority_late(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import (
+        grouped_partial_minmax,
+        grouped_partial_sums,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    lo = pa.scalar(pd.Timestamp("1996-07-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01"), type=pa.timestamp("us"))
+
+    def quarter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        return batch.filter(keep)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(quarter, batch_format="pyarrow")
+
+    def li_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_shipdate": batch["l_shipdate"],
+            }
+        )
+
+    limax = grouped_partial_minmax(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+            li_keyed, batch_format="pyarrow"
+        ),
+        ["o_orderkey"],
+        {"max_ship": ("l_shipdate", "max")},
+    )
+    joined = hash_join(orders, limax, on=["o_orderkey"], how="inner", num_buckets=32)
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        hit = (df["max_ship"] - df["o_orderdate"]) > pd.Timedelta(days=60)
+        return df.loc[hit, ["o_orderpriority"]]
+
+    agg = grouped_partial_sums(
+        joined.map_batches(late, batch_format="pandas"),
+        ["o_orderpriority"],
+        {},
+        count_alias="order_count",
+    ).to_pandas()
+    agg["order_count"] = agg["order_count"].astype("int64")
+    return agg.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)[
+        ["o_orderpriority", "order_count"]
+    ]
+
+
+Q4_PRIORITY_LATE_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 144. TPC-H Q10: top-20 customers by returned-item revenue in a quarter.
+#      Revenue per custkey folds through the combiner; the top-20 cut runs
+#      per-batch partial top-k on the EXACT rev_e4 key (rounded revenue
+#      would make boundary ties engine-dependent), and only the 20 winner
+#      custkeys touch the customer/nation dims.
+# ---------------------------------------------------------------------------
+def q10_returned_top(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    lo = pa.scalar(pd.Timestamp("1995-10-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], how="inner", num_buckets=32)
+    per_cust = grouped_partial_sums(
+        joined, ["o_custkey"], {"rev_e4": "rev_e4"}, count_alias="__n"
+    )
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["rev_e4", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    cand = per_cust.map_batches(partial_top, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(
+            ["rev_e4", "o_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+    keys = set(int(k) for k in top["o_custkey"])
+    key_ref = ray.put(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_custkey"].isin(ray.get(key_ref))]
+
+    cust = (
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation").to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )
+    out = out.sort_values(
+        ["rev_e4", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["revenue"] = _round_away(out["rev_e4"].to_numpy(np.float64) / 1e4, 2)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["c_acctbal"] = _round_away(out["c_acctbal"], 2)
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+Q10_RETURNED_TOP_SQL = """
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c_name, round(rev_e4 / 10000.0, 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_e4 DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# 145. TPC-H Q13: customer order-count distribution with the zero class.
+#      No customer-sized join at all: the distribution of counts comes from
+#      the per-custkey combiner, and the zero bucket is total customers
+#      minus customers-with-orders (two scalar counts) — the LEFT JOIN in
+#      the SQL twin never materializes on the Ray side.
+# ---------------------------------------------------------------------------
+def q13_custdist(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], "1-URGENT")
+        )
+        return pa.table({"o_custkey": b["o_custkey"].cast(pa.int64())})
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(keep, batch_format="pyarrow")
+    per_cust = grouped_partial_sums(orders, ["o_custkey"], {}, count_alias="c_count")
+    dist = (
+        grouped_partial_sums(per_cust, ["c_count"], {}, count_alias="custdist")
+        .to_pandas()
+    )
+    ncust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    nwith = int(dist["custdist"].sum())
+    if ncust - nwith > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [ncust - nwith]})],
+            ignore_index=True,
+        )
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)[["c_count", "custdist"]]
+
+
+Q13_CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# 146. TPC-H Q14: promo revenue share in a month.  partkey -> is-promo is
+#      the broadcast side (ray.put once, index_in per batch); the share is
+#      a single double division over two exact int64 sums, so the float is
+#      bit-identical on both engines.
+# ---------------------------------------------------------------------------
+def q14_promo_share(sf_dir: str):
+    import ray
+
+    lo = pa.scalar(pd.Timestamp("1996-03-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), type=pa.timestamp("us"))
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        (
+            pa.array(part["p_partkey"].to_numpy(), type=pa.int64()),
+            pa.array((part["p_type"] == "PROMO").to_numpy()),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        b = batch.filter(keep)
+        pk, isp = ray.get(promo_ref)
+        idx = pc.index_in(b["l_partkey"].cast(pa.int64()), pk)
+        promo = isp.take(idx).to_numpy(zero_copy_only=False)
+        promo = np.where(pd.isna(promo), False, promo).astype(bool)
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        return pa.table(
+            {
+                "promo_e4": pa.array([int(rev[promo].sum())], type=pa.int64()),
+                "total_e4": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sp = float(parts["promo_e4"].sum())
+    st = float(parts["total_e4"].sum())
+    return pd.DataFrame({"promo_share": _round_away(np.array([100.0 * sp / st]), 6)})
+
+
+Q14_PROMO_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         (p_type = 'PROMO') AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT round(100.0 * CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS promo_share
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# 147. TPC-H Q15: supplier(s) with the maximum quarterly revenue, ties
+#      kept.  The argmax is well-defined because revenue is an exact int64
+#      e4 sum — a float revenue would make "equals the max" batching-
+#      dependent.  Per-supplier aggregate is supplier-count-sized.
+# ---------------------------------------------------------------------------
+def q15_top_supplier(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), type=pa.timestamp("us"))
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        b = batch.filter(keep)
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": b["l_suppkey"].cast(pa.int64()),
+                "rev_e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+    per_supp = grouped_partial_sums(
+        li, ["s_suppkey"], {"rev_e4": "rev_e4"}, count_alias="__n"
+    ).to_pandas()
+    best = int(per_supp["rev_e4"].max())
+    winners = per_supp[per_supp["rev_e4"] == best].copy()
+    keys = set(int(k) for k in winners["s_suppkey"])
+    key_ref = ray.put(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["s_suppkey"].isin(ray.get(key_ref))]
+
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = winners.merge(supp, on="s_suppkey")
+    out["total_revenue"] = _round_away(out["rev_e4"].to_numpy(np.float64) / 1e4, 2)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)[
+        ["s_suppkey", "s_name", "total_revenue"]
+    ]
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM r)
+ORDER BY r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 148. TPC-H Q17 (brand only — no p_container in the corpus): revenue of
+#      small-quantity lineitems, threshold = 20% of the part's average
+#      quantity.  The correlated AVG subquery becomes a brand-bounded
+#      per-part (sum, count) broadcast; the comparison runs in exact
+#      integers on both engines (5*qty*n < sum_qty ⟺ qty < 0.2*avg),
+#      so no float threshold can flip a boundary row.
+# ---------------------------------------------------------------------------
+def q17_small_qty(sf_dir: str, brand: str = "Brand#4"):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    bkeys = set(int(k) for k in part.loc[part["p_brand"] == brand, "p_partkey"])
+    bref = ray.put(bkeys)
+
+    def li_brand(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mask = pd.Series(pk).isin(ray.get(bref)).to_numpy()
+        b = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "qty": b["l_quantity"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.rint(
+                        b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _read(sf_dir, "lineitem", columns=cols).map_batches(
+        li_brand, batch_format="pyarrow"
+    )
+    stats = grouped_partial_sums(
+        li, ["l_partkey"], {"sq": "qty"}, count_alias="n"
+    ).to_pandas()  # bounded: parts of ONE brand
+    lut = ray.put(
+        (
+            pa.array(stats["l_partkey"].to_numpy(), type=pa.int64()),
+            stats["sq"].to_numpy(np.int64),
+            stats["n"].to_numpy(np.int64),
+        )
+    )
+
+    def small(batch: pa.Table) -> pa.Table:
+        pk, sq, n = ray.get(lut)
+        idx = pc.index_in(batch["l_partkey"], pk).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)  # all present (same filter built the lut)
+        qty = batch["qty"].to_numpy(zero_copy_only=False)
+        hit = 5 * qty * n[idx] < sq[idx]
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cents": pa.array([int(cents[hit].sum())], type=pa.int64()),
+                "n": pa.array([int(hit.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(small, batch_format="pyarrow").to_pandas()
+    total = float(parts["cents"].sum())
+    return pd.DataFrame(
+        {
+            "avg_yearly": _round_away(np.array([total / 700.0]), 2),
+            "n_items": np.array([int(parts["n"].sum())], dtype=np.int64),
+        }
+    )
+
+
+Q17_SMALL_QTY_SQL = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+agg AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN agg USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * n < sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# 149. TPC-H Q19 (brand+size — no p_container): disjunction of three
+#      brand/size/quantity conjunctions.  One broadcast of
+#      partkey -> (brand, size) restricted to the three brands; the OR of
+#      conjunctions evaluates vectorized per batch.
+# ---------------------------------------------------------------------------
+def q19_brand_size(sf_dir: str):
+    import ray
+
+    clauses = [
+        ("Brand#1", 1, 5, 1, 11),
+        ("Brand#2", 1, 10, 10, 20),
+        ("Brand#3", 1, 15, 20, 30),
+    ]
+    brands = {c[0] for c in clauses}
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"].isin(brands)]
+    lut_ref = ray.put(
+        (
+            pa.array(part["p_partkey"].to_numpy(), type=pa.int64()),
+            part["p_brand"].to_numpy(),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, brand, size = ray.get(lut_ref)
+        idx = pc.index_in(batch["l_partkey"].cast(pa.int64()), pk)
+        b = batch.filter(pc.is_valid(idx))
+        idx = pc.index_in(b["l_partkey"].cast(pa.int64()), pk).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.zeros(len(b), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in clauses:
+            hit |= (
+                (brand[idx] == br)
+                & (size[idx] >= s_lo) & (size[idx] <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = (cents * (100 - disc))[hit]
+        return pa.table(
+            {
+                "rev_e4": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([int(hit.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue": _round_away(np.array([float(parts["rev_e4"].sum()) / 1e4]), 2),
+            "n_items": np.array([int(parts["n"].sum())], dtype=np.int64),
+        }
+    )
+
+
+Q19_BRAND_SIZE_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 150. TPC-H Q21 (adapted: "late" = shipped >90 days after order date):
+#      suppliers who were the ONLY late supplier in a multi-supplier
+#      finished order.  One partitioned hash join, then the per-order
+#      exists/not-exists pair collapses inside the orderkey bucket
+#      (vectorized nunique per order) — no second or third join.
+# ---------------------------------------------------------------------------
+def q21_waiting_supplier(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.stages.keyed import _add_bucket, hash_join
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "l_shipdate": batch["l_shipdate"],
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(li_side, batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], how="inner", num_buckets=32)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_orderkey", "l_suppkey"]].copy()
+        out["late"] = (df["l_shipdate"] - df["o_orderdate"]) > pd.Timedelta(days=90)
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return _add_bucket(t, ["o_orderkey"], 64).to_pandas()
+
+    tagged = joined.map_batches(flag, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", sort=False)
+        nsupp = g["l_suppkey"].nunique()
+        late = df[df["late"]]
+        nlate = late.groupby("o_orderkey", sort=False)["l_suppkey"].nunique()
+        ok = nlate[(nlate == 1)].index.intersection(nsupp[nsupp > 1].index)
+        winners = late[late["o_orderkey"].isin(ok)].drop_duplicates("o_orderkey")
+        cnt = winners.groupby("l_suppkey", sort=False).size()
+        return pd.DataFrame(
+            {"s_suppkey": cnt.index.to_numpy(np.int64), "numwait": cnt.to_numpy()}
+        )
+
+    parts = (
+        tagged.groupby("__bucket__").map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("s_suppkey", sort=False)["numwait"].sum().reset_index()
+    keys = set(int(k) for k in agg["s_suppkey"])
+    key_ref = ray.put(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["s_suppkey"].isin(ray.get(key_ref))]
+
+    supp = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = agg.merge(supp, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)[["s_suppkey", "s_name", "numwait"]]
+
+
+Q21_WAITING_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+po AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON late_supp = s_suppkey
+WHERE nsupp > 1 AND nlate = 1
+GROUP BY 1, 2 ORDER BY numwait DESC, s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 151. TPC-H Q22 (adapted: nationkey for the phone country code, "idle" =
+#      no order since 1999-01-01): above-average-balance customers with no
+#      recent orders, grouped by nation.  The AVG threshold compares in
+#      exact integer cents (bal*n_pos > sum_pos ⟺ bal > avg); the NOT
+#      EXISTS is the keyed anti-join over the date-filtered orders.
+# ---------------------------------------------------------------------------
+def q22_idle_customers(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.stages.keyed import anti_join_keys
+
+    def pos_stats(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "s": pa.array([int(cents[pos].sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    stats = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(pos_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    s_pos, n_pos = int(stats["s"].sum()), int(stats["n"].sum())
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = batch.filter(pa.array(cents * n_pos > s_pos))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].cast(pa.int64()),
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+                "bal_cents": pa.array(
+                    np.rint(
+                        b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    lo = pa.scalar(pd.Timestamp("1999-01-01"), type=pa.timestamp("us"))
+
+    def recent(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["o_orderdate"], lo))
+        return pa.table({"c_custkey": b["o_custkey"].cast(pa.int64())})
+
+    rich_ds = _read(sf_dir, "customer", columns=cust_cols).map_batches(
+        rich, batch_format="pyarrow"
+    )
+    recent_ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        recent, batch_format="pyarrow"
+    )
+    idle = anti_join_keys(rich_ds, recent_ds, ["c_custkey"], num_buckets=32)
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+
+    agg = grouped_partial_sums(
+        idle, ["c_nationkey"], {"bal_cents": "bal_cents"}, count_alias="numcust"
+    ).to_pandas()
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
+    agg["totacctbal"] = _round_away(agg["bal_cents"].to_numpy(np.float64) / 100.0, 2)
+    return agg.sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)[
+        ["c_nationkey", "numcust", "totacctbal"]
+    ]
+
+
+Q22_IDLE_CUSTOMERS_SQL = """
+WITH pos AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -7903,6 +8721,16 @@ _PRIORITY: tuple = (
     "lake_restore_read",
     "lake_expire_read",
     "lake_compact_sorted_read",
+    "q6_revenue_delta",
+    "q4_priority_late",
+    "q10_returned_top",
+    "q13_custdist",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_qty",
+    "q19_brand_size",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
 )
 
 
@@ -7919,6 +8747,16 @@ def registry() -> dict:
 def _registry_entries() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
+        "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
+        "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),
+        "q10_returned_top": (q10_returned_top, Q10_RETURNED_TOP_SQL),
+        "q13_custdist": (q13_custdist, Q13_CUSTDIST_SQL),
+        "q14_promo_share": (q14_promo_share, Q14_PROMO_SHARE_SQL),
+        "q15_top_supplier": (q15_top_supplier, Q15_TOP_SUPPLIER_SQL),
+        "q17_small_qty": (q17_small_qty, Q17_SMALL_QTY_SQL),
+        "q19_brand_size": (q19_brand_size, Q19_BRAND_SIZE_SQL),
+        "q21_waiting_supplier": (q21_waiting_supplier, Q21_WAITING_SQL),
+        "q22_idle_customers": (q22_idle_customers, Q22_IDLE_CUSTOMERS_SQL),
         "pattern_hits_events": (pattern_hits_events, PATTERN_HITS_SQL),
         "cdc_bloom_read": (cdc_bloom_read, CDC_BLOOM_READ_SQL),
         "streaming_sessions": (streaming_sessions, STREAMING_SESSIONS_SQL),
