@@ -8670,6 +8670,69 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 152. Interval-OVERLAP join (temporal.interval_join): concurrent
+#      view/purchase activity windows per user.  Each event opens a
+#      2-hour half-open interval; pairs whose intervals overlap are found
+#      via tile replication (tile = the interval length, so each row
+#      touches <=2 tiles) with exactly-once attribution to the tile of
+#      max(start, start) — no dedup shuffle.  The SQL twin is the naive
+#      range-predicate join.
+# ---------------------------------------------------------------------------
+def interval_overlap_events(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.temporal import interval_join
+
+    span_us = 120 * 60 * 1_000_000
+
+    def side(event_type: str, id_out: str, s_out: str, e_out: str):
+        def _s(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], event_type))
+            ts = b["ts"].cast(pa.int64())
+            return pa.table(
+                {
+                    "user_id": b["user_id"].cast(pa.int64()),
+                    id_out: b["event_id"].cast(pa.int64()),
+                    s_out: ts,
+                    e_out: pc.add(ts, pa.scalar(span_us, type=pa.int64())),
+                }
+            )
+
+        return _s
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    views = _read(sf_dir, "events", columns=cols).map_batches(
+        side("view", "view_id", "vs", "ve"), batch_format="pyarrow"
+    )
+    purchases = _read(sf_dir, "events", columns=cols).map_batches(
+        side("purchase", "purchase_id", "ps", "pe"), batch_format="pyarrow"
+    )
+    pairs = interval_join(
+        views, purchases, "vs", "ve", "ps", "pe", ["user_id"],
+        tile_width_us=span_us, num_buckets=32,
+    ).to_pandas()
+    out = pairs[["user_id", "view_id", "purchase_id"]].astype("int64")
+    return out.sort_values(
+        ["user_id", "view_id", "purchase_id"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS vs,
+         ts + INTERVAL 120 MINUTE AS ve
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS ps,
+         ts + INTERVAL 120 MINUTE AS pe
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, view_id, purchase_id
+FROM v JOIN p ON v.user_id = p.user_id AND vs < pe AND ps < ve
+ORDER BY 1, 2, 3
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -8731,6 +8794,7 @@ _PRIORITY: tuple = (
     "q19_brand_size",
     "q21_waiting_supplier",
     "q22_idle_customers",
+    "interval_overlap_events",
 )
 
 
@@ -8747,6 +8811,7 @@ def registry() -> dict:
 def _registry_entries() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
+        "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),
         "q10_returned_top": (q10_returned_top, Q10_RETURNED_TOP_SQL),

@@ -163,6 +163,102 @@ def range_join(
     return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
 
 
+def _interval_us(values) -> np.ndarray:
+    """Normalize a timestamp/integer series to int64 microseconds."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str],
+    tile_width_us: int,
+    num_buckets: int = 64,
+):
+    """Interval-OVERLAP join (half-open: ``l_start < r_end AND r_start <
+    l_end``), equi-keyed on ``by`` — the two-interval-set sibling of
+    :func:`range_join` (which matches points to intervals).
+
+    Scale shape: the time axis is cut into tiles of ``tile_width_us``; each
+    row replicates to every tile its interval touches, the shuffle runs over
+    ``hash(by, tile)``, and each overlapping pair is emitted EXACTLY ONCE —
+    in the tile containing ``max(l_start, r_start)`` (which both intervals
+    provably touch) — so no dedup pass is needed.  Replication factor is
+    ``interval_len / tile_width`` per row: pick the tile near the typical
+    interval length; long-tailed intervals are the knob to watch at 100 TB.
+
+    Timestamps (any datetime64 unit) and plain int64 columns are accepted;
+    comparisons run in exact int64 microseconds.
+
+    Semantics are the raw PREDICATE (SQL-twin parity): empty (``s == e``)
+    and inverted (``e < s``) intervals can still match a partner whose
+    span straddles their start — exactly what ``ls < re AND rs < le``
+    evaluates to in SQL.  The tiling clamp (``e' = max(e, s)``) only
+    bounds replication; a degenerate row that satisfies the predicate is
+    provably co-located with its partner in the attribution tile
+    (``max(ls, rs)`` lies in both rows' clamped spans).
+    """
+    keys = list(by)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    shared = set(left_cols) & set(right_cols) - set(keys)
+    if shared:
+        raise ValueError(f"non-key column collision: {sorted(shared)}")
+    W = int(tile_width_us)
+
+    def replicate(side: str):
+        s_col, e_col = (left_start, left_end) if side == "l" else (right_start, right_end)
+
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            s = _interval_us(df[s_col].to_numpy())
+            e = _interval_us(df[e_col].to_numpy())
+            e = np.maximum(e, s)  # defensive: empty/negative intervals match nothing
+            first = s // W
+            last = np.where(e > s, (e - 1) // W, first)
+            reps = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            out = df.iloc[idx].reset_index(drop=True)
+            # tile index within each row's span: cumulative offset trick
+            offsets = np.arange(len(idx)) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            out["__tile__"] = np.repeat(first, reps) + offsets
+            out["__side__"] = side
+            t = pa.Table.from_pandas(out, preserve_index=False)
+            return _add_bucket(t, keys + ["__tile__"], num_buckets).to_pandas()
+
+        return _r
+
+    tagged = left_ds.map_batches(replicate("l"), batch_format="pandas").union(
+        right_ds.map_batches(replicate("r"), batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side__"] == "l"].reindex(columns=left_cols + ["__tile__"])
+        r = df[df["__side__"] == "r"].reindex(columns=right_cols + ["__tile__"])
+        merged = l.merge(r, on=keys + ["__tile__"], how="inner")
+        out_cols = left_cols + [c for c in right_cols if c not in keys]
+        if merged.empty:
+            return merged.reindex(columns=out_cols)
+        ls = _interval_us(merged[left_start].to_numpy())
+        le = _interval_us(merged[left_end].to_numpy())
+        rs = _interval_us(merged[right_start].to_numpy())
+        re_ = _interval_us(merged[right_end].to_numpy())
+        overlap = (ls < re_) & (rs < le)
+        # exactly-once attribution: emit only in max(l_start, r_start)'s tile
+        owner = np.maximum(ls, rs) // W == merged["__tile__"].to_numpy(np.int64)
+        return merged.loc[overlap & owner, out_cols]
+
+    return tagged.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+
+
 def band_neighbor_counts(
     ds,
     by: Sequence[str],
