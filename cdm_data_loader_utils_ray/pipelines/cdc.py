@@ -1074,6 +1074,10 @@ def apply_epoch(
             hwm_seq=max(r["hwm_seq"], prev.hwm_seq if prev else -1),
             live_keys=r["live_keys"] if len(chain) == 1 else -1,
             bytes=r["bytes"] + (prev.bytes if prev else 0),
+            # equality-delete vectors still cover the carried chain files;
+            # new delta rows have seq above every DV watermark, so carrying
+            # them forward cannot delete fresh writes
+            delete_files=list(prev.delete_files) if prev else [],
         )
         n_events += r["n_events"]
         n_rejects += r["n_rejects"]
@@ -1144,7 +1148,7 @@ def _merge_chain_table(
     (older files may predate a schema evolution / rename).  Delegates to
     ``sinks.lake.merge_chain_files`` — the single copy of the
     rename→align→LWW kernel — plus the live-row filter."""
-    t = merge_chain_files(lake.dir, entry.files, m)
+    t = merge_chain_files(lake.dir, entry.files, m, delete_files=entry.delete_files)
     if live_only and DELETED_COLUMN in t.column_names:
         t = t.filter(pc.equal(t[DELETED_COLUMN], False)).drop_columns([DELETED_COLUMN])
     return t

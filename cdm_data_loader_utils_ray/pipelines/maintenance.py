@@ -60,6 +60,7 @@ def _rewrite_partitions(
         raise ValueError("no committed manifest to rewrite")
     epoch = m.epoch + 1
     chains = {p.pid: list(p.files) for p in m.partitions.values()}
+    dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
     table_dir = table.dir
     ranges = dict(column_range or {})
 
@@ -82,10 +83,12 @@ def _rewrite_partitions(
             # alignment — reading raw and aligning to m.schema would null
             # out pre-rename files' renamed columns (latent until
             # alter_rename_column made old-named files routine)
-            t = merge_chain_files(table_dir, chain, m)
+            t = merge_chain_files(table_dir, chain, m, delete_files=dvs[pid])
             new, touched = rewrite(t, pid)
             if new is None and len(chain) > 1:
                 new = t  # fold the chain even when the rewrite is a no-op
+            if new is None and dvs[pid]:
+                new = t  # rewrite materializes the delete vectors too
             if new is None:
                 rows.append({"pid": pid, "changed": False, "file": chain[-1],
                              "rows": len(t), "hwm_seq": -1, "live_keys": -1,
@@ -208,7 +211,7 @@ def fold_long_chains(
     Called automatically by ``apply_epoch`` (``max_chain_len``)."""
     import ray.data as rd
 
-    from cdm_data_loader_utils_ray.state.upsert import merge_states
+    from cdm_data_loader_utils_ray.sinks.lake import merge_chain_files
 
     m = table.latest_manifest()
     if m is None:
@@ -218,6 +221,7 @@ def fold_long_chains(
         return None
     epoch = m.epoch + 1
     chains = {p.pid: list(p.files) for p in m.partitions.values()}
+    dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
     table_dir = table.dir
 
     def fold(batch: dict) -> pa.Table:
@@ -225,14 +229,11 @@ def fold_long_chains(
         for pid in batch["item"]:
             pid = int(pid)
             lake = LakeTable(table_dir)
-            t = merge_states(
-                None,
-                pa.concat_tables(
-                    [pq.read_table(lake.abspath(f)) for f in chains[pid]],
-                    promote_options="permissive",
-                ),
-                m.schema,
-            )
+            # merge_chain_files, not a raw read: it applies rename_history
+            # per file (pre-rename chain files would otherwise fold their
+            # old-named values to null) and the delete vectors (folding
+            # without them would persist the resurrected rows)
+            t = merge_chain_files(table_dir, chains[pid], m, delete_files=dvs[pid])
             entry = lake.write_partition(t, pid, epoch)
             rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
                          "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
@@ -509,9 +510,10 @@ def clone_table(src: LakeTable, dst_dir: str, epoch: int | None = None) -> Manif
     if dst.latest_epoch() is not None:
         raise ValueError(f"clone_table: {dst_dir} already has commits")
     for p in m.partitions.values():
-        for f in p.files:
+        for f in list(p.files) + list(p.delete_files):
             # bloom sidecars ride along (immutable like their data file;
-            # advisory, so a missing one is fine)
+            # advisory, so a missing one is fine); delete-vector files are
+            # referenced state — the clone's reads need them
             rels = [f] + (
                 [f + BLOOM_SIDECAR_SUFFIX]
                 if os.path.exists(src.abspath(f + BLOOM_SIDECAR_SUFFIX))
@@ -580,6 +582,115 @@ def update_where(
                             column_range=column_range)
     # effect verification (reference checks Delta history numUpdatedRows)
     return m, int(m.metrics.get("touched_rows", 0))
+
+
+def delete_where(
+    table: LakeTable,
+    predicate: Callable[[pa.Table], pa.Array],
+    run_id: str = "delete",
+    mode: str = "dv",
+    column_range: dict | None = None,
+) -> tuple[Manifest, int]:
+    """``DELETE FROM ... WHERE`` analogue.  Two execution modes:
+
+    * ``mode='rewrite'`` — rewrite matching partitions immediately
+      (Delta's copy-on-write delete); IO is O(touched partitions' data).
+    * ``mode='dv'`` (default) — write equality-delete vectors
+      (Iceberg-style merge-on-read): per touched partition one tiny
+      key-list sidecar; NO data file is rewritten, reads apply the
+      vectors, and the next ``compact``/chain fold materializes them.
+      The 100-TB path for small deletes (GDPR erasure, bad-batch
+      retraction) — IO ∝ deleted keys, not table size.
+
+    Returns ``(manifest, deleted_row_count)``.  A key re-inserted by a
+    LATER CDC epoch outlives the delete (the vector's watermark is the
+    partition hwm at delete time).  ``column_range`` is the same
+    footer-skipping hint as :func:`update_where`.
+    """
+    if mode == "rewrite":
+
+        def rewrite(t: pa.Table, pid: int) -> tuple[pa.Table | None, int]:
+            mask = pc.fill_null(predicate(t), False)
+            n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if n == 0:
+                return None, 0
+            return t.filter(pc.invert(mask)), n
+
+        m = _rewrite_partitions(table, rewrite, run_id, "deleted_partitions",
+                                column_range=column_range)
+        return m, int(m.metrics.get("touched_rows", 0))
+    if mode != "dv":
+        raise ValueError(f"delete_where: unknown mode {mode!r}")
+
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS
+    from cdm_data_loader_utils_ray.sinks.lake import (
+        chain_may_match,
+        merge_chain_files,
+    )
+
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("no committed manifest to delete from")
+    epoch = m.epoch + 1
+    chains = {p.pid: list(p.files) for p in m.partitions.values()}
+    dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
+    hwms = {p.pid: p.hwm_seq for p in m.partitions.values()}
+    table_dir = table.dir
+    ranges = dict(column_range or {})
+
+    def one(batch: dict) -> pa.Table:
+        rows = []
+        for pid in batch["item"]:
+            pid = int(pid)
+            lake = LakeTable(table_dir)
+            chain = chains[pid]
+            if ranges and any(
+                not chain_may_match(table_dir, chain, c, lo, hi)
+                for c, (lo, hi) in ranges.items()
+            ):
+                rows.append({"pid": pid, "dv": "", "n": 0})
+                continue
+            t = merge_chain_files(table_dir, chain, m, delete_files=dvs[pid])
+            mask = pc.fill_null(predicate(t), False)
+            n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if n == 0:
+                rows.append({"pid": pid, "dv": "", "n": 0})
+                continue
+            keys = t.filter(mask).select(list(KEY_COLUMNS))
+            rel = lake.write_delete_vector(keys, pid, epoch, hwms[pid])
+            rows.append({"pid": pid, "dv": rel, "n": int(n)})
+        return pa.Table.from_pylist(rows)
+
+    pids = sorted(chains)
+    results = (
+        rd.from_items(pids, override_num_blocks=len(pids))
+        .map_batches(one, batch_size=1)
+        .take_all()
+    )
+    partitions: dict[int, PartitionEntry] = {}
+    touched = deleted = 0
+    for r in results:
+        prev = m.partitions[r["pid"]]
+        if not r["dv"]:
+            partitions[r["pid"]] = prev
+            continue
+        touched += 1
+        deleted += r["n"]
+        partitions[r["pid"]] = PartitionEntry(
+            pid=prev.pid, files=list(prev.files), rows=prev.rows,
+            hwm_seq=prev.hwm_seq, live_keys=-1, bytes=prev.bytes,
+            delete_files=list(prev.delete_files) + [r["dv"]],
+        )
+    new_m = Manifest(
+        epoch=epoch, num_partitions=m.num_partitions, schema=m.schema,
+        partitions=partitions, parent_epoch=m.epoch, run_id=run_id,
+        metrics={"dv_partitions": touched, "touched_rows": deleted},
+        rename_history=m.rename_history,
+    )
+    table.commit(new_m)
+    return new_m, deleted
 
 
 def _reduce_source_by_key(source_ds, on_duplicate: str, num_buckets: int = 64):

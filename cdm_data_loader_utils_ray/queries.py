@@ -8733,6 +8733,41 @@ ORDER BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# 153. Equality-delete vectors under the driver gate: replay, then
+#      delete_where(mode='dv') — NO data file is rewritten; the key-list
+#      sidecars must hide the deleted rows from the final read.  The twin
+#      is the replay state minus the deleted predicate (a state-CHANGING
+#      mutation, so this entry does NOT share _CDC_STATE_SQL verbatim).
+# ---------------------------------------------------------------------------
+def lake_dv_read(sf_dir: str):
+    from cdm_data_loader_utils_ray.pipelines.maintenance import delete_where
+
+    def post(table):
+        delete_where(
+            table,
+            lambda t: pc.ends_with(t["path"], "7.json"),
+            mode="dv",
+        )
+
+    return _replayed_state(sf_dir, epochs=2, post=post)
+
+
+LAKE_DV_READ_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'org0/stream' AS repo,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM ev)
+SELECT repo, path, seq, sha256(content) AS content_sha256
+FROM r WHERE rn = 1 AND op <> 'delete' AND path NOT LIKE '%7.json'
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -8795,6 +8830,7 @@ _PRIORITY: tuple = (
     "q21_waiting_supplier",
     "q22_idle_customers",
     "interval_overlap_events",
+    "lake_dv_read",
 )
 
 
@@ -8811,6 +8847,7 @@ def registry() -> dict:
 def _registry_entries() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
+        "lake_dv_read": (lake_dv_read, LAKE_DV_READ_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),

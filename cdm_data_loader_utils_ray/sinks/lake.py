@@ -116,6 +116,11 @@ class PartitionEntry:
     hwm_seq: int  # max seq applied to this partition (-1 = none)
     live_keys: int  # exact for single-file chains, else -1
     bytes: int = 0
+    # equality-delete vectors (Iceberg-style): small key-list parquet
+    # sidecars; a chain row is dropped at read time when its key appears in
+    # a DV whose watermark covers the row's seq.  Deletes without data
+    # rewrites — compaction materializes and clears them.
+    delete_files: list[str] = field(default_factory=list)
 
     @property
     def file(self) -> str:
@@ -123,7 +128,7 @@ class PartitionEntry:
         return self.files[-1]
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d = {
             "pid": self.pid,
             "files": self.files,
             "rows": self.rows,
@@ -131,6 +136,9 @@ class PartitionEntry:
             "live_keys": self.live_keys,
             "bytes": self.bytes,
         }
+        if self.delete_files:  # back-compat: absent key == no DVs
+            d["delete_files"] = self.delete_files
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "PartitionEntry":
@@ -142,6 +150,7 @@ class PartitionEntry:
             hwm_seq=d["hwm_seq"],
             live_keys=d["live_keys"],
             bytes=d.get("bytes", 0),
+            delete_files=list(d.get("delete_files", [])),
         )
 
 
@@ -368,12 +377,61 @@ def select_row_groups(md, column_ranges: dict) -> list[int]:
     return keep
 
 
+DV_HWM_COLUMN = "__dv_hwm__"
+
+
+def dv_delete_mask(table_dir: str, delete_files, t: pa.Table):
+    """Boolean numpy mask of rows in ``t`` hit by the partition's
+    equality-delete vectors: key present in a DV file AND the row's
+    ``seq`` is at or below that DV's watermark (a later re-insert of the
+    key outlives the delete — Iceberg sequence-number semantics).
+    Returns None when there are no DVs or no rows."""
+    if not delete_files or t.num_rows == 0:
+        return None
+    import pyarrow.compute as pc
+
+    sep = pa.scalar("\x1f")
+
+    def key_of(tbl: pa.Table):
+        return pc.binary_join_element_wise(
+            tbl[KEY_COLUMNS[0]].combine_chunks().cast(pa.string()),
+            tbl[KEY_COLUMNS[1]].combine_chunks().cast(pa.string()),
+            sep,
+        )
+
+    # fold all DV files: key -> max watermark (tiny key lists)
+    hwm: dict[str, int] = {}
+    for f in delete_files:
+        dv = pq.read_table(os.path.join(table_dir, f))
+        keys = key_of(dv).to_pylist()
+        marks = dv[DV_HWM_COLUMN].to_pylist()
+        for k, w in zip(keys, marks):
+            w = int(w)
+            if hwm.get(k, -1) < w:
+                hwm[k] = w
+    if not hwm:
+        return None
+    dv_keys = pa.array(list(hwm.keys()), type=pa.string())
+    dv_marks = np.fromiter(hwm.values(), dtype=np.int64, count=len(hwm))
+    idx = pc.index_in(key_of(t), dv_keys).to_numpy(zero_copy_only=False)
+    hit = ~pd.isna(idx)
+    marks = np.full(t.num_rows, -1, dtype=np.int64)
+    marks[hit] = dv_marks[idx[hit].astype(np.int64)]
+    seq = (
+        t["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "seq" in t.column_names
+        else np.full(t.num_rows, -1, dtype=np.int64)
+    )
+    return seq <= marks  # unmatched keys have mark -1 < any real seq
+
+
 def merge_chain_files(
     table_dir: str,
     files: list[str],
     m: "Manifest",
     column_ranges: dict | None = None,
     columns: "Sequence[str] | None" = None,
+    delete_files=(),
 ) -> pa.Table:
     """LWW-merge one partition's delta-chain files, applying the manifest's
     ``rename_history`` per file BEFORE schema alignment (older chain files
@@ -429,7 +487,11 @@ def merge_chain_files(
         align_to_schema(rename_columns(_read(f), m.rename_history), schema)
         for f in files
     ]
-    return merge_states(None, pa.concat_tables(parts), schema)
+    merged = merge_states(None, pa.concat_tables(parts), schema)
+    mask = dv_delete_mask(table_dir, delete_files, merged)
+    if mask is not None and mask.any():
+        merged = merged.filter(pa.array(~mask))
+    return merged
 
 
 class LakeTable:
@@ -692,6 +754,39 @@ class LakeTable:
     def partition_file(self, pid: int, epoch: int) -> str:
         return os.path.join(DATA_DIR, f"part-{pid:05d}-epoch-{epoch:08d}.parquet")
 
+    def delete_vector_file(self, pid: int, epoch: int) -> str:
+        return os.path.join(DATA_DIR, f"dv-{pid:05d}-epoch-{epoch:08d}.parquet")
+
+    def write_delete_vector(self, keys: pa.Table, pid: int, epoch: int,
+                            hwm_seq: int) -> str:
+        """Phase-1 write of one partition's equality-delete vector: the key
+        columns of the rows to delete plus a constant watermark column —
+        a chain row dies at read time iff its key matches AND its ``seq``
+        is at or below the watermark (so later re-inserts survive).
+        Same write-then-rename + fsync discipline as data files."""
+        dv = pa.table(
+            {
+                KEY_COLUMNS[0]: keys[KEY_COLUMNS[0]].cast(pa.string()),
+                KEY_COLUMNS[1]: keys[KEY_COLUMNS[1]].cast(pa.string()),
+                DV_HWM_COLUMN: pa.array(
+                    np.full(len(keys), int(hwm_seq), dtype=np.int64)
+                ),
+            }
+        )
+        rel = self.delete_vector_file(pid, epoch)
+        path = self.abspath(rel)
+        import uuid as _uuid
+
+        tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        pq.write_table(dv, tmp, compression="zstd")
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, path)
+        return rel
+
     def abspath(self, rel: str) -> str:
         return os.path.join(self.dir, rel)
 
@@ -806,6 +901,7 @@ class LakeTable:
             return rd.from_arrow(schema.empty_table())
         table_dir = self.dir
         chains = {p.pid: list(p.files) for p in m.partitions.values()}
+        dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
         want = sorted(chains) if pids is None else sorted(set(pids) & set(chains))
         ranges = dict(column_range or {})
         # type the bounds from the committed schema (r3 ADVICE: a CLI
@@ -885,7 +981,8 @@ class LakeTable:
                 ):
                     continue  # Bloom-proven absent: no data IO at all
                 t = merge_chain_files(
-                    table_dir, files, m, column_ranges=ranges, columns=read_cols
+                    table_dir, files, m, column_ranges=ranges, columns=read_cols,
+                    delete_files=dvs[int(pid)],
                 )
                 if live_only and "is_deleted" in t.column_names:
                     t = t.filter(pc.equal(t["is_deleted"], False)).drop_columns(["is_deleted"])
@@ -950,7 +1047,10 @@ class LakeTable:
             p = m.partitions.get(pid)
             if p is None:
                 continue
-            t = merge_chain_files(self.dir, p.files, m, columns=columns)
+            t = merge_chain_files(
+                self.dir, p.files, m, columns=columns,
+                delete_files=p.delete_files,
+            )
             comp = pc.binary_join_element_wise(
                 t[KEY_COLUMNS[0]].combine_chunks().cast(pa.string()),
                 t[KEY_COLUMNS[1]].combine_chunks().cast(pa.string()),
@@ -973,7 +1073,7 @@ class LakeTable:
         if m is None or not m.partitions:
             return (m.schema if m else pa.schema([])).empty_table()
         parts = [
-            merge_chain_files(self.dir, p.files, m)
+            merge_chain_files(self.dir, p.files, m, delete_files=p.delete_files)
             for p in sorted(m.partitions.values(), key=lambda p: p.pid)
         ]
         t = pa.concat_tables(parts) if parts else m.schema.empty_table()
@@ -1017,6 +1117,8 @@ class LakeTable:
         table_dir = self.dir
         pids = sorted(windows)
 
+        dvs = {p.pid: list(p.delete_files) for p in m_to.partitions.values()}
+
         def changes(batch: dict) -> pa.Table:
             import pyarrow.compute as pc
 
@@ -1024,13 +1126,18 @@ class LakeTable:
             for pid in batch["item"]:
                 t = merge_chain_files(table_dir, windows[int(pid)], m_to)
                 if "is_deleted" in t.column_names:
-                    ct = pc.if_else(
-                        pc.equal(t["is_deleted"], True),
-                        pa.scalar("delete"),
-                        pa.scalar("upsert"),
+                    deleted = pc.equal(t["is_deleted"], True).to_numpy(
+                        zero_copy_only=False
                     )
                 else:
-                    ct = pa.array(["upsert"] * len(t))
+                    deleted = np.zeros(len(t), dtype=bool)
+                # DV-deleted rows surface as change_type='delete' (MARK, not
+                # drop): silently omitting them would leave a CDF consumer
+                # holding the key's stale pre-delete value forever
+                dv_mask = dv_delete_mask(table_dir, dvs.get(int(pid), []), t)
+                if dv_mask is not None:
+                    deleted |= dv_mask
+                ct = pa.array(np.where(deleted, "delete", "upsert"))
                 out.append(t.append_column("change_type", ct))
             return pa.concat_tables(out) if out else out_schema.empty_table()
 
@@ -1068,10 +1175,16 @@ class LakeTable:
         prev_chains = (
             {p.pid: list(p.files) for p in m_from.partitions.values()} if m_from else {}
         )
+        prev_dvs = (
+            {p.pid: list(p.delete_files) for p in m_from.partitions.values()}
+            if m_from
+            else {}
+        )
         for e in walk:
             m_e = m_to if e == m_to.epoch else self.read_manifest(e)
             preserving = bool(m_e.metrics.get("state_preserving_rewrite", False))
             cur = {p.pid: list(p.files) for p in m_e.partitions.values()}
+            cur_dvs = {p.pid: list(p.delete_files) for p in m_e.partitions.values()}
             if prev is not None and (
                 m_e.num_partitions != prev.num_partitions
                 or set(cur) != set(prev_chains)
@@ -1083,13 +1196,23 @@ class LakeTable:
             else:
                 for pid, files in cur.items():
                     old = prev_chains.get(pid, [])
+                    if not preserving and cur_dvs.get(pid, []) != prev_dvs.get(
+                        pid, []
+                    ):
+                        # equality-delete vector change: the deleted keys
+                        # live in OLD chain files, so the append-only window
+                        # cannot surface them — full chain for this pid (the
+                        # merge marks DV hits change_type='delete').  A
+                        # PRESERVING epoch that clears DVs (fold/compact
+                        # materializing them) changes no state: skip.
+                        fallback.add(pid)
                     if files[: len(old)] == old:
                         gained = files[len(old):]
                         if gained:
                             windows.setdefault(pid, []).extend(gained)
                     elif not preserving:
                         fallback.add(pid)  # state-changing rewrite
-            prev, prev_chains = m_e, cur
+            prev, prev_chains, prev_dvs = m_e, cur, cur_dvs
 
         # degrade to full-state where retention already reclaimed window files
         for pid, files in list(windows.items()):
@@ -1126,12 +1249,16 @@ class LakeTable:
             for p in self.read_manifest(e).partitions.values():
                 for f in p.files:
                     keep.add(self.abspath(f))
+                for f in p.delete_files:
+                    keep.add(self.abspath(f))
         removed = []
         for f in os.listdir(self.data_dir):
             path = os.path.join(self.data_dir, f)
             if path in keep or f.endswith(BLOOM_SIDECAR_SUFFIX):
                 continue
-            m = re.fullmatch(r"part-\d+-epoch-(\d+)(?:-[0-9a-f]+)?\.parquet", f)
+            m = re.fullmatch(
+                r"(?:part|dv)-\d+-epoch-(\d+)(?:-[0-9a-f]+)?\.parquet", f
+            )
             if m is None or int(m.group(1)) > latest:
                 continue  # in-flight phase-1 write or foreign file: keep
             os.unlink(path)
@@ -1148,7 +1275,7 @@ class LakeTable:
                 os.unlink(os.path.join(self.data_dir, f))
             # crashed write_partition temp (write-then-rename): safe to
             # drop once its epoch committed (nothing is still renaming it)
-            m = re.match(r"part-\d+-epoch-(\d+).*\.parquet\.tmp-", f)
+            m = re.match(r"(?:part|dv)-\d+-epoch-(\d+).*\.parquet\.tmp-", f)
             if m is not None and int(m.group(1)) <= latest:
                 try:
                     os.unlink(os.path.join(self.data_dir, f))

@@ -39,7 +39,12 @@ from cdm_data_loader_utils_ray.core.schemas import (
     PARTITION_COLUMN,
     state_schema as make_state_schema,
 )
-from cdm_data_loader_utils_ray.sinks.lake import LakeTable, Manifest, PartitionEntry
+from cdm_data_loader_utils_ray.sinks.lake import (
+    LakeTable,
+    Manifest,
+    PartitionEntry,
+    dv_delete_mask,
+)
 from cdm_data_loader_utils_ray.stages.schema_align import align_to_schema, rename_columns
 from cdm_data_loader_utils_ray.stages.validate import split_valid
 from cdm_data_loader_utils_ray.state.upsert import events_to_state, merge_states
@@ -85,6 +90,9 @@ class UpsertShard:
         self.live_keys = (
             int(prior_entry["live_keys"]) if prior_entry else 0
         )  # exact only for single-file chains (else -1), as in the manifest
+        self.delete_files: list[str] = (
+            list(prior_entry.get("delete_files", [])) if prior_entry else []
+        )
         if self.chain:
             # rename BEFORE align, per file, exactly like the batch readers
             # (lake.merge_chain_files): chain files written before a column
@@ -103,6 +111,12 @@ class UpsertShard:
                 promote_options="permissive",
             )
             self.state = merge_states(None, chain, self.schema)
+            # equality-delete vectors hit resident state once at bootstrap;
+            # the chain FILES still hold the rows, so delete_files must ride
+            # along in every snapshot until a fold materializes the drop
+            mask = dv_delete_mask(self.lake.dir, self.delete_files, self.state)
+            if mask is not None and mask.any():
+                self.state = self.state.filter(pa.array(~mask))
         self.dirty = False
         self.applied = 0
         self.pending: list[pa.Table] = []
@@ -167,6 +181,9 @@ class UpsertShard:
                 self.hwm = max(self.hwm, entry.hwm_seq)
                 self.live_keys = entry.live_keys
                 wrote_bytes = entry.bytes
+                # fold materialized the DV drops (resident state had them
+                # applied at bootstrap): the vectors are spent
+                self.delete_files = []
         elif not self.chain:
             # brand-new empty shard: commit an empty base so the manifest
             # has a file for every partition
@@ -183,6 +200,7 @@ class UpsertShard:
             "hwm_seq": self.hwm, "live_keys": self.live_keys,
             "bytes": self.chain_bytes, "applied": self.applied,
             "dirty_was": was_dirty, "wrote_bytes": wrote_bytes,
+            "delete_files": list(self.delete_files),
         }
 
     def stats(self) -> dict:
@@ -319,6 +337,7 @@ class StreamingUpserter:
             e["pid"]: PartitionEntry(
                 pid=e["pid"], files=e["files"], rows=e["rows"],
                 hwm_seq=e["hwm_seq"], live_keys=e["live_keys"], bytes=e["bytes"],
+                delete_files=list(e.get("delete_files", [])),
             )
             for e in entries
         }
