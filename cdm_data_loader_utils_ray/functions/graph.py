@@ -53,12 +53,11 @@ def within_group_pairs(values: np.ndarray, groups: np.ndarray):
     return a_idx, b_idx
 
 
-def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
-    """Exact triangle count of the simple undirected graph whose DISTINCT
-    edges (one row per unordered pair, u != v, any endpoint order) are in
-    ``edges_ds``.  Duplicate edge rows would double-count degrees — dedup
-    upstream (one ``grouped_partial_sums`` fold).  Returns
-    ``(n_edges, n_triangles)`` as Python ints."""
+def _degree_oriented(edges_ds, u: str, v: str, num_buckets: int):
+    """Shared prep of the triangle family: canonical distinct edges ``e``,
+    per-node degrees ``deg`` and the degree-oriented edge set ``o``
+    (low-degree endpoint -> high, ties by id), both materialized (multiple
+    consumers).  Returns ``(e, deg, o)``."""
 
     def canon(batch: pa.Table) -> pa.Table:
         a, b = batch[u], batch[v]
@@ -124,6 +123,16 @@ def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
         )
 
     o = j.map_batches(orient, batch_format="pandas").materialize()
+    return e, deg, o
+
+
+def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
+    """Exact triangle count of the simple undirected graph whose DISTINCT
+    edges (one row per unordered pair, u != v, any endpoint order) are in
+    ``edges_ds``.  Duplicate edge rows would double-count degrees — dedup
+    upstream (one ``grouped_partial_sums`` fold).  Returns
+    ``(n_edges, n_triangles)`` as Python ints."""
+    e, _deg, o = _degree_oriented(edges_ds, u, v, num_buckets)
 
     def tag_s(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, ["s"], num_buckets)
@@ -184,6 +193,107 @@ def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
     )
     n_edges = e.count()
     return int(n_edges), int(parts["n"].sum())
+
+
+def local_clustering(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
+    """Per-node triangle counts and local clustering coefficient
+    ``2*tri / (deg*(deg-1))`` over the simple undirected graph of DISTINCT
+    edges (same input contract as :func:`triangle_count`).
+
+    Same degree-oriented wedge closing, but wedge rows KEEP their center
+    (they cannot pre-aggregate to (w1, w2) counts — per-node credit needs
+    the center identity), and a closed wedge credits all three corners.
+    Each triangle closes exactly one oriented wedge, so every node's count
+    is exact.  Returns a Dataset ``(node, deg, tri)`` — nodes with
+    ``deg >= 1``; the coefficient is the caller's single division (kept
+    out of the engine so SQL twins can pin the expression).
+    """
+    _e, deg, o = _degree_oriented(edges_ds, u, v, num_buckets)
+
+    def tag_s(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["s"], num_buckets)
+
+    _empty_w = pd.DataFrame(
+        {
+            "w1": pd.Series(dtype="int64"),
+            "w2": pd.Series(dtype="int64"),
+            "ctr": pd.Series(dtype="int64"),
+        }
+    )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "s" not in df.columns:
+            return _empty_w.copy()
+        d = df.sort_values(["s", "dt", "t"], kind="mergesort")
+        t = d["t"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(t, d["s"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty_w.copy()
+        return pd.DataFrame(
+            {"w1": t[a_idx], "w2": t[b_idx], "ctr": d["s"].to_numpy(np.int64)[a_idx]}
+        )
+
+    wed = o.map_batches(tag_s, batch_format="pyarrow").groupby(_BUCKET).map_groups(
+        wedges, batch_format="pandas"
+    )
+
+    def tag_side(side: str, cols: list[str]):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.select(cols).rename_columns(["w1", "w2"] + cols[2:])
+            if "ctr" not in b.column_names:
+                b = b.append_column(
+                    "ctr", pa.array(np.full(len(b), -1, dtype=np.int64))
+                )
+            b = b.append_column("__side__", pa.array([side] * len(b)))
+            return _add_bucket(b, ["w1", "w2"], num_buckets)
+
+        return _t
+
+    both = wed.map_batches(
+        tag_side("w", ["w1", "w2", "ctr"]), batch_format="pyarrow"
+    ).union(o.map_batches(tag_side("e", ["s", "t"]), batch_format="pyarrow"))
+
+    def close_credit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                              "tri": pd.Series(dtype="int64")})
+        if len(df) == 0 or "__side__" not in df.columns:
+            return empty
+        w = df[df["__side__"] == "w"]
+        ed = df[df["__side__"] == "e"]
+        if len(w) == 0 or len(ed) == 0:
+            return empty
+        hit = w.merge(ed[["w1", "w2"]].drop_duplicates(), on=["w1", "w2"])
+        if len(hit) == 0:
+            return empty
+        nodes = np.concatenate(
+            [hit["ctr"].to_numpy(np.int64), hit["w1"].to_numpy(np.int64),
+             hit["w2"].to_numpy(np.int64)]
+        )
+        g = pd.Series(nodes).value_counts()
+        return pd.DataFrame(
+            {"node": g.index.to_numpy(np.int64), "tri": g.to_numpy(np.int64)}
+        )
+
+    credits = both.groupby(_BUCKET).map_groups(close_credit, batch_format="pandas")
+    tri = grouped_partial_sums(credits, ["node"], {"tri": "tri"}, count_alias="__n")
+
+    def drop_n(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "tri"])
+
+    tri = tri.map_batches(drop_n, batch_format="pyarrow")
+    deg = deg.map_batches(lambda t: t, batch_format="pyarrow")
+    out = hash_join(deg, tri, on=["node"], how="left", num_buckets=num_buckets)
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype("int64"),
+                "deg": df["deg"].astype("int64"),
+                "tri": df["tri"].fillna(0).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pandas")
 
 
 def bfs_hops(

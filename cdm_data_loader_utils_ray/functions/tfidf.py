@@ -70,14 +70,21 @@ atexit.register(_cleanup_spill_dirs)
 
 
 def doc_term_counts(ds, id_column: str = "doc_id", text_column: str = "text",
-                    batch_size: int = 4096):
-    """Exact ``(doc_id, term, tf)`` rows, one per distinct term per doc."""
+                    batch_size: int = 4096, include_doc_len: bool = False):
+    """Exact ``(doc_id, term, tf)`` rows, one per distinct term per doc.
+
+    ``include_doc_len`` adds a ``dl`` column (the doc's TOTAL token count,
+    repeats included) to every row — computed during tokenization, so
+    BM25's length normalization needs no second per-doc join."""
 
     def terms(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({id_column: batch[id_column],
-                             "term": pa.array([], type=pa.string()),
-                             "tf": pa.array([], type=pa.int64())})
+            cols = {id_column: batch[id_column],
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64())}
+            if include_doc_len:
+                cols["dl"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         texts = batch[text_column]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -87,11 +94,15 @@ def doc_term_counts(ds, id_column: str = "doc_id", text_column: str = "text",
         df = pd.DataFrame({"__row__": row_of_tok[valid], "term": toks[valid]})
         agg = df.groupby(["__row__", "term"], sort=False).size().rename("tf").reset_index()
         ids = batch[id_column].to_pandas()
-        return pa.table({
+        cols = {
             id_column: pa.array(ids.iloc[agg["__row__"]].to_numpy()),
             "term": pa.array(agg["term"].to_numpy(), type=pa.string()),
             "tf": pa.array(agg["tf"].to_numpy(), type=pa.int64()),
-        })
+        }
+        if include_doc_len:
+            dl = np.bincount(row_of_tok[valid], minlength=len(batch)).astype(np.int64)
+            cols["dl"] = pa.array(dl[agg["__row__"].to_numpy()], type=pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(terms, batch_format="pyarrow", batch_size=batch_size)
 
@@ -153,6 +164,84 @@ def tfidf_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
         dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = tf * np.float64(n_docs) / dfv
         return batch.append_column("score", pa.array(s, type=pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_n_per_group(
+        scored, [id_column], "score", top_k, tiebreak=["term"],
+        ascending=False, rank_column="rnk", num_buckets=num_buckets,
+    )
+
+
+def bm25_top_terms(ds, id_column: str = "doc_id", text_column: str = "text",
+                   top_k: int = 3, k1: float = 1.2, b: float = 0.75,
+                   num_buckets: int = 64,
+                   spill_dir: str | None = None,
+                   spill_threshold_docs: int = 2_000_000):
+    """Top-``top_k`` terms per document by Okapi BM25 (Lucene IDF variant):
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Same spill-or-materialize shape as :func:`tfidf_top_terms` — the
+    ``(doc, term, tf, dl)`` intermediate is computed ONCE and read by its
+    three consumers (Σdl scalar fold, df aggregate, join probe); ``dl``
+    rides along from tokenization so length normalization needs no second
+    per-doc join, and df joins DISTRIBUTED (never a vocab-sized driver
+    collect).  Every float op is a pinned-expression evaluation over
+    exact integer inputs (ln on identical doubles — the surprisal/PMI
+    precedent), so the scores are bit-identical to a SQL twin.
+    """
+    n_docs = ds.count()
+    terms = doc_term_counts(ds, id_column, text_column, include_doc_len=True)
+    spill = spill_dir or os.environ.get("CDM_TFIDF_SPILL_DIR")
+    if spill is None and n_docs > spill_threshold_docs:
+        spill = tempfile.mkdtemp(prefix="cdm_bm25_terms_")
+    if spill is not None:
+        import ray.data as rd
+
+        os.makedirs(spill, exist_ok=True)
+        spill = tempfile.mkdtemp(prefix="terms_", dir=spill)
+        _SPILL_DIRS.append(spill)
+        terms.write_parquet(spill)
+        terms = rd.read_parquet(spill)
+    else:
+        terms = terms.materialize()
+    # Σdl (global token count) via one-row scalar partials — never a
+    # vocab-sized driver collect (the term dictionary is huge at 100 TB);
+    # df stays a Dataset and joins distributed, exactly like tfidf
+    totals = terms.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([int(np.sum(t["tf"].to_numpy(zero_copy_only=False)))],
+                           type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    total_tokens = int(totals["s"].sum())
+    df_ds = grouped_partial_sums(terms, ["term"], {}, count_alias="df")
+    df_ds = df_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    joined = hash_join(terms, df_ds, on=["term"], how="inner",
+                       num_buckets=num_buckets)
+    N = int(n_docs)
+    k1f, bf = float(k1), float(b)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # expression order pinned to the SQL twin, term by term
+        ratio = (dl * N).astype(np.float64) / np.float64(total_tokens)
+        denom = tf.astype(np.float64) + k1f * (1.0 - bf + bf * ratio)
+        idf = np.log(1.0 + ((N - dfv).astype(np.float64) + 0.5) / (dfv.astype(np.float64) + 0.5))
+        s = idf * (tf.astype(np.float64) * (k1f + 1.0)) / denom
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "term": batch["term"],
+                "tf": pa.array(tf, type=pa.int64()),
+                "df": pa.array(dfv, type=pa.int64()),
+                "score": pa.array(s, type=pa.float64()),
+            }
+        )
 
     scored = joined.map_batches(score, batch_format="pyarrow")
     return top_n_per_group(

@@ -8768,6 +8768,192 @@ FROM r WHERE rn = 1 AND op <> 'delete' AND path NOT LIKE '%7.json'
 """
 
 
+# ---------------------------------------------------------------------------
+# 154. Okapi BM25 term scoring (Lucene IDF variant) over the documents
+#      corpus: the retrieval-grade sibling of tfidf_terms.  All inputs to
+#      the float expression are exact distributed ints (tf, df, dl, N,
+#      Σdl); the expression itself is pinned term-by-term to the SQL twin
+#      (single ln on identical doubles — surprisal/PMI precedent).
+# ---------------------------------------------------------------------------
+def bm25_terms(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.tfidf import bm25_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_top_terms(ds, top_k=3)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[["doc_id", "rnk", "term", "tf", "df", "score"]].copy()
+        o["doc_id"] = o["doc_id"].astype("int64")
+        o["rnk"] = o["rnk"].astype("int64")
+        o["tf"] = o["tf"].astype("int64")
+        o["df"] = o["df"].astype("int64")
+        o["score"] = _round_away(o["score"], 6)
+        return o
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+BM25_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens
+),
+s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ln(1.0 + (CAST(c.n - d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5))
+         * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl * c.n AS DOUBLE)
+                                          / CAST(c.total_tokens AS DOUBLE))))
+           AS score
+  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), consts c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, rnk, term, tf, df,
+       floor(score * 1000000 + 0.5) / 1000000 AS score
+FROM r WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 155. Sorted-neighborhood blocking (Hernandez-Stolfo SNM) over the
+#      documents corpus: candidate ER pairs within a rank window of the
+#      global (key, id) sort order — exact global row numbers from
+#      string-boundary range buckets + offset fold, pairs tiled with
+#      exactly-once left-row ownership (functions/blocking.py).  Candidate
+#      count <= n*window by construction.  The SQL twin is the naive
+#      windowed self-join over row_number().
+# ---------------------------------------------------------------------------
+def snm_candidate_pairs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from cdm_data_loader_utils_ray.functions.textstats import _lower_exact
+
+    def key(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks().cast(pa.string()), "")
+        k = pc.utf8_slice_codeunits(_lower_exact(txt), 0, 16)
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "k": k}
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    out = sorted_neighborhood_pairs(
+        ds, "k", "doc_id", window=4, num_buckets=16
+    ).to_pandas()
+    for c in ("id_a", "id_b", "rn_a", "rn_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["rn_a", "rn_b"], kind="mergesort").reset_index(
+        drop=True
+    )[["id_a", "id_b", "rn_a", "rn_b"]]
+
+
+SNM_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, substr(lower(text), 1, 16) AS k FROM documents),
+r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.rn AS rn_a, b.rn AS rn_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+ORDER BY rn_a, rn_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 156. Local clustering coefficient per product over the co-purchase
+#      graph (functions/graph.local_clustering): per-node triangle counts
+#      from degree-oriented wedge closing with 3-corner credit, degrees
+#      from one fold; the coefficient 2*tri/(deg*(deg-1)) is a single
+#      pinned double division over exact ints.  Nodes with deg > 1 only
+#      (the coefficient is undefined below).
+# ---------------------------------------------------------------------------
+def clustering_copurchase(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.functions.graph import (
+        local_clustering,
+        within_group_pairs,
+    )
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return _add_bucket(t, ["l_orderkey"], 64)
+
+    _empty = pd.DataFrame(
+        {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return _empty.copy()
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        pk = d["l_partkey"].to_numpy(np.int64)
+        a_idx, b_idx = within_group_pairs(pk, d["l_orderkey"].to_numpy(np.int64))
+        if len(a_idx) == 0:
+            return _empty.copy()
+        return pd.DataFrame({"u": pk[a_idx], "v": pk[b_idx]}).drop_duplicates()
+
+    pairs_ds = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    edges = grouped_partial_sums(pairs_ds, ["u", "v"], {}, count_alias="__n")
+    out = local_clustering(edges, "u", "v", num_buckets=32).to_pandas()
+    out = out[out["deg"] > 1].copy()
+    num = (2 * out["tri"].to_numpy(np.int64)).astype(np.float64)
+    den = (
+        out["deg"].to_numpy(np.int64) * (out["deg"].to_numpy(np.int64) - 1)
+    ).astype(np.float64)
+    out["coeff"] = _round_away(num / den, 6)
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)[
+        ["node", "deg", "tri", "coeff"]
+    ]
+
+
+CLUSTERING_COPURCHASE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri3 AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e e1 JOIN e e2 ON e2.u = e1.v
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        FROM (SELECT x AS node FROM tri3
+              UNION ALL SELECT y FROM tri3
+              UNION ALL SELECT z FROM tri3)
+        GROUP BY 1),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1)
+SELECT node, deg, COALESCE(tri, 0) AS tri,
+       round(CAST(2 * COALESCE(tri, 0) AS DOUBLE)
+             / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff
+FROM deg LEFT JOIN tpn USING (node)
+WHERE deg > 1 ORDER BY node
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -8831,6 +9017,9 @@ _PRIORITY: tuple = (
     "q22_idle_customers",
     "interval_overlap_events",
     "lake_dv_read",
+    "bm25_terms",
+    "snm_candidate_pairs",
+    "clustering_copurchase",
 )
 
 
@@ -8848,6 +9037,9 @@ def _registry_entries() -> dict:
     return {
         # -- (0) newest this session -----------------------------------------
         "lake_dv_read": (lake_dv_read, LAKE_DV_READ_SQL),
+        "bm25_terms": (bm25_terms, BM25_SQL),
+        "snm_candidate_pairs": (snm_candidate_pairs, SNM_PAIRS_SQL),
+        "clustering_copurchase": (clustering_copurchase, CLUSTERING_COPURCHASE_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),

@@ -216,3 +216,47 @@ def test_pagerank_distributed_single_bucket(ray_session):
     )
     drv = drv.sort_values("node").reset_index(drop=True)
     assert (drv["score"].to_numpy() == one["score"].to_numpy()).all()
+
+
+def test_local_clustering_matches_brute_force(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import local_clustering
+
+    rng = np.random.default_rng(5)
+    n, m = 60, 400
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    E = pd.DataFrame(sorted(edges), columns=["u", "v"])
+    got = (
+        local_clustering(rd.from_pandas(E), num_buckets=8)
+        .to_pandas().set_index("node").sort_index()
+    )
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {i: len(adj[i]) for i in range(n) if adj[i]}
+    tri = {
+        i: sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[i]), 2)
+            if y in adj[x]
+        )
+        for i in deg
+    }
+    exp = (
+        pd.DataFrame(
+            {"node": list(deg), "deg": [deg[i] for i in deg],
+             "tri": [tri[i] for i in deg]}
+        )
+        .set_index("node").sort_index()
+    )
+    assert len(got) == len(exp)
+    assert got[["deg", "tri"]].equals(exp[["deg", "tri"]].astype("int64"))
