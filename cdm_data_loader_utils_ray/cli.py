@@ -88,6 +88,34 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """DELETE FROM ... WHERE col = value.  ``--mode dv`` (default) writes
+    equality-delete vectors — no data rewrite; ``--mode rewrite`` is the
+    copy-on-write path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ray = _ray_session(args.num_cpus)
+    from cdm_data_loader_utils_ray.pipelines.maintenance import delete_where
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    table = LakeTable(args.lake)
+    m0 = table.latest_manifest()
+    if m0 is None:
+        raise SystemExit("delete: no committed manifest")
+    col, _, val = args.equals.partition(":")
+    if col not in m0.schema.names:
+        raise SystemExit(f"delete: column {col!r} not in table schema")
+    scalar = pa.scalar(val).cast(m0.schema.field(col).type)
+
+    m, n = delete_where(
+        table, lambda t: pc.equal(t[col], scalar), mode=args.mode
+    )
+    print(json.dumps({"epoch": m.epoch, "deleted_rows": n, **m.metrics}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_describe(args) -> int:
     """Metadata-only table summary (DESCRIBE DETAIL analogue): epoch, schema,
     partition/chain/file stats, tags, properties — straight from the
@@ -545,6 +573,18 @@ def main(argv=None) -> int:
     c.add_argument("--row-group-size", type=int, default=None,
                    help="rows per parquet row group (skipping granularity)")
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete", help="DELETE rows by column equality (dv sidecar or rewrite)"
+    )
+    dl.add_argument("--lake", required=True)
+    dl.add_argument("--equals", required=True, metavar="COL:VALUE",
+                    help="delete rows where COL equals VALUE "
+                         "(cast through the committed column type)")
+    dl.add_argument("--mode", default="dv", choices=["dv", "rewrite"],
+                    help="dv = equality-delete vectors (no data rewrite); "
+                         "rewrite = copy-on-write")
+    dl.set_defaults(fn=cmd_delete)
 
     dsc = sub.add_parser(
         "describe", help="metadata-only table summary (no Ray, no data IO)"
