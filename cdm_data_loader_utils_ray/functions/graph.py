@@ -83,9 +83,12 @@ def _degree_oriented(edges_ds, u: str, v: str, num_buckets: int):
             }
         )
 
+    # materialize: deg is consumed by BOTH endpoint joins (plus a third
+    # consumer in local_clustering) and its lineage contains a shuffle —
+    # without the pin each consumer re-executes the whole degree count
     deg = grouped_partial_sums(
         e.map_batches(ends, batch_format="pyarrow"), ["node"], {}, count_alias="deg"
-    )
+    ).materialize()
 
     def rename(cols):
         def _r(batch: pa.Table) -> pa.Table:

@@ -63,6 +63,10 @@ def _rewrite_partitions(
     dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
     table_dir = table.dir
     ranges = dict(column_range or {})
+    # run-unique file suffix: two concurrent maintenance ops at the same
+    # epoch may produce DIFFERENT content — deterministic paths would let
+    # the commit-rejected loser's rename swap the winner's committed file
+    sfx = uuid.uuid4().hex[:8]
 
     def one(batch: dict) -> pa.Table:
         rows = []
@@ -94,7 +98,9 @@ def _rewrite_partitions(
                              "rows": len(t), "hwm_seq": -1, "live_keys": -1,
                              "bytes": -1, "touched_rows": touched})
                 continue
-            entry = lake.write_partition(new, pid, epoch, row_group_size=row_group_size)
+            entry = lake.write_partition(
+                new, pid, epoch, row_group_size=row_group_size, suffix=sfx
+            )
             rows.append({"pid": pid, "changed": True, "file": entry.file,
                          "rows": entry.rows, "hwm_seq": entry.hwm_seq,
                          "live_keys": entry.live_keys, "bytes": entry.bytes,
@@ -223,6 +229,7 @@ def fold_long_chains(
     chains = {p.pid: list(p.files) for p in m.partitions.values()}
     dvs = {p.pid: list(p.delete_files) for p in m.partitions.values()}
     table_dir = table.dir
+    sfx = uuid.uuid4().hex[:8]  # run-unique path (racing-maintenance rule)
 
     def fold(batch: dict) -> pa.Table:
         rows = []
@@ -234,7 +241,7 @@ def fold_long_chains(
             # old-named values to null) and the delete vectors (folding
             # without them would persist the resurrected rows)
             t = merge_chain_files(table_dir, chains[pid], m, delete_files=dvs[pid])
-            entry = lake.write_partition(t, pid, epoch)
+            entry = lake.write_partition(t, pid, epoch, suffix=sfx)
             rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
                          "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
                          "bytes": entry.bytes})
@@ -279,6 +286,7 @@ def migrate_partitions(
     import ray.data as rd
 
     from cdm_data_loader_utils_ray.core.schemas import KEY_COLUMNS, PARTITION_COLUMN
+    from cdm_data_loader_utils_ray.sinks.lake import merge_chain_files
     from cdm_data_loader_utils_ray.stages.partition import add_partition_column
     from cdm_data_loader_utils_ray.state.upsert import merge_states as _ms
 
@@ -287,9 +295,9 @@ def migrate_partitions(
         raise ValueError("no committed manifest to migrate")
     epoch = m.epoch + 1
     table_dir = table.dir
-    files = table.live_files(m)
     state_schema = m.schema
 
+    mig_sfx = uuid.uuid4().hex[:8]  # run-unique paths (racing-maintenance rule)
     # stage by NEW pid (reuse the epoch staging layout), then one write per
     # new partition
     staging = os.path.join(table_dir, "_staging", f"migrate-{epoch:08d}")
@@ -301,6 +309,8 @@ def migrate_partitions(
     def route(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        if len(batch) == 0:  # empty old partition: nothing to route
+            return pa.table({"pid": pa.array([], type=pa.int32())})
         b = add_partition_column(batch, new_num_partitions, KEY_COLUMNS)
         pids = b[PARTITION_COLUMN].to_numpy(zero_copy_only=False)
         order = np.argsort(pids, kind="stable")
@@ -330,7 +340,29 @@ def migrate_partitions(
             out.append(pid)
         return pa.table({"pid": pa.array(out, type=pa.int32())})
 
-    rd.read_parquet(files).map_batches(route, batch_format="pyarrow").take_all()
+    # Read per OLD partition through merge_chain_files — NOT a raw scan of
+    # the chain files: raw reads drop pre-rename files' renamed column
+    # values (the same hole the r4 fix closed in _rewrite_partitions) and
+    # would resurrect equality-delete-vector'd rows.  The LWW merge per
+    # old partition is also strictly less data to route (losers die early).
+    old_chains = {
+        p.pid: (list(p.files), list(p.delete_files))
+        for p in m.partitions.values()
+    }
+
+    def read_old(batch: dict) -> pa.Table:
+        out = []
+        for pid in batch["item"]:
+            files, dvs = old_chains[int(pid)]
+            out.append(merge_chain_files(table_dir, files, m, delete_files=dvs))
+        return pa.concat_tables(out) if out else state_schema.empty_table()
+
+    (
+        rd.from_items(sorted(old_chains), override_num_blocks=max(1, len(old_chains)))
+        .map_batches(read_old, batch_size=1)
+        .map_batches(route, batch_format="pyarrow")
+        .take_all()
+    )
     # EVERY new pid gets an entry (empty base file if no keys routed there):
     # a missing entry would leave that partition's hwm at -1 and re-open
     # the idempotence gate for its keys
@@ -353,7 +385,7 @@ def migrate_partitions(
                 else state_schema.empty_table(),
                 state_schema,
             )
-            entry = lake.write_partition(t, pid, epoch)
+            entry = lake.write_partition(t, pid, epoch, suffix=mig_sfx)
             rows.append({"pid": entry.pid, "file": entry.file, "rows": entry.rows,
                          "hwm_seq": entry.hwm_seq, "live_keys": entry.live_keys,
                          "bytes": entry.bytes})
@@ -462,7 +494,7 @@ def restore(table: LakeTable, epoch: int) -> Manifest:
     missing = [
         f
         for p in target.partitions.values()
-        for f in p.files
+        for f in list(p.files) + list(p.delete_files)
         if not os.path.exists(table.abspath(f))
     ]
     if missing:
@@ -639,6 +671,7 @@ def delete_where(
     hwms = {p.pid: p.hwm_seq for p in m.partitions.values()}
     table_dir = table.dir
     ranges = dict(column_range or {})
+    dv_sfx = uuid.uuid4().hex[:8]  # run-unique paths (racing-maintenance rule)
 
     def one(batch: dict) -> pa.Table:
         rows = []
@@ -659,7 +692,7 @@ def delete_where(
                 rows.append({"pid": pid, "dv": "", "n": 0})
                 continue
             keys = t.filter(mask).select(list(KEY_COLUMNS))
-            rel = lake.write_delete_vector(keys, pid, epoch, hwms[pid])
+            rel = lake.write_delete_vector(keys, pid, epoch, hwms[pid], suffix=dv_sfx)
             rows.append({"pid": pid, "dv": rel, "n": int(n)})
         return pa.Table.from_pylist(rows)
 

@@ -399,20 +399,24 @@ def dv_delete_mask(table_dir: str, delete_files, t: pa.Table):
             sep,
         )
 
-    # fold all DV files: key -> max watermark (tiny key lists)
-    hwm: dict[str, int] = {}
-    for f in delete_files:
-        dv = pq.read_table(os.path.join(table_dir, f))
-        keys = key_of(dv).to_pylist()
-        marks = dv[DV_HWM_COLUMN].to_pylist()
-        for k, w in zip(keys, marks):
-            w = int(w)
-            if hwm.get(k, -1) < w:
-                hwm[k] = w
-    if not hwm:
+    # fold all DV files: key -> max watermark (vectorized groupby-max —
+    # a large delete's vector is key-list-sized, not tiny)
+    dvs = [pq.read_table(os.path.join(table_dir, f)) for f in delete_files]
+    dv_all = pa.concat_tables(dvs)
+    if dv_all.num_rows == 0:
         return None
-    dv_keys = pa.array(list(hwm.keys()), type=pa.string())
-    dv_marks = np.fromiter(hwm.values(), dtype=np.int64, count=len(hwm))
+    folded = (
+        pd.DataFrame(
+            {
+                "k": key_of(dv_all).to_pandas(),
+                "w": dv_all[DV_HWM_COLUMN].to_numpy(zero_copy_only=False),
+            }
+        )
+        .groupby("k", sort=False)["w"]
+        .max()
+    )
+    dv_keys = pa.array(folded.index.to_numpy(), type=pa.string())
+    dv_marks = folded.to_numpy(np.int64)
     idx = pc.index_in(key_of(t), dv_keys).to_numpy(zero_copy_only=False)
     hit = ~pd.isna(idx)
     marks = np.full(t.num_rows, -1, dtype=np.int64)
@@ -751,14 +755,21 @@ class LakeTable:
         return cfg
 
     # -- data files ---------------------------------------------------------
-    def partition_file(self, pid: int, epoch: int) -> str:
-        return os.path.join(DATA_DIR, f"part-{pid:05d}-epoch-{epoch:08d}.parquet")
+    def partition_file(self, pid: int, epoch: int, suffix: str | None = None) -> str:
+        tail = f"-{suffix}" if suffix else ""
+        return os.path.join(
+            DATA_DIR, f"part-{pid:05d}-epoch-{epoch:08d}{tail}.parquet"
+        )
 
-    def delete_vector_file(self, pid: int, epoch: int) -> str:
-        return os.path.join(DATA_DIR, f"dv-{pid:05d}-epoch-{epoch:08d}.parquet")
+    def delete_vector_file(self, pid: int, epoch: int,
+                           suffix: str | None = None) -> str:
+        tail = f"-{suffix}" if suffix else ""
+        return os.path.join(
+            DATA_DIR, f"dv-{pid:05d}-epoch-{epoch:08d}{tail}.parquet"
+        )
 
     def write_delete_vector(self, keys: pa.Table, pid: int, epoch: int,
-                            hwm_seq: int) -> str:
+                            hwm_seq: int, suffix: str | None = None) -> str:
         """Phase-1 write of one partition's equality-delete vector: the key
         columns of the rows to delete plus a constant watermark column —
         a chain row dies at read time iff its key matches AND its ``seq``
@@ -773,7 +784,7 @@ class LakeTable:
                 ),
             }
         )
-        rel = self.delete_vector_file(pid, epoch)
+        rel = self.delete_vector_file(pid, epoch, suffix=suffix)
         path = self.abspath(rel)
         import uuid as _uuid
 
@@ -791,17 +802,27 @@ class LakeTable:
         return os.path.join(self.dir, rel)
 
     def write_partition(
-        self, table: pa.Table, pid: int, epoch: int, row_group_size: int | None = None
+        self, table: pa.Table, pid: int, epoch: int,
+        row_group_size: int | None = None, suffix: str | None = None,
     ) -> PartitionEntry:
         """Phase-1 write of one partition's full state (immutable file).
         Overwrite-safe: a retried task rewrites the same deterministic path
         with identical content before any manifest references it.
 
+        ``suffix`` makes the path RUN-unique: maintenance rewrites pass one
+        because two concurrent maintenance ops (different predicates) can
+        produce DIFFERENT content for the same (pid, epoch) — on the
+        deterministic path the loser's rename would silently swap the
+        committed winner's file content (the commit guard rejects the
+        loser's manifest, not its phase-1 writes).  CDC replay keeps the
+        deterministic path: its content is a pure function of the event
+        log, so retries and same-epoch racers write identical bytes.
+
         ``row_group_size`` bounds rows per parquet row group — smaller
         groups mean finer-grained data skipping on sorted/z-ordered
         rewrites (each group's footer min/max covers fewer rows), at the
         cost of more footer entries.  None keeps the parquet default."""
-        rel = self.partition_file(pid, epoch)
+        rel = self.partition_file(pid, epoch, suffix=suffix)
         path = self.abspath(rel)
         # write-then-RENAME, never in place: an in-place rewrite by a task
         # retry or a concurrent same-epoch writer would tear the file
@@ -1307,7 +1328,7 @@ class LakeTable:
         out: list[pa.Table] = []
         got = 0
         for p in sorted(m.partitions.values(), key=lambda p: p.pid):
-            t = merge_chain_files(self.dir, p.files, m)
+            t = merge_chain_files(self.dir, p.files, m, delete_files=p.delete_files)
             out.append(t.slice(0, n - got))
             got += min(len(t), n - got)
             if got >= n:

@@ -130,3 +130,20 @@ def test_rename_to_retired_logical_target_rejected(lake):
     state = table.read_state().to_pandas()
     assert "lang2" not in state.columns
     assert len(state) > 0
+
+
+def test_migrate_preserves_pre_rename_files(lake):
+    """migrate_partitions must read chains through the rename-aware
+    merge_chain_files — a raw file scan nulls the renamed column for
+    every pre-rename file (same hole the r4 fix closed in
+    _rewrite_partitions; migrate was missed)."""
+    from cdm_data_loader_utils_ray.pipelines.maintenance import migrate_partitions
+
+    table, ev = lake
+    before = table.read_state().to_pandas().sort_values(["repo", "path"])
+    alter_rename_column(table, "commit", "revision")
+    m = migrate_partitions(table, 7)  # every live file predates the rename
+    assert m.num_partitions == 7
+    after = table.read_state().to_pandas().sort_values(["repo", "path"])
+    assert after["revision"].notna().sum() == before["commit"].notna().sum()
+    assert after["revision"].tolist() == before["commit"].tolist()

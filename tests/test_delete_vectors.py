@@ -182,3 +182,18 @@ def test_dv_streaming_bootstrap(lake):
     )
     k = (victims["repo"][0].as_py(), victims["path"][0].as_py())
     assert table.lookup([k]).num_rows == 0
+
+
+def test_migrate_respects_dvs(lake):
+    from cdm_data_loader_utils_ray.pipelines.maintenance import migrate_partitions
+
+    table, _, _ = lake
+    delete_where(table, _pred, mode="dv")
+    expect = read_final_state_arrow(table)
+    m = migrate_partitions(table, 7)
+    assert m.num_partitions == 7
+    assert not any(p.delete_files for p in m.partitions.values())
+    got = read_final_state_arrow(table)
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert expect.sort_by(key).equals(got.sort_by(key))
+    assert len(got.filter(pc.equal(got["lang"], "py"))) == 0
