@@ -129,16 +129,71 @@ def _degree_oriented(edges_ds, u: str, v: str, num_buckets: int):
     return e, deg, o
 
 
-def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
+def _packed_oriented_edges(o, limit: int):
+    """Broadcastable sorted int64 array of the oriented edges (s<<32 | t),
+    or None when the set exceeds ``limit`` or ids don't fit 31 bits."""
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        if len(s) and (s.max() >= 2**31 or t.max() >= 2**31 or s.min() < 0
+                       or t.min() < 0):
+            return pd.DataFrame({"p": pd.Series([-1], dtype="int64")})
+        return pd.DataFrame({"p": (s << np.int64(32)) | t})
+
+    packed = o.map_batches(pack, batch_format="pandas").to_pandas()["p"]
+    if (packed < 0).any():
+        return None
+    return np.sort(packed.to_numpy(np.int64))
+
+
+def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64,
+                   broadcast_edges_limit: int = 2_000_000):
     """Exact triangle count of the simple undirected graph whose DISTINCT
     edges (one row per unordered pair, u != v, any endpoint order) are in
     ``edges_ds``.  Duplicate edge rows would double-count degrees — dedup
     upstream (one ``grouped_partial_sums`` fold).  Returns
-    ``(n_edges, n_triangles)`` as Python ints."""
+    ``(n_edges, n_triangles)`` as Python ints.
+
+    Same broadcast-closing-edge fast path as :func:`local_clustering`
+    (closure checked locally per source bucket against the packed edge
+    array when the edge set fits the gate; the wedge table never ships)."""
     e, _deg, o = _degree_oriented(edges_ds, u, v, num_buckets)
+    n_edges = e.count()
 
     def tag_s(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, ["s"], num_buckets)
+
+    if n_edges and n_edges <= broadcast_edges_limit:
+        pe = _packed_oriented_edges(o, broadcast_edges_limit)
+        if pe is not None:
+            import ray
+
+            edge_ref = ray.put(pe)
+
+            def count_local(df: pd.DataFrame) -> pd.DataFrame:
+                if len(df) == 0 or "s" not in df.columns:
+                    return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+                d = df.sort_values(["s", "dt", "t"], kind="mergesort")
+                t = d["t"].to_numpy(np.int64)
+                a_idx, b_idx = within_group_pairs(t, d["s"].to_numpy(np.int64))
+                if len(a_idx) == 0:
+                    return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+                pe = ray.get(edge_ref)
+                w = (t[a_idx] << np.int64(32)) | t[b_idx]
+                pos = np.searchsorted(pe, w)
+                pos[pos >= len(pe)] = len(pe) - 1
+                return pd.DataFrame(
+                    {"n": pd.Series([int((pe[pos] == w).sum())], dtype="int64")}
+                )
+
+            parts = (
+                o.map_batches(tag_s, batch_format="pyarrow")
+                .groupby(_BUCKET)
+                .map_groups(count_local, batch_format="pandas")
+                .to_pandas()
+            )
+            return int(n_edges), int(parts["n"].sum())
 
     _empty_w = pd.DataFrame(
         {
@@ -194,11 +249,11 @@ def triangle_count(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
     parts = (
         both.groupby(_BUCKET).map_groups(close_bucket, batch_format="pandas").to_pandas()
     )
-    n_edges = e.count()
     return int(n_edges), int(parts["n"].sum())
 
 
-def local_clustering(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64):
+def local_clustering(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64,
+                     broadcast_edges_limit: int = 2_000_000):
     """Per-node triangle counts and local clustering coefficient
     ``2*tri / (deg*(deg-1))`` over the simple undirected graph of DISTINCT
     edges (same input contract as :func:`triangle_count`).
@@ -210,8 +265,61 @@ def local_clustering(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64
     is exact.  Returns a Dataset ``(node, deg, tri)`` — nodes with
     ``deg >= 1``; the coefficient is the caller's single division (kept
     out of the engine so SQL twins can pin the expression).
+
+    FAST PATH: every closing pair is itself an ORIENTED EDGE, so when the
+    edge set fits a broadcast (``<= broadcast_edges_limit`` and ids below
+    2^31, packable into one int64), closure is checked LOCALLY inside each
+    source bucket against the broadcast packed-edge array — the wedge
+    table (often 50x the edges) never ships through a shuffle at all.
+    Above the limit the exact (w1, w2)-bucket shuffle path runs (the
+    100-TB shape; same gate pattern as ``stages.keyed.broadcast_hash_join``).
     """
-    _e, deg, o = _degree_oriented(edges_ds, u, v, num_buckets)
+    e, deg, o = _degree_oriented(edges_ds, u, v, num_buckets)
+
+    n_edges = e.count()
+    if n_edges and n_edges <= broadcast_edges_limit:
+        import ray
+
+        pe_arr = _packed_oriented_edges(o, broadcast_edges_limit)
+        if pe_arr is not None:
+            edge_ref = ray.put(pe_arr)
+
+            def tag_s(batch: pa.Table) -> pa.Table:
+                return _add_bucket(batch, ["s"], num_buckets)
+
+            def close_local(df: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                      "tri": pd.Series(dtype="int64")})
+                if len(df) == 0 or "s" not in df.columns:
+                    return empty
+                d = df.sort_values(["s", "dt", "t"], kind="mergesort")
+                t = d["t"].to_numpy(np.int64)
+                a_idx, b_idx = within_group_pairs(t, d["s"].to_numpy(np.int64))
+                if len(a_idx) == 0:
+                    return empty
+                pe = ray.get(edge_ref)
+                w = (t[a_idx] << np.int64(32)) | t[b_idx]
+                pos = np.searchsorted(pe, w)
+                pos[pos >= len(pe)] = len(pe) - 1
+                hit = pe[pos] == w
+                if not hit.any():
+                    return empty
+                nodes = np.concatenate(
+                    [d["s"].to_numpy(np.int64)[a_idx][hit], t[a_idx][hit],
+                     t[b_idx][hit]]
+                )
+                g = pd.Series(nodes).value_counts()
+                return pd.DataFrame(
+                    {"node": g.index.to_numpy(np.int64),
+                     "tri": g.to_numpy(np.int64)}
+                )
+
+            credits = (
+                o.map_batches(tag_s, batch_format="pyarrow")
+                .groupby(_BUCKET)
+                .map_groups(close_local, batch_format="pandas")
+            )
+            return _lc_finish(credits, deg, num_buckets)
 
     def tag_s(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, ["s"], num_buckets)
@@ -278,6 +386,11 @@ def local_clustering(edges_ds, u: str = "u", v: str = "v", num_buckets: int = 64
         )
 
     credits = both.groupby(_BUCKET).map_groups(close_credit, batch_format="pandas")
+    return _lc_finish(credits, deg, num_buckets)
+
+
+def _lc_finish(credits, deg, num_buckets: int):
+    """Fold per-bucket (node, tri) credit partials and left-join degrees."""
     tri = grouped_partial_sums(credits, ["node"], {"tri": "tri"}, count_alias="__n")
 
     def drop_n(batch: pa.Table) -> pa.Table:

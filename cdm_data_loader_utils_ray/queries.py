@@ -8954,6 +8954,212 @@ WHERE deg > 1 ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# 157. TPC-H Q8 (adapted — no partsupp): NATION_1 suppliers' share of the
+#      ECONOMY-part market sold to ASIA customers, by order year.
+#      Three broadcast dims (part scope, supplier nation flag, customer
+#      region membership) + ONE partitioned hash join (lineitem x orders);
+#      the share is one double division over two exact int64 sums/year.
+# ---------------------------------------------------------------------------
+def q8_market_share(sf_dir: str):
+    import ray
+
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    r1 = set(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .loc[lambda d: d["r_name"] == "ASIA", "n_nationkey"]
+    )
+    n1_key = set(nation.loc[nation["n_name"] == "NATION_1", "n_nationkey"])
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = set(int(k) for k in part.loc[part["p_type"] == "ECONOMY", "p_partkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    n1_supp = set(int(k) for k in supp.loc[supp["s_nationkey"].isin(n1_key), "s_suppkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    r1_cust = set(int(k) for k in cust.loc[cust["c_nationkey"].isin(r1), "c_custkey"])
+    refs = ray.put((pkeys, n1_supp, r1_cust))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        _, _, rcust = ray.get(refs)
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        b = batch.filter(keep)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(pd.Series(ck).isin(rcust).to_numpy()))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_year": pc.year(b["o_orderdate"]).cast(pa.int64()),
+            }
+        )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        pk, nsupp, _ = ray.get(refs)
+        keep = pd.Series(
+            batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ).isin(pk).to_numpy()
+        b = batch.filter(pa.array(keep))
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        is_n1 = pd.Series(
+            b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ).isin(nsupp).to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "rev_e4": pa.array(rev, type=pa.int64()),
+                "n1_e4": pa.array(np.where(is_n1, rev, 0), type=pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], how="inner", num_buckets=32)
+    agg = grouped_partial_sums(
+        joined, ["o_year"], {"n1_e4": "n1_e4", "rev_e4": "rev_e4"},
+        count_alias="__n",
+    ).to_pandas()
+    agg["o_year"] = agg["o_year"].astype("int64")
+    agg["mkt_share"] = _round_away(
+        agg["n1_e4"].to_numpy(np.float64) / agg["rev_e4"].to_numpy(np.float64), 6
+    )
+    return agg.sort_values("o_year", kind="mergesort").reset_index(drop=True)[
+        ["o_year", "mkt_share"]
+    ]
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         (s_nationkey = (SELECT n_nationkey FROM nation
+                         WHERE n_name = 'NATION_1')) AS is_n1
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN is_n1 THEN rev_e4 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 158. End-to-end entity resolution over the documents corpus: SNM
+#      blocking (entry 155's operator) -> banded-DP Levenshtein verify on
+#      the 16-char blocking keys (distance <= 2) -> connected components
+#      (cluster = min doc_id).  The classic three-stage ER recipe composed
+#      from the engine's own operators; the SQL twin replays it with
+#      DuckDB's levenshtein + a WITH RECURSIVE min-label walk.
+# ---------------------------------------------------------------------------
+def er_clusters_snm(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from cdm_data_loader_utils_ray.functions.dedup import connected_components
+    from cdm_data_loader_utils_ray.functions.fuzzy import levenshtein
+    from cdm_data_loader_utils_ray.functions.textstats import _lower_exact
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+
+    def key(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks().cast(pa.string()), "")
+        k = pc.utf8_slice_codeunits(_lower_exact(txt), 0, 16)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "k": k})
+
+    keyed = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow"
+    ).materialize()  # two consumers: the SNM ranks and the key join-backs
+    cand = sorted_neighborhood_pairs(
+        keyed, "k", "doc_id", window=4, num_buckets=16
+    )
+
+    def prep(idc: str, kc: str):
+        def _p(batch: pa.Table) -> pa.Table:
+            return pa.table({idc: batch["doc_id"], kc: batch["k"]})
+
+        return _p
+
+    # key join-backs are DISTRIBUTED hash joins (an id->key broadcast map
+    # would be corpus-sized at 100 TB)
+    cand = cand.map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(
+        cand, keyed.map_batches(prep("id_a", "ka"), batch_format="pyarrow"),
+        on=["id_a"], num_buckets=16,
+    )
+    cand = hash_join(
+        cand, keyed.map_batches(prep("id_b", "kb"), batch_format="pyarrow"),
+        on=["id_b"], num_buckets=16,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            levenshtein(a, b, max_dist=2) <= 2
+            for a, b in zip(df["ka"], df["kb"])
+        ]
+        return df.loc[keep, ["id_a", "id_b"]]
+
+    edges = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    clusters = connected_components(edges)
+    clusters["doc_id"] = clusters["doc_id"].astype("int64")
+    clusters["cluster"] = clusters["cluster"].astype("int64")
+    return clusters.sort_values("doc_id", kind="mergesort").reset_index(drop=True)[
+        ["doc_id", "cluster"]
+    ]
+
+
+ER_CLUSTERS_SNM_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, substr(lower(text), 1, 16) AS k FROM documents
+),
+r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM t),
+cand AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.k AS ka, b.k AS kb
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+),
+e AS (SELECT ia, ib FROM cand WHERE levenshtein(ka, kb) <= 2),
+sym AS (SELECT ia AS a, ib AS b FROM e UNION SELECT ib, ia FROM e),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+walk(node, lab) AS (
+  SELECT id AS node, id AS lab FROM nodes
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT node AS doc_id, min(lab) AS cluster FROM walk GROUP BY node ORDER BY 1
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -9020,6 +9226,8 @@ _PRIORITY: tuple = (
     "bm25_terms",
     "snm_candidate_pairs",
     "clustering_copurchase",
+    "q8_market_share",
+    "er_clusters_snm",
 )
 
 
@@ -9040,6 +9248,8 @@ def _registry_entries() -> dict:
         "bm25_terms": (bm25_terms, BM25_SQL),
         "snm_candidate_pairs": (snm_candidate_pairs, SNM_PAIRS_SQL),
         "clustering_copurchase": (clustering_copurchase, CLUSTERING_COPURCHASE_SQL),
+        "q8_market_share": (q8_market_share, Q8_MARKET_SHARE_SQL),
+        "er_clusters_snm": (er_clusters_snm, ER_CLUSTERS_SNM_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),

@@ -260,3 +260,40 @@ def test_local_clustering_matches_brute_force(ray_session):
     )
     assert len(got) == len(exp)
     assert got[["deg", "tri"]].equals(exp[["deg", "tri"]].astype("int64"))
+
+
+def test_local_clustering_shuffle_path_and_bigid_fallback(ray_session):
+    """Force the (w1,w2)-shuffle path (broadcast gate = 0) and the
+    unpackable-id fallback (ids >= 2^31): both must equal the fast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import local_clustering
+
+    rng = np.random.default_rng(9)
+    e = pd.DataFrame({"u": rng.integers(0, 40, 300), "v": rng.integers(0, 40, 300)})
+    e = e[e.u != e.v].drop_duplicates().reset_index(drop=True)
+    fast = (
+        local_clustering(rd.from_pandas(e), num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    shuf = (
+        local_clustering(rd.from_pandas(e), num_buckets=8, broadcast_edges_limit=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast.equals(shuf)
+    big = e + 2**31  # ids no longer pack into one int64 -> fallback
+    got = (
+        local_clustering(rd.from_pandas(big), num_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (got["tri"].to_numpy() == fast["tri"].to_numpy()).all()
+    assert (got["node"].to_numpy() == (fast["node"].to_numpy() + 2**31)).all()
+    # triangle_count: broadcast fast path == shuffle path == 3-corner sum
+    from cdm_data_loader_utils_ray.functions.graph import triangle_count
+
+    ne_f, nt_f = triangle_count(rd.from_pandas(e), num_buckets=8)
+    ne_s, nt_s = triangle_count(rd.from_pandas(e), num_buckets=8,
+                                broadcast_edges_limit=0)
+    assert (ne_f, nt_f) == (ne_s, nt_s)
+    assert nt_f * 3 == int(fast["tri"].sum())
