@@ -217,6 +217,10 @@ def interval_join(
         s_col, e_col = (left_start, left_end) if side == "l" else (right_start, right_end)
 
         def _r(df: pd.DataFrame) -> pd.DataFrame:
+            # null boundaries never satisfy the SQL predicate (NULL
+            # comparisons are false); NaT would otherwise alias to
+            # int64-min and match spuriously
+            df = df[df[s_col].notna() & df[e_col].notna()]
             s = _interval_us(df[s_col].to_numpy())
             e = _interval_us(df[e_col].to_numpy())
             e = np.maximum(e, s)  # defensive: empty/negative intervals match nothing

@@ -74,3 +74,23 @@ def test_timestamp_columns(ray_session):
         tile_width_us=250_000, num_buckets=8,
     ).to_pandas()
     assert set(zip(got["lid"], got["rid"])) == _brute(L, R)
+
+
+def test_null_boundaries_never_match(ray_session):
+    # SQL semantics: a NULL start/end fails every comparison — the NaT
+    # int64-min aliasing must not leak matches
+    L = pd.DataFrame(
+        {"k": [1, 1], "lid": [0, 1],
+         "ls": pd.to_datetime([None, "2024-01-01"]),
+         "le": pd.to_datetime(["2024-01-02", "2024-01-02"])}
+    )
+    R = pd.DataFrame(
+        {"k": [1, 1], "rid": [0, 1],
+         "rs": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+         "re": pd.to_datetime(["2024-01-03", None])}
+    )
+    got = interval_join(
+        rd.from_pandas(L), rd.from_pandas(R), "ls", "le", "rs", "re", ["k"],
+        tile_width_us=86_400_000_000, num_buckets=2,
+    ).to_pandas()
+    assert set(zip(got["lid"], got["rid"])) == {(1, 0)}
