@@ -88,6 +88,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from cdm_data_loader_utils_ray.pipelines.maintenance import analyze_table
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    cols = [c for c in args.columns.split(",") if c] if args.columns else None
+    stats = analyze_table(LakeTable(args.lake), columns=cols)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DELETE FROM ... WHERE col = value.  ``--mode dv`` (default) writes
     equality-delete vectors — no data rewrite; ``--mode rewrite`` is the
@@ -573,6 +585,14 @@ def main(argv=None) -> int:
     c.add_argument("--row-group-size", type=int, default=None,
                    help="rows per parquet row group (skipping granularity)")
     c.set_defaults(fn=cmd_compact)
+
+    an = sub.add_parser(
+        "analyze", help="compute exact per-column table statistics"
+    )
+    an.add_argument("--lake", required=True)
+    an.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: every column)")
+    an.set_defaults(fn=cmd_analyze)
 
     dl = sub.add_parser(
         "delete", help="DELETE rows by column equality (dv sidecar or rewrite)"

@@ -616,6 +616,51 @@ def update_where(
     return m, int(m.metrics.get("touched_rows", 0))
 
 
+def analyze_table(table: LakeTable, columns=None) -> dict:
+    """``ANALYZE TABLE`` (Delta ``ANALYZE ... COMPUTE STATISTICS FOR
+    COLUMNS`` analogue): EXACT per-column statistics over the committed
+    LIVE state — row count, null count, distinct count, min/max — via the
+    shuffle-light profile kernels (min/max/count pass never shuffles; the
+    exact-distinct pass is one (column, value) bucket shuffle).  Persisted
+    under the ``stats`` table property, stamped with the analyzed epoch so
+    staleness is visible; CLI ``describe`` surfaces them.
+
+    Statistics never affect correctness (reads prune from parquet footers
+    and Bloom sidecars, not from these) — they are the catalog-facing
+    summary a warehouse user expects from DESCRIBE."""
+    from cdm_data_loader_utils_ray.functions.profile import profile
+
+    m = table.latest_manifest()
+    if m is None:
+        raise ValueError("analyze_table: no committed manifest")
+    live_cols = [f.name for f in m.schema if f.name != DELETED_COLUMN]
+    cols = list(columns) if columns is not None else live_cols
+    for c in cols:
+        if c not in live_cols:
+            raise ValueError(f"analyze_table: column {c!r} not in table schema")
+    df = profile(table.read_state(), cols)
+    def _pick(num, s):
+        # pandas renders absent numerics as NaN — NaN is not valid JSON
+        if num is None or (isinstance(num, float) and num != num):
+            return None if (isinstance(s, float) and s != s) else s
+        return num
+
+    col_stats = {}
+    for r in df.to_dict("records"):
+        col_stats[r["column"]] = {
+            "n_rows": int(r["n_rows"]),
+            "n_nulls": int(r["n_nulls"]),
+            "n_distinct": int(r["n_distinct"]),
+            "min": _pick(r.get("min_num"), r.get("min_str")),
+            "max": _pick(r.get("max_num"), r.get("max_str")),
+        }
+    stats = {"epoch": m.epoch, "columns": col_stats}
+    props = table.get_properties()
+    props["stats"] = stats
+    table.set_properties(props)
+    return stats
+
+
 def delete_where(
     table: LakeTable,
     predicate: Callable[[pa.Table], pa.Array],

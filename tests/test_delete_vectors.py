@@ -197,3 +197,30 @@ def test_migrate_respects_dvs(lake):
     key = [("repo", "ascending"), ("path", "ascending")]
     assert expect.sort_by(key).equals(got.sort_by(key))
     assert len(got.filter(pc.equal(got["lang"], "py"))) == 0
+
+
+def test_analyze_table_reflects_live_state(lake):
+    import duckdb
+
+    from cdm_data_loader_utils_ray.pipelines.maintenance import analyze_table
+
+    table, ev, _ = lake
+    delete_where(table, _pred, mode="dv")  # stats must see DVs applied
+    stats = analyze_table(table, columns=["lang", "seq", "repo"])
+    assert stats["epoch"] == table.latest_epoch()
+    live = read_final_state_arrow(table)  # live view: tombstones + DVs out
+    con = duckdb.connect()
+    con.register("live", live)
+    exp = con.execute(
+        "SELECT count(*), count(*) - count(lang), count(DISTINCT lang), "
+        "min(seq), max(seq) FROM live"
+    ).fetchone()
+    s = stats["columns"]
+    assert s["lang"]["n_rows"] == exp[0]
+    assert s["lang"]["n_nulls"] == exp[1]
+    assert s["lang"]["n_distinct"] == exp[2]
+    assert s["seq"]["min"] == float(exp[3]) and s["seq"]["max"] == float(exp[4])
+    # persisted + surfaced through properties
+    assert table.get_properties()["stats"]["columns"]["repo"]["n_rows"] == exp[0]
+    with pytest.raises(ValueError):
+        analyze_table(table, columns=["nope"])
