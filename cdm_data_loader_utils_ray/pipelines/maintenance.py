@@ -667,6 +667,7 @@ def delete_where(
     run_id: str = "delete",
     mode: str = "dv",
     column_range: dict | None = None,
+    predicate_columns=None,
 ) -> tuple[Manifest, int]:
     """``DELETE FROM ... WHERE`` analogue.  Two execution modes:
 
@@ -682,7 +683,10 @@ def delete_where(
     Returns ``(manifest, deleted_row_count)``.  A key re-inserted by a
     LATER CDC epoch outlives the delete (the vector's watermark is the
     partition hwm at delete time).  ``column_range`` is the same
-    footer-skipping hint as :func:`update_where`.
+    footer-skipping hint as :func:`update_where`.  ``predicate_columns``
+    (dv mode): the caller asserts the predicate reads only these columns —
+    the chain merge then projects to them (+ keys/seq), so a wide table's
+    payload never leaves storage for a narrow delete.
     """
     if mode == "rewrite":
 
@@ -717,6 +721,7 @@ def delete_where(
     table_dir = table.dir
     ranges = dict(column_range or {})
     dv_sfx = uuid.uuid4().hex[:8]  # run-unique paths (racing-maintenance rule)
+    pred_cols = list(predicate_columns) if predicate_columns is not None else None
 
     def one(batch: dict) -> pa.Table:
         rows = []
@@ -730,7 +735,10 @@ def delete_where(
             ):
                 rows.append({"pid": pid, "dv": "", "n": 0})
                 continue
-            t = merge_chain_files(table_dir, chain, m, delete_files=dvs[pid])
+            t = merge_chain_files(
+                table_dir, chain, m, delete_files=dvs[pid],
+                columns=pred_cols,
+            )
             mask = pc.fill_null(predicate(t), False)
             n = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
             if n == 0:

@@ -224,3 +224,16 @@ def test_analyze_table_reflects_live_state(lake):
     assert table.get_properties()["stats"]["columns"]["repo"]["n_rows"] == exp[0]
     with pytest.raises(ValueError):
         analyze_table(table, columns=["nope"])
+
+
+def test_dv_predicate_column_projection(lake):
+    table, _, tmp = lake
+    twin = clone_table(table, str(tmp / "proj"))
+    tw = LakeTable(str(tmp / "proj"))
+    m1, n1 = delete_where(table, _pred, mode="dv")
+    m2, n2 = delete_where(tw, _pred, mode="dv", predicate_columns=["lang"])
+    assert n1 == n2 > 0
+    a = read_final_state_arrow(table)
+    b = read_final_state_arrow(tw)
+    key = [("repo", "ascending"), ("path", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
