@@ -46,3 +46,27 @@ def test_window_larger_than_corpus(ray_session):
     ).to_pandas()
     # all 3 pairs, ranks by (key, id): a->1, b->2, c->3
     assert set(zip(got["id_a"], got["id_b"])) == {(1, 3), (1, 2), (3, 2)}
+
+
+def test_constant_key_degenerate(ray_session):
+    # every key equal: ONE order bucket holds everything; ranks fall back
+    # to pure id order and the window is still exact
+    n = 120
+    df = pd.DataFrame({"rid": np.arange(n, dtype=np.int64)[::-1], "k": ["x"] * n})
+    got = sorted_neighborhood_pairs(
+        rd.from_pandas(df), "k", "rid", window=3, num_buckets=8, tile_rows=16
+    ).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"], got["rn_a"], got["rn_b"]))
+    assert len(got) == len(pairs)
+    assert pairs == _brute(df, "k", "rid", 3)
+
+
+def test_more_buckets_than_keys(ray_session):
+    df = pd.DataFrame({"rid": np.arange(10, dtype=np.int64),
+                       "k": [f"k{i%2}" for i in range(10)]})
+    got = sorted_neighborhood_pairs(
+        rd.from_pandas(df), "k", "rid", window=2, num_buckets=64
+    ).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"], got["rn_a"], got["rn_b"])) == _brute(
+        df, "k", "rid", 2
+    )
