@@ -9108,20 +9108,34 @@ def er_clusters_snm(sf_dir: str):
 
         return _p
 
-    # key join-backs are DISTRIBUTED hash joins (an id->key broadcast map
-    # would be corpus-sized at 100 TB)
+    # key join-backs: the id->key table is corpus-sized at 100 TB, so the
+    # partitioned hash_join is the scale path — but below the broadcast
+    # gate (q5 precedent) the zero-shuffle Arrow-kernel join wins (two
+    # bucket shuffles cost more than the whole rest of the recipe at sf0.1)
+    from cdm_data_loader_utils_ray.stages.keyed import broadcast_hash_join
+
     cand = cand.map_batches(
         lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
         batch_format="pyarrow",
     )
-    cand = hash_join(
-        cand, keyed.map_batches(prep("id_a", "ka"), batch_format="pyarrow"),
-        on=["id_a"], num_buckets=16,
-    )
-    cand = hash_join(
-        cand, keyed.map_batches(prep("id_b", "kb"), batch_format="pyarrow"),
-        on=["id_b"], num_buckets=16,
-    )
+    if keyed.count() <= 2_000_000:
+        cand = broadcast_hash_join(
+            cand, keyed.map_batches(prep("id_a", "ka"), batch_format="pyarrow"),
+            on=["id_a"],
+        )
+        cand = broadcast_hash_join(
+            cand, keyed.map_batches(prep("id_b", "kb"), batch_format="pyarrow"),
+            on=["id_b"],
+        )
+    else:
+        cand = hash_join(
+            cand, keyed.map_batches(prep("id_a", "ka"), batch_format="pyarrow"),
+            on=["id_a"], num_buckets=16,
+        )
+        cand = hash_join(
+            cand, keyed.map_batches(prep("id_b", "kb"), batch_format="pyarrow"),
+            on=["id_b"], num_buckets=16,
+        )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep = [
