@@ -321,6 +321,53 @@ def fixed_size_sample(
     )
 
 
+def weighted_sample(
+    ds,
+    id_column: str,
+    weight_column: str,
+    k: int,
+    key_column: str = "wkey",
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): keep the ``k`` rows with the smallest
+    ``key = -ln((u + 0.5) / range) / w`` — equivalently the largest
+    ``u^(1/w)`` — where ``u`` is the portable per-id uniform.  Inclusion
+    probability is proportional to weight; draws are coordinated (a row's
+    key depends only on its id and weight), so reruns and overlapping
+    tables sample consistently.
+
+    Engine-portable float: ``(u + 0.5) / range`` is an exact dyadic
+    rational (one ln on identical doubles — the surprisal precedent), and
+    the single division by the weight is pinned, so a SQL twin orders by
+    the token-identical expression.  Rows with ``w <= 0`` or null ids are
+    excluded (matching the twin's WHERE).  Same bottom-k shape as
+    :func:`fixed_size_sample`: per-batch partial top-k, driver merge of
+    ``<= n_batches * k`` rows."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u, valid, rng = portable_uniform(batch[id_column])
+        w = np.asarray(batch[weight_column].cast(pa.float64()).fill_null(0.0))
+        ok = valid & (w > 0)
+        key = -np.log((u[ok] + 0.5) / float(rng)) / w[ok]
+        ids = batch[id_column].to_pandas()
+        sub = pd.DataFrame(
+            {
+                id_column: ids[ok],
+                weight_column: np.asarray(batch[weight_column])[ok],
+                key_column: key,
+            }
+        )
+        return sub.sort_values([key_column, id_column], kind="mergesort").head(k)
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    return (
+        parts.sort_values([key_column, id_column], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def fixed_size_sample_per_group(
     ds,
     group_columns: Sequence[str],

@@ -9174,6 +9174,51 @@ SELECT node AS doc_id, min(lab) AS cluster FROM walk GROUP BY node ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 159. Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+#      over documents, weight = character length: smallest
+#      -ln((u+0.5)/2^32)/w keys win.  (u+0.5)/2^32 is an exact dyadic
+#      rational, so the single ln + division is token-identical in SQL
+#      (surprisal precedent); draws are coordinated via the portable
+#      per-id uniform.  Bottom-k shape: per-batch partial top-k, no sort
+#      or shuffle of the corpus.
+# ---------------------------------------------------------------------------
+def weighted_sample_docs(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.sampling import weighted_sample
+
+    def feat(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks().cast(pa.string()), "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "wt": pc.utf8_length(txt).cast(pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        feat, batch_format="pyarrow"
+    )
+    out = weighted_sample(ds, "doc_id", "wt", k=50)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["wt"] = out["wt"].astype("int64")
+    out["wkey"] = _round_away(out["wkey"], 6)
+    return out[["doc_id", "wt", "wkey"]]
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS wt,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS u
+  FROM documents WHERE doc_id IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, wt,
+       round(-ln((u + 0.5) / 4294967296.0) / CAST(wt AS DOUBLE), 6) AS wkey
+FROM w
+ORDER BY -ln((u + 0.5) / 4294967296.0) / CAST(wt AS DOUBLE), doc_id
+LIMIT 50
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -9237,6 +9282,7 @@ _PRIORITY: tuple = (
     "snm_candidate_pairs",
     "clustering_copurchase",
     "er_clusters_snm",
+    "weighted_sample_docs",
     "q8_market_share",
     "q4_priority_late",
     "q21_waiting_supplier",
@@ -9270,6 +9316,7 @@ def _registry_entries() -> dict:
         "clustering_copurchase": (clustering_copurchase, CLUSTERING_COPURCHASE_SQL),
         "q8_market_share": (q8_market_share, Q8_MARKET_SHARE_SQL),
         "er_clusters_snm": (er_clusters_snm, ER_CLUSTERS_SNM_SQL),
+        "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),

@@ -325,3 +325,33 @@ def test_fixed_size_sample_per_group_quota_and_small_groups():
         got = {g: set(sub["id"]) for g, sub in out.groupby("g")}
         assert got == expect
         assert len(out[out["g"] == "b"]) == 3  # group smaller than k kept whole
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.sampling import weighted_sample
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # first half heavy (w=50), second half light (w=1)
+            "wt": np.where(np.arange(n) < n // 2, 50, 1).astype(np.int64),
+        }
+    )
+    s1 = weighted_sample(rd.from_pandas(df), "doc_id", "wt", k=400)
+    s2 = weighted_sample(
+        rd.from_pandas(df.sample(frac=1.0, random_state=7)), "doc_id", "wt", k=400
+    )
+    # deterministic + arrival-order independent
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()
+    heavy = (s1["doc_id"] < n // 2).sum()
+    # E[heavy] ≈ 400 * 50/51-ish under A-ES; anything below 70% would be broken
+    assert heavy > 300
+    # zero/negative weights are excluded
+    df.loc[0, "wt"] = 0
+    s3 = weighted_sample(rd.from_pandas(df), "doc_id", "wt", k=n)
+    assert 0 not in set(s3["doc_id"]) and len(s3) == n - 1
