@@ -9219,6 +9219,100 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# 160. LINEAR multi-touch attribution (the fractional sibling of entry
+#      purchase_attribution's last-touch): every view/click in the 7 days
+#      before a purchase shares that purchase's credit equally (1/n).
+#      Float discipline: per-touch credits 1/n cannot be summed in a
+#      pinnable order, so the OUTPUT is grouped by (n_touches, type) —
+#      ONE division per output row over exact int counts.  Machinery:
+#      range_join (touch point in purchase window) + two combiner folds
+#      + one small hash join.
+# ---------------------------------------------------------------------------
+def linear_attribution(sf_dir: str):
+    from cdm_data_loader_utils_ray.functions.aggregates import grouped_partial_sums
+    from cdm_data_loader_utils_ray.stages.keyed import hash_join
+    from cdm_data_loader_utils_ray.stages.temporal import range_join
+
+    ev_cols = ["event_id", "user_id", "ts", "event_type"]
+    week_us = 7 * 86_400_000_000
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        pts = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "purchase_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ws": pc.subtract(pts, pa.scalar(week_us, type=pa.int64())),
+                "we": pts,
+            }
+        )
+
+    def touches(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(batch["event_type"], "view"),
+            pc.equal(batch["event_type"], "click"),
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "tts": b["ts"].cast(pa.int64()),
+                "touch_type": b["event_type"],
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=ev_cols)
+    pairs = range_join(
+        ev.map_batches(touches, batch_format="pyarrow"),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        "tts", "ws", "we", ["user_id"], num_buckets=32,
+    ).materialize()  # two consumers: the per-purchase and per-type folds
+    per_p = grouped_partial_sums(pairs, ["purchase_id"], {}, count_alias="n")
+    per_pt = grouped_partial_sums(
+        pairs, ["purchase_id", "touch_type"], {}, count_alias="cnt"
+    )
+    per_p = per_p.map_batches(lambda t: t, batch_format="pyarrow")
+    per_pt = per_pt.map_batches(lambda t: t, batch_format="pyarrow")
+    j = hash_join(per_pt, per_p, on=["purchase_id"], how="inner", num_buckets=16)
+    agg = grouped_partial_sums(
+        j, ["n", "touch_type"], {"touches": "cnt"}, count_alias="__g"
+    ).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["touches"] = agg["touches"].astype("int64")
+    agg["credit"] = _round_away(
+        agg["touches"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64), 6
+    )
+    return agg.sort_values(["n", "touch_type"], kind="mergesort").reset_index(
+        drop=True
+    )[["n", "touch_type", "touches", "credit"]]
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS tts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.purchase_id, t.touch_type
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tts >= p.pts - INTERVAL 7 DAY AND t.tts < p.pts
+),
+per_p AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+per_pt AS (SELECT purchase_id, touch_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM j GROUP BY 1, 2)
+SELECT n, touch_type, CAST(sum(cnt) AS BIGINT) AS touches,
+       round(CAST(sum(cnt) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS credit
+FROM per_pt JOIN per_p USING (purchase_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -9283,6 +9377,7 @@ _PRIORITY: tuple = (
     "clustering_copurchase",
     "er_clusters_snm",
     "weighted_sample_docs",
+    "linear_attribution",
     "q8_market_share",
     "q4_priority_late",
     "q21_waiting_supplier",
@@ -9317,6 +9412,7 @@ def _registry_entries() -> dict:
         "q8_market_share": (q8_market_share, Q8_MARKET_SHARE_SQL),
         "er_clusters_snm": (er_clusters_snm, ER_CLUSTERS_SNM_SQL),
         "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+        "linear_attribution": (linear_attribution, LINEAR_ATTRIBUTION_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),
