@@ -1199,10 +1199,19 @@ def read_final_state_arrow(table: LakeTable, live_only: bool = True) -> pa.Table
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def export_state(table: LakeTable, out_dir: str, live_only: bool = True) -> str:
+def export_state(table: LakeTable, out_dir: str, live_only: bool = True,
+                 partition_by: "list[str] | None" = None) -> str:
     """Materialize committed final state to a plain Parquet directory via a
-    streaming write (consumers that don't speak the manifest format)."""
-    read_final_state(table, live_only=live_only).write_parquet(out_dir)
+    streaming write (consumers that don't speak the manifest format).
+    ``partition_by`` writes a Hive-partitioned layout
+    (``col=value/`` directories — Spark/Trino/DuckDB-readable); pick
+    low-cardinality columns, every distinct combination becomes a
+    directory."""
+    ds = read_final_state(table, live_only=live_only)
+    if partition_by:
+        ds.write_parquet(out_dir, partition_cols=list(partition_by))
+    else:
+        ds.write_parquet(out_dir)
     return out_dir
 
 

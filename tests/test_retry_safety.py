@@ -79,3 +79,33 @@ def test_export_state(tmp_path):
 
     exported = rd.read_parquet(out).to_pandas()
     assert len(exported) == read_final_state_arrow(t).num_rows
+
+
+def test_export_state_hive_partitioned(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import (
+        export_state,
+        read_final_state_arrow,
+        run_replay,
+    )
+
+    ev_path = str(tmp_path / "ev.parquet")
+    pq.write_table(make_events(num_keys=30, num_events=200, seed=72), ev_path)
+    lake = str(tmp_path / "lake")
+    run_replay(ev_path, lake, num_partitions=4)
+    t = LakeTable(lake)
+    out = export_state(t, str(tmp_path / "hive"), partition_by=["lang"])
+    # Hive layout: one lang=<value>/ directory per distinct value
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet', "
+        "hive_partitioning=1)"
+    ).fetchone()[0]
+    assert n == read_final_state_arrow(t).num_rows
