@@ -28,11 +28,12 @@ Crash semantics:
   always completes.
 
 What this gives: ATOMICITY + DURABILITY across tables (all-or-nothing
-modulo roll-forward).  What it does NOT give: cross-table snapshot
-ISOLATION — a reader racing the publish loop can observe table A's new
-epoch next to table B's old one until recovery/publish finishes; each
-table's own read remains consistent (single-pointer resolution).  This is
-the documented trade of pointer-per-table layouts.
+modulo roll-forward).  A bare racing reader can still observe table A's
+new epoch next to table B's old one mid-publish (each table's own read
+stays consistent — single-pointer resolution); readers that need a
+transactionally consistent CUT across tables use :func:`snapshot_view`,
+which validates a quiet window (no journal + unchanged pointers on
+re-read) and retries through racing commits.
 """
 
 from __future__ import annotations
@@ -81,7 +82,14 @@ def commit_transaction(
     )
     for table, epoch in staged:
         table.publish_epoch(epoch)
-    os.unlink(journal)
+    try:
+        os.unlink(journal)
+    except FileNotFoundError:
+        # a concurrent recover_transactions (e.g. a snapshot_view reader)
+        # rolled our journal forward and cleaned it first — the publishes
+        # above were idempotent no-ops; the transaction still committed
+        # exactly once
+        pass
     return txn_id
 
 
@@ -132,3 +140,49 @@ def recover_transactions(txn_dir: str) -> list[str]:
             pass  # concurrent recovery already cleaned it
         done.append(j["id"])
     return done
+
+
+def _journals_present(txn_dir: str) -> bool:
+    if not os.path.isdir(txn_dir):
+        return False
+    return any(
+        f.startswith("txn-") and f.endswith(".json") for f in os.listdir(txn_dir)
+    )
+
+
+def snapshot_view(
+    table_dirs: list[str], txn_dir: str, max_retries: int = 25
+) -> dict[str, "Manifest"]:
+    """Cross-table SNAPSHOT-ISOLATED read: a ``{table_dir: Manifest}`` cut
+    that no committed transaction straddles — closing the read-side half
+    of the documented pointer-per-table trade (writers already get
+    atomicity from the journal protocol; this gives readers a consistent
+    view without any new write-path state).
+
+    Optimistic validation: roll pending journals forward, read every
+    LATEST, then confirm (a) no journal exists and (b) a second read of
+    every LATEST is unchanged.  Each LATEST read is atomic, so a
+    transaction completing anywhere inside the window moves some pointer
+    (caught by the re-read) or leaves its journal (caught by the journal
+    check); a writer that has only STAGED is invisible by design.
+    Retries until a quiet window; raises after ``max_retries`` (a
+    pathological steady stream of commits — back off at the caller).
+    """
+    tables = [LakeTable(d) for d in table_dirs]
+    for _ in range(max_retries):
+        recover_transactions(txn_dir)
+        first = [t.latest_epoch() for t in tables]
+        if _journals_present(txn_dir):
+            continue  # a commit point landed mid-read: retry
+        second = [t.latest_epoch() for t in tables]
+        if first != second or _journals_present(txn_dir):
+            continue
+        return {
+            t.dir: t.read_manifest(e)
+            for t, e in zip(tables, second)
+            if e is not None
+        }
+    raise RuntimeError(
+        f"snapshot_view: no quiet window in {max_retries} attempts "
+        "(continuous concurrent commits)"
+    )

@@ -174,3 +174,69 @@ def test_malformed_journal_shapes_never_raise(tmp_path):
     assert recover_transactions(d) == []
     # evidence retained
     assert len([f for f in os.listdir(d) if f.startswith("txn-")]) == len(shapes)
+
+
+def test_snapshot_view_consistent_under_hammer(two_lakes):
+    """A writer thread streams lockstep transactions (both tables stamp
+    the same version); every snapshot_view cut must show EQUAL versions —
+    a mixed cut is the isolation hole the validation loop closes."""
+    import threading
+
+    from cdm_data_loader_utils_ray.pipelines.txn import snapshot_view
+
+    (a, b), txn_dir = two_lakes
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        v = 0
+        try:
+            while not stop.is_set():
+                v += 1
+                ma, mb = _next_manifest(a), _next_manifest(b)
+                ma.metrics["v"] = v
+                mb.metrics["v"] = v
+                commit_transaction([(a, ma), (b, mb)], txn_dir)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        mixed = 0
+        for _ in range(60):
+            cut = snapshot_view([a.dir, b.dir], txn_dir, max_retries=200)
+            va = cut[a.dir].metrics.get("v", 0)
+            vb = cut[b.dir].metrics.get("v", 0)
+            if va != vb:
+                mixed += 1
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errs
+    assert mixed == 0
+
+
+def test_snapshot_view_rolls_forward_stalled_txn(two_lakes):
+    """A journaled-but-unpublished (crashed) transaction: snapshot_view
+    completes the roll-forward itself and returns the POST-txn cut."""
+    from cdm_data_loader_utils_ray.pipelines.txn import snapshot_view
+
+    (a, b), txn_dir = two_lakes
+    ma, mb = _next_manifest(a), _next_manifest(b)
+    ma.metrics["v"] = 7
+    mb.metrics["v"] = 7
+    a.stage_manifest(ma)
+    b.stage_manifest(mb)
+    os.makedirs(txn_dir, exist_ok=True)
+    _atomic_write(
+        os.path.join(txn_dir, "txn-stall.json"),
+        json.dumps({
+            "id": "stall",
+            "tables": [{"dir": a.dir, "epoch": ma.epoch},
+                       {"dir": b.dir, "epoch": mb.epoch}],
+        }),
+    )
+    cut = snapshot_view([a.dir, b.dir], txn_dir)
+    assert cut[a.dir].metrics["v"] == 7 and cut[b.dir].metrics["v"] == 7
+    assert not [f for f in os.listdir(txn_dir) if f.startswith("txn-")]
