@@ -149,6 +149,133 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3) if ch == 3 else data.reshape(h, w)
 
 
+# ---------------------------------------------------------------------------
+# PNG — REAL decode/encode with stdlib zlib (RFC 2083): chunk framing +
+# CRC, DEFLATE via zlib, and the five scanline filters.  Supported: 8-bit
+# greyscale (color type 0), RGB (2) and RGBA (6), non-interlaced — the
+# overwhelming majority of real-world PNGs outside palette images.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) / (h, w, 3) / (h, w, 4) -> PNG bytes (filter 0,
+    stdlib zlib DEFLATE)."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = a.shape[:2]
+    # filter byte 0 (None) per scanline, vectorized prepend
+    rows = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    rows[:, 1:] = a.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) for greyscale, (h, w, 3|4) for
+    RGB/RGBA.  Validates chunk CRCs; all five scanline filters (None,
+    Sub, Up, Average, Paeth) are undone — Sub/Average/Paeth carry a
+    within-row dependency, so those rows reconstruct with a per-pixel
+    walk over numpy rows (Up/None stay fully vectorized)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = []
+    h = bit_depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color={color}, "
+            f"interlace={interlace}): 8-bit grey/RGB/RGBA non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        raise ValueError("PNG IDAT size mismatch")
+    rows = raw.reshape(h, stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * ch, np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up — vectorized
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependency walk
+            rec = np.zeros(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                left = rec[i - ch] if i >= ch else 0
+                up = prev[i]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = (prev[i - ch] if i >= ch else 0)
+                    p = left + up - ul
+                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc_) else (
+                        up if pb <= pc_ else ul
+                    )
+                rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize as ONE numpy gather (rows then cols) — the
     real resize kernel, no loops, no libs."""
@@ -158,13 +285,24 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode: PNG (signature) or PPM/PGM (magic) -> uint8
+    array.  The one entry point the feature extractors use."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return decode_ppm(payload)
+
+
 def image_features(payload: bytes, hist_bins: int = 8) -> np.ndarray:
     """Real image features: [h, w, mean R/G/B, std R/G/B] + luminance
     histogram (``hist_bins`` normalized bins).  Grayscale payloads are
-    treated as R=G=B.  float32, length ``8 + hist_bins``."""
-    img = decode_ppm(payload)
+    treated as R=G=B; RGBA drops alpha.  float32, length
+    ``8 + hist_bins``."""
+    img = decode_image(payload)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
     f = img.astype(np.float32)
     lum = 0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1] + 0.0722 * f[:, :, 2]
     hist, _ = np.histogram(lum, bins=hist_bins, range=(0.0, 255.0))

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata.
 
-The decode/resize/feature kernels require media libraries that are NOT in
-this container, so the codec boundary is stubbed — either raising
-``NotImplementedError`` (strict mode) or producing a deterministic fake
-(test mode).  Everything Ray-side is real and tested: schemas, actor-pool
-stages with per-actor "model" setup, byte-budgeted small batches for large
-binary payloads, and the output layout.
+WAV-PCM, PNG and PPM/PGM decode for REAL (``functions/codecs`` — pure
+stdlib + numpy, including a full PNG inflate + scanline-filter decoder);
+formats needing codec libraries absent from this container (jpeg/mp4/mp3)
+stay honestly stubbed — raising ``NotImplementedError`` (strict mode) or
+producing a deterministic fake (test mode).  Everything Ray-side is real
+and tested: schemas, actor-pool stages with per-actor "model" setup,
+byte-budgeted small batches for large binary payloads, and the output
+layout.
 """
 
 from __future__ import annotations
@@ -81,12 +83,15 @@ class MediaFeatureExtractor:
         c = self._codecs
         if mime == "audio/wav":
             f = c.wav_features(payload)
-        elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        elif mime in ("image/png", "image/x-portable-pixmap",
+                      "image/x-portable-graymap"):
+            # PNG is REAL too (stdlib zlib inflate + the five scanline
+            # filters, codecs.decode_png) — only jpeg/mp4 remain stubbed
             f = c.image_features(payload)
         else:
             raise NotImplementedError(
                 f"real decode of {mime!r} requires codec libraries not in "
-                "this container (WAV-PCM and PPM/PGM are fully supported)"
+                "this container (WAV-PCM, PNG and PPM/PGM are fully supported)"
             )
         out = np.zeros(self.dim, dtype=np.float32)
         out[: min(self.dim, len(f))] = f[: self.dim]
@@ -237,8 +242,10 @@ def documents_as_media(batch: pa.Table, id_column: str = "doc_id",
 
 
 def synth_real_media(n: int = 12, seed: int = 7) -> pa.Table:
-    """Deterministic REAL media payloads — decodable WAV sines and PPM
-    gradients (``functions/codecs``), no fixtures or media libs needed."""
+    """Deterministic REAL media payloads — decodable WAV sines plus PPM
+    and PNG gradients (``functions/codecs``), no fixtures or media libs
+    needed; image rows alternate PPM / PNG so both real image decoders
+    are exercised."""
     from cdm_data_loader_utils_ray.functions import codecs
 
     rng = np.random.default_rng(seed)
@@ -261,11 +268,14 @@ def synth_real_media(n: int = 12, seed: int = 7) -> pa.Table:
                 np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
                 * np.ones((h, 1, 3))
             ).astype(np.uint8)
+            as_png = (i % 4) == 3
             rows.append(
                 {
                     "media_id": f"r{i:04d}", "kind": "image",
-                    "mime": "image/x-portable-pixmap",
-                    "payload": codecs.encode_ppm(img),
+                    "mime": "image/png" if as_png
+                            else "image/x-portable-pixmap",
+                    "payload": codecs.encode_png(img) if as_png
+                               else codecs.encode_ppm(img),
                     "width": w, "height": h, "duration_ms": None,
                 }
             )

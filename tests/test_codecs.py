@@ -87,4 +87,83 @@ def test_real_mode_rejects_compressed_mimes():
 
     ex = MediaFeatureExtractor(dim=8, mode="real")
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        ex.decode(b"\x89PNG...", "image", "image/png")
+        ex.decode(b"\xff\xd8\xff\xe0jpeg...", "image", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        ex.decode(b"....ftypmp4", "video", "video/mp4")
+
+
+def test_png_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(13, 17), (13, 17, 3), (9, 5, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # a PNG using ALL five scanline filters (reference-filtered by hand)
+    h, w, ch = 6, 7, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    rows, prev = [], np.zeros(w * ch, np.int32)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4, 1]):
+        cur = flat[y]
+        if f == 0:
+            filt = cur
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        else:
+            filt = np.zeros(w * ch, np.int32)
+            for i in range(w * ch):
+                left = cur[i - ch] if i >= ch else 0
+                up, ul = prev[i], (prev[i - ch] if i >= ch else 0)
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa_ <= pb and pa_ <= pc_) else (
+                        up if pb <= pc_ else ul
+                    )
+                filt[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+    # CRC corruption is caught, truncated/unsupported rejected
+    bad = bytearray(encode_png(img))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+
+
+def test_decode_image_sniffs_png_and_ppm():
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        decode_image,
+        encode_png,
+        encode_ppm,
+        image_features,
+    )
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    fp, fm = image_features(encode_png(img)), image_features(encode_ppm(img))
+    assert np.allclose(fp, fm)  # identical pixels -> identical features
