@@ -24,6 +24,11 @@ import wave
 
 import numpy as np
 
+# module level, not lazy: decode_image runs inside worker tasks, where a
+# lazy intra-package import would re-import the package without an import
+# path (the by-value serialization contract — see CLAUDE.md)
+from cdm_data_loader_utils_ray.functions.jpeg import decode_jpeg
+
 # ---------------------------------------------------------------------------
 # WAV (PCM)
 # ---------------------------------------------------------------------------
@@ -286,10 +291,13 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode: PNG (signature) or PPM/PGM (magic) -> uint8
-    array.  The one entry point the feature extractors use."""
+    """Sniff-and-decode: PNG (signature), baseline JPEG (SOI) or PPM/PGM
+    (magic) -> uint8 array.  The one entry point the feature extractors
+    use."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     return decode_ppm(payload)
 
 

@@ -1,9 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata.
 
-WAV-PCM, PNG and PPM/PGM decode for REAL (``functions/codecs`` — pure
-stdlib + numpy, including a full PNG inflate + scanline-filter decoder);
-formats needing codec libraries absent from this container (jpeg/mp4/mp3)
+WAV-PCM, PNG, baseline JPEG and PPM/PGM decode for REAL
+(``functions/codecs`` + ``functions/jpeg`` — pure stdlib + numpy: PNG
+inflate + all five scanline filters; JPEG Huffman entropy decode, exact
+8x8 IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers).  Formats needing
+codec libraries absent from this container (mp4/mp3, progressive JPEG)
 stay honestly stubbed — raising ``NotImplementedError`` (strict mode) or
 producing a deterministic fake (test mode).  Everything Ray-side is real
 and tested: schemas, actor-pool stages with per-actor "model" setup,
@@ -83,15 +85,17 @@ class MediaFeatureExtractor:
         c = self._codecs
         if mime == "audio/wav":
             f = c.wav_features(payload)
-        elif mime in ("image/png", "image/x-portable-pixmap",
+        elif mime in ("image/png", "image/jpeg", "image/x-portable-pixmap",
                       "image/x-portable-graymap"):
-            # PNG is REAL too (stdlib zlib inflate + the five scanline
-            # filters, codecs.decode_png) — only jpeg/mp4 remain stubbed
+            # PNG (stdlib zlib + scanline filters) and baseline JPEG
+            # (functions/jpeg: Huffman + IDCT, pure numpy) are REAL —
+            # only video/audio-compressed formats (mp4/mp3) stay stubbed
             f = c.image_features(payload)
         else:
             raise NotImplementedError(
                 f"real decode of {mime!r} requires codec libraries not in "
-                "this container (WAV-PCM, PNG and PPM/PGM are fully supported)"
+                "this container (WAV-PCM, PNG, baseline JPEG and PPM/PGM "
+                "are fully supported)"
             )
         out = np.zeros(self.dim, dtype=np.float32)
         out[: min(self.dim, len(f))] = f[: self.dim]

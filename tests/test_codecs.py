@@ -82,14 +82,15 @@ def test_real_extractor_mode_through_actor_pool():
     assert i[0] > 0 and i[1] > 0 and i[2] == pytest.approx(i[3], rel=1e-5)
 
 
-def test_real_mode_rejects_compressed_mimes():
+def test_real_mode_rejects_unsupported_mimes():
     from cdm_data_loader_utils_ray.functions.multimodal import MediaFeatureExtractor
 
     ex = MediaFeatureExtractor(dim=8, mode="real")
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        ex.decode(b"\xff\xd8\xff\xe0jpeg...", "image", "image/jpeg")
-    with pytest.raises(NotImplementedError, match="codec libraries"):
         ex.decode(b"....ftypmp4", "video", "video/mp4")
+    # jpeg is REAL now: garbage jpeg bytes fail as malformed, not as stub
+    with pytest.raises(ValueError):
+        ex.decode(b"\xff\xd8\xff\xe0garbage", "image", "image/jpeg")
 
 
 def test_png_roundtrip_and_filters():
