@@ -290,6 +290,214 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+# ---------------------------------------------------------------------------
+# GIF — REAL first-frame decode/encode (GIF87a/89a): LZW with variable
+# code width, global/local color tables, interlace; extensions skipped.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, expect: int) -> np.ndarray:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = np.empty(expect, dtype=np.uint8)
+    n_out = 0
+    # dictionary as (prefix_code, last_byte); roots are -1-prefixed
+    prefix = np.full(4096, -1, dtype=np.int32)
+    last = np.zeros(4096, dtype=np.uint8)
+    for c in range(clear):
+        last[c] = c
+
+    def emit(code: int) -> int:
+        # walk the chain, write reversed
+        nonlocal n_out
+        chain = []
+        c = code
+        while c >= 0:
+            chain.append(last[c])
+            c = prefix[c]
+        ln = len(chain)
+        if n_out + ln > expect:
+            raise ValueError("GIF LZW output overflow")
+        out[n_out:n_out + ln] = chain[::-1]
+        n_out += ln
+        return chain[-1]  # first byte of the expansion
+
+    next_code = eoi + 1
+    width = min_code + 1
+    acc = bit = 0
+    prev = -1
+    for byte in data:
+        acc |= byte << bit
+        bit += 8
+        while bit >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bit -= width
+            if code == clear:
+                next_code, width, prev = eoi + 1, min_code + 1, -1
+                continue
+            if code == eoi:
+                return out[:n_out]
+            if prev < 0:
+                emit(code)
+                prev = code
+                continue
+            if code < next_code:
+                first = emit(code)
+            elif code == next_code:
+                # KwKwK case: chain = prev expansion + its first byte
+                c = prev
+                while prefix[c] >= 0:
+                    c = prefix[c]
+                first = last[c]
+                if next_code < 4096:
+                    prefix[next_code] = prev
+                    last[next_code] = first
+                emit(code)
+                prev = code
+                if next_code < 4095:
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                continue
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if next_code < 4096:
+                prefix[next_code] = prev
+                last[next_code] = first
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    return out[:n_out]
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a -> uint8 (h, w, 3) via the color
+    table; interlaced frames are deinterlaced."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    import struct
+
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF frame truncated")
+            grid = idx[:w * h].reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows in 4 passes
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            return ct[grid]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) with <= 256 distinct colors -> single-frame GIF89a
+    (real LZW compression)."""
+    import struct
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(colors)}")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((2 ** depth, 3), dtype=np.uint8)
+    table[:len(colors)] = colors
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    codes: list[tuple[int, int]] = [(clear, min_code + 1)]
+    dic = {}
+    next_code = eoi + 1
+    width = min_code + 1
+    cur = int(idx[0])
+    for px in idx[1:]:
+        px = int(px)
+        key = (cur, px)
+        if key in dic:
+            cur = dic[key]
+            continue
+        codes.append((cur, width))
+        if next_code < 4096:
+            dic[key] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            dic.clear()
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = px
+    codes.append((cur, width))
+    codes.append((eoi, width))
+    acc = bit = 0
+    raw = bytearray()
+    for code, wd in codes:
+        acc |= code << bit
+        bit += wd
+        while bit >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            bit -= 8
+    if bit:
+        raw.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(raw), 255):
+        chunk = raw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode: PNG (signature), baseline JPEG (SOI) or PPM/PGM
     (magic) -> uint8 array.  The one entry point the feature extractors
@@ -298,6 +506,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     return decode_ppm(payload)
 
 

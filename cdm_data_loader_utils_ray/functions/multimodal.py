@@ -85,8 +85,8 @@ class MediaFeatureExtractor:
         c = self._codecs
         if mime == "audio/wav":
             f = c.wav_features(payload)
-        elif mime in ("image/png", "image/jpeg", "image/x-portable-pixmap",
-                      "image/x-portable-graymap"):
+        elif mime in ("image/png", "image/jpeg", "image/gif",
+                      "image/x-portable-pixmap", "image/x-portable-graymap"):
             # PNG (stdlib zlib + scanline filters) and baseline JPEG
             # (functions/jpeg: Huffman + IDCT, pure numpy) are REAL —
             # only video/audio-compressed formats (mp4/mp3) stay stubbed

@@ -168,3 +168,48 @@ def test_decode_image_sniffs_png_and_ppm():
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     fp, fm = image_features(encode_png(img)), image_features(encode_ppm(img))
     assert np.allclose(fp, fm)  # identical pixels -> identical features
+
+
+def test_gif_roundtrip_and_interlace():
+    import struct
+
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w, ncol in [(1, 1, 1), (7, 5, 3), (40, 61, 200), (64, 64, 256)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # dictionary overflow + clear-code path (forces width up to 12 bits)
+    big = rng.integers(0, 256, (150, 200), dtype=np.uint8)
+    big3 = np.stack([big] * 3, axis=2)
+    assert np.array_equal(decode_gif(encode_gif(big3)), big3)
+    assert np.array_equal(decode_image(encode_gif(big3)), big3)
+
+    # interlaced frame: store the 4-pass row order, set the interlace bit
+    h, w = 23, 9
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (h, w))]
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    payload = bytearray(encode_gif(img[order]))
+    # image descriptor starts after header(13) + GCT; flags byte is at +9
+    depth = (payload[10] & 0x07) + 1
+    desc = 13 + 3 * (2 ** depth)
+    assert payload[desc] == 0x2C
+    payload[desc + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(payload)), img)
+
+    with pytest.raises(ValueError, match="256 colors"):
+        grad = np.arange(300, dtype=np.int64) % 256
+        many = np.stack([grad, grad // 2, grad // 3], axis=1).astype(np.uint8)
+        encode_gif(np.tile(many[None, :, :], (2, 1, 1))
+                   + np.arange(2, dtype=np.uint8)[:, None, None])
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"GIF10abcdef")
