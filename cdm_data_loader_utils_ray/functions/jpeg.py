@@ -165,6 +165,11 @@ class _BitWriter:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # 1-bits padding per spec
 
+    def restart(self, i: int):
+        """Byte-align and emit RSTn (n = i mod 8) — unstuffed marker."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (i % 8)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """value -> (size, raw bits) per T.81 F.1.2.1 (one's-complement negatives)."""
@@ -216,11 +221,13 @@ def _encode_block(bw, block, qt, dc_tab, ac_tab, prev_dc: int) -> int:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
     """uint8 (h, w) greyscale or (h, w, 3) RGB -> baseline JFIF bytes
     (Annex-K Huffman tables).  ``subsample=True`` writes 4:2:0 chroma
     (2x2-mean downsample, interleaved 4Y+Cb+Cr MCUs) — the layout most
-    real-world JPEGs use; default is 4:4:4."""
+    real-world JPEGs use; default is 4:4:4.  ``restart_interval`` > 0
+    writes a DRI segment and RSTn markers every N MCUs (error-resilience
+    framing real encoders emit; also exercises the decoder's resync)."""
     a = np.asarray(img, dtype=np.uint8)
     grey = a.ndim == 2
     h, w = a.shape[:2]
@@ -243,8 +250,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
         padded = [_pad_plane(p, H, W) for p in planes]
         prev_dc = [0] * ncomp
+        n_mcu = 0
         for by in range(0, H, 8):
             for bx in range(0, W, 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.restart(n_mcu // restart_interval - 1)
+                    prev_dc = [0] * ncomp
+                n_mcu += 1
                 for ci in range(ncomp):
                     t = 0 if ci == 0 else 1
                     prev_dc[ci] = _encode_block(
@@ -263,8 +275,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         cb = cb_full.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
         cr = cr_full.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
         prev = {"y": 0, "cb": 0, "cr": 0}
+        n_mcu = 0
         for my in range(H // 16):
             for mx in range(W // 16):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.restart(n_mcu // restart_interval - 1)
+                    prev = {"y": 0, "cb": 0, "cr": 0}
+                n_mcu += 1
                 for v in range(2):
                     for hh in range(2):
                         by, bx = my * 16 + v * 8, mx * 16 + hh * 8
@@ -307,6 +324,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
     out += bw.out

@@ -83,3 +83,15 @@ def test_decode_image_sniffs_jpeg():
     assert dec.shape == img.shape
     f = image_features(encode_jpeg(img, quality=90))
     assert f[0] == 24 and f[1] == 32
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        for ss in (False, True):
+            with_rst = decode_jpeg(
+                encode_jpeg(img, quality=92, subsample=ss, restart_interval=ri)
+            )
+            plain = decode_jpeg(encode_jpeg(img, quality=92, subsample=ss))
+            assert np.array_equal(with_rst, plain), (ri, ss)
