@@ -221,24 +221,62 @@ def _encode_block(bw, block, qt, dc_tab, ac_tab, prev_dc: int) -> int:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample: "bool | str" = False,
+                restart_interval: int = 0) -> bytes:
     """uint8 (h, w) greyscale or (h, w, 3) RGB -> baseline JFIF bytes
-    (Annex-K Huffman tables).  ``subsample=True`` writes 4:2:0 chroma
-    (2x2-mean downsample, interleaved 4Y+Cb+Cr MCUs) — the layout most
-    real-world JPEGs use; default is 4:4:4.  ``restart_interval`` > 0
-    writes a DRI segment and RSTn markers every N MCUs (error-resilience
-    framing real encoders emit; also exercises the decoder's resync)."""
+    (Annex-K Huffman tables).  ``subsample``: False = 4:4:4,
+    True / ``'420'`` = 4:2:0 chroma (2x2-mean downsample, interleaved
+    4Y+Cb+Cr MCUs — the layout most real-world JPEGs use),
+    ``'422'`` = 4:2:2 (horizontal-only 2x1 mean, 2Y+Cb+Cr MCUs).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    N MCUs (error-resilience framing real encoders emit; also exercises
+    the decoder's resync)."""
     a = np.asarray(img, dtype=np.uint8)
     grey = a.ndim == 2
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    mode = {False: None, True: "420", "420": "420", "422": "422"}[subsample]
     ql, qc = _quality_tables(quality)
     dc_tabs = [_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA)]
     ac_tabs = [_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA)]
     bw = _BitWriter()
 
-    if grey or not subsample:
+    if not grey and mode == "422":
+        ncomp = 3
+        samp = [0x21, 0x11, 0x11]
+        ycc = _rgb_to_ycbcr(a)
+        H, W = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+        y = _pad_plane(ycc[:, :, 0] - 128.0, H, W)
+        cb_full = _pad_plane(ycc[:, :, 1] - 128.0, H, W)
+        cr_full = _pad_plane(ycc[:, :, 2] - 128.0, H, W)
+        cb = cb_full.reshape(H, W // 2, 2).mean(axis=2)
+        cr = cr_full.reshape(H, W // 2, 2).mean(axis=2)
+        prev = {"y": 0, "cb": 0, "cr": 0}
+        n_mcu = 0
+        for my in range(H // 8):
+            for mx in range(W // 16):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.restart(n_mcu // restart_interval - 1)
+                    prev = {"y": 0, "cb": 0, "cr": 0}
+                n_mcu += 1
+                by = my * 8
+                for hh in range(2):
+                    bx = mx * 16 + hh * 8
+                    prev["y"] = _encode_block(
+                        bw, y[by:by + 8, bx:bx + 8], ql,
+                        dc_tabs[0], ac_tabs[0], prev["y"],
+                    )
+                cx = mx * 8
+                prev["cb"] = _encode_block(
+                    bw, cb[by:by + 8, cx:cx + 8], qc,
+                    dc_tabs[1], ac_tabs[1], prev["cb"],
+                )
+                prev["cr"] = _encode_block(
+                    bw, cr[by:by + 8, cx:cx + 8], qc,
+                    dc_tabs[1], ac_tabs[1], prev["cr"],
+                )
+    elif grey or mode is None:
         if grey:
             planes = [a.astype(np.float64) - 128.0]
             qts, ncomp = [ql], 1

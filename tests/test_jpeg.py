@@ -95,3 +95,20 @@ def test_restart_markers_roundtrip():
             )
             plain = decode_jpeg(encode_jpeg(img, quality=92, subsample=ss))
             assert np.array_equal(with_rst, plain), (ri, ss)
+
+
+def test_422_subsampling():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample="422"))
+    assert dec.shape == img.shape
+    ya, yb = _rgb_to_ycbcr(img)[:, :, 0], _rgb_to_ycbcr(dec)[:, :, 0]
+    assert 10 * np.log10(255.0**2 / np.mean((ya - yb) ** 2)) > 33
+    # restart markers on the 4:2:2 MCU layout too
+    d2 = decode_jpeg(
+        encode_jpeg(img, quality=95, subsample="422", restart_interval=2)
+    )
+    assert np.array_equal(dec, d2)
+    smooth = _gradient(29, 37)
+    ds = decode_jpeg(encode_jpeg(smooth, quality=90, subsample="422"))
+    assert _psnr(smooth, ds) > 45
