@@ -756,3 +756,144 @@ def pagerank_integer_distributed(
     return rd.from_arrow_refs(
         [emit_r.remote(nodes_of[b], scores_of[b]) for b in buckets]
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k): BSP peeling over sharded node state
+# ---------------------------------------------------------------------------
+
+def _kc_init(edges: pa.Table):
+    """Per-shard node state from the shard's (src-sharded) adjacency:
+    (nodes sorted, degree, alive mask).  Degrees count BOTH directions'
+    rows for local src nodes — the symmetric edge table was sharded by
+    src, so each undirected edge contributes exactly once per endpoint."""
+    src = edges["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, deg = np.unique(src, return_counts=True)
+    return nodes, deg.astype(np.int64), np.ones(len(nodes), dtype=bool)
+
+
+def _kc_round(edges: pa.Table, nodes, deg, alive, k: int, nb: int):
+    """One peel round for one shard: kill alive nodes with deg < k, emit
+    per-target-shard decrement partials for the killed nodes' neighbors.
+    Returns (n_dead, new_alive_ref, {bucket: (dst_nodes, counts)})."""
+    import ray
+
+    dead_mask = alive & (deg < k)
+    n_dead = int(dead_mask.sum())
+    if n_dead == 0:
+        return 0, None, {}
+    new_alive = alive & ~dead_mask
+    src = edges["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edges["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dead_nodes = nodes[dead_mask]
+    hit = np.isin(src, dead_nodes)
+    targets = dst[hit]
+    out = {}
+    tb = targets % nb
+    for b in np.unique(tb):
+        t = targets[tb == b]
+        tn, tc = np.unique(t, return_counts=True)
+        out[int(b)] = ray.put((tn, tc.astype(np.int64)))
+    return n_dead, ray.put(new_alive), out
+
+
+def _kc_apply(nodes, deg, *dec_refs):
+    """Fold decrement partials into this shard's degree array."""
+    deg = deg.copy()
+    for tn, tc in dec_refs:
+        idx = np.searchsorted(nodes, tn)
+        ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == tn)
+        np.subtract.at(deg, idx[ok], tc[ok])
+    return deg
+
+
+def _kc_emit(nodes, alive) -> pa.Table:
+    return pa.table({"node": pa.array(nodes[alive], pa.int64())})
+
+
+def kcore_members(edges_ds, k: int, u: str = "u", v: str = "v",
+                  num_buckets: int = 64):
+    """EXACT k-core of the simple undirected graph (DISTINCT edges, same
+    input contract as :func:`triangle_count`): the maximal subgraph where
+    every node keeps degree >= k.  Returns a Dataset of ``(node,)`` rows.
+
+    Peeling is an UNBOUNDED fixpoint (a path graph peels one node per
+    round), so per the measured Dataset-re-planning lesson the loop runs
+    as raw-task BSP over src-sharded adjacency in plasma (the
+    connected-components / PageRank machinery): each round kills
+    under-degree nodes shard-locally and ships only (neighbor, count)
+    decrement partials — bytes per round ∝ edges incident to the dying
+    frontier, never the graph."""
+    import ray
+    import ray.data as rd
+
+    nb = num_buckets
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch[u].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[v].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "__pr_bucket": pa.array(src % nb, pa.int64()),
+            }
+        )
+
+    shards_ds = (
+        edges_ds.map_batches(both, batch_format="pyarrow")
+        .groupby("__pr_bucket")
+        .map_groups(lambda df: df, batch_format="pandas")
+        .materialize()
+    )
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    block_refs = shards_ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(empty)
+    prep_r = ray.remote(_pr_prep_shard)
+    asm_r = ray.remote(_pr_assemble)
+    init_r = ray.remote(num_returns=3)(_kc_init)
+    round_r = ray.remote(num_returns=3)(_kc_round)
+    apply_r = ray.remote(_kc_apply)
+    emit_r = ray.remote(_kc_emit)
+
+    pieces: dict[int, list] = {}
+    for d in ray.get([prep_r.remote(r, nb) for r in block_refs]):
+        for bid, ref in d.items():
+            pieces.setdefault(bid, []).append(ref)
+    edges_of = {
+        bid: (prs[0] if len(prs) == 1 else asm_r.remote(*prs))
+        for bid, prs in pieces.items()
+    }
+    buckets = sorted(edges_of)
+    if not buckets:
+        return rd.from_arrow(empty)
+    nodes_of, deg_of, alive_of = {}, {}, {}
+    for b in buckets:
+        nodes_of[b], deg_of[b], alive_of[b] = init_r.remote(edges_of[b])
+    while True:
+        outs = {
+            b: round_r.remote(edges_of[b], nodes_of[b], deg_of[b],
+                              alive_of[b], k, nb)
+            for b in buckets
+        }
+        n_dead = sum(ray.get([outs[b][0] for b in buckets]))
+        if n_dead == 0:
+            break
+        decs: dict[int, list] = {b: [] for b in buckets}
+        for b in buckets:
+            # _kc_round put the new alive mask worker-side; its return is
+            # the (inner) ref itself — adopt it, never re-put a ref
+            new_alive_ref, dec = ray.get([outs[b][1], outs[b][2]])
+            if new_alive_ref is not None:
+                alive_of[b] = new_alive_ref
+            for tgt, ref in dec.items():
+                if tgt in decs:
+                    decs[tgt].append(ref)
+        for b in buckets:
+            if decs[b]:
+                deg_of[b] = apply_r.remote(nodes_of[b], deg_of[b], *decs[b])
+    tables = ray.get([emit_r.remote(nodes_of[b], alive_of[b]) for b in buckets])
+    tables = [t for t in tables if t.num_rows] or [empty]
+    return rd.from_arrow(tables)

@@ -297,3 +297,50 @@ def test_local_clustering_shuffle_path_and_bigid_fallback(ray_session):
                                 broadcast_edges_limit=0)
     assert (ne_f, nt_f) == (ne_s, nt_s)
     assert nt_f * 3 == int(fast["tri"].sum())
+
+
+def test_kcore_members_matches_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import kcore_members
+
+    def brute(edges, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return set(adj)
+
+    rng = np.random.default_rng(11)
+    for trial, (n, m) in enumerate([(40, 120), (60, 90), (30, 300)]):
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        E = pd.DataFrame(sorted(edges), columns=["u", "v"])
+        for k in (1, 2, 3, 4, 7):
+            t = kcore_members(rd.from_pandas(E), k, num_buckets=8).to_pandas()
+            # empty-Dataset to_pandas drops columns (known Ray wart)
+            got = set(t["node"]) if len(t) else set()
+            assert got == brute(edges, k), (trial, k)
+    # k beyond every degree: empty core (and an empty-input graph)
+    E = pd.DataFrame({"u": [1, 2], "v": [2, 3]})
+    assert kcore_members(rd.from_pandas(E), 5, num_buckets=4).count() == 0
+    # path graph: k=2 peels one endpoint per round (the unbounded-round
+    # case the BSP loop exists for) — core is empty
+    P = pd.DataFrame({"u": list(range(20)), "v": list(range(1, 21))})
+    assert kcore_members(rd.from_pandas(P), 2, num_buckets=4).count() == 0
+    # cycle: every node survives k=2
+    C = pd.DataFrame({"u": list(range(12)),
+                      "v": [(i + 1) % 12 for i in range(12)]})
+    assert kcore_members(rd.from_pandas(C), 2, num_buckets=4).count() == 12
