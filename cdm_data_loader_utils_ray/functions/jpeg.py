@@ -409,6 +409,10 @@ class _BitReader:
         self._fill()
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
+        # truncate consumed high bits: without this the accumulator grows
+        # as an unbounded Python bigint over long streams (every shift
+        # gets slower as the image gets bigger)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def huff(self, table: dict) -> int:
