@@ -344,3 +344,27 @@ def test_kcore_members_matches_brute_force(ray_session):
     C = pd.DataFrame({"u": list(range(12)),
                       "v": [(i + 1) % 12 for i in range(12)]})
     assert kcore_members(rd.from_pandas(C), 2, num_buckets=4).count() == 12
+
+
+def test_kcore_large_ring_off_driver(ray_session):
+    """500k-node ring + a 12-node pendant path: the BSP loop peels the
+    path one node per round (the unbounded case) while driver state stays
+    O(num_buckets) refs; the ring itself survives k=2 untouched."""
+    import ray.data as rd
+
+    from cdm_data_loader_utils_ray.functions.graph import kcore_members
+
+    n = 500_000
+    nodes = np.arange(n, dtype=np.int64)
+    ring_u, ring_v = nodes, (nodes + 1) % n
+    tail_u = np.arange(n, n + 12, dtype=np.int64)
+    tail_v = tail_u - 1  # n..n+11 chained off ring node n-1... via n-1+1=n
+    tail_v[0] = 0  # attach the path to ring node 0
+    e = pa.table(
+        {
+            "u": pa.array(np.concatenate([ring_u, tail_u])),
+            "v": pa.array(np.concatenate([ring_v, tail_v])),
+        }
+    )
+    out = kcore_members(rd.from_arrow(e), 2, num_buckets=16)
+    assert out.count() == n  # the pendant path peels away entirely
