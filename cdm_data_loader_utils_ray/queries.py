@@ -9313,6 +9313,86 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 160. Interval-UNION coverage per user: total time covered by the union
+#      of each user's half-open 30-minute view windows (overlaps counted
+#      once) — the classic merge-intervals sweep.  Per-user bucket kernel:
+#      sort by start, running cummax of ends, per-row contribution
+#      e - max(s, prev_max) clamped at 0 — all in exact int64
+#      microseconds, so the sum is order-independent.  The SQL twin is
+#      the standard window formulation (max(e) OVER ... 1 PRECEDING).
+# ---------------------------------------------------------------------------
+def view_coverage_per_user(sf_dir: str):
+    from cdm_data_loader_utils_ray.stages.keyed import _BUCKET, _add_bucket
+
+    span_us = 30 * 60 * 1_000_000
+
+    def iv(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "view"))
+        s = b["ts"].cast(pa.int64())
+        t = pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "s": s,
+                "e": pc.add(s, pa.scalar(span_us, type=pa.int64())),
+            }
+        )
+        return _add_bucket(t, ["user_id"], 32)
+
+    tagged = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]).map_batches(
+        iv, batch_format="pyarrow"
+    )
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "s", "e"], kind="mergesort")
+        # running max of ends PER USER (a flat cummax would bleed the
+        # previous user's coverage across the boundary), shifted one row
+        grp = d.groupby("user_id", sort=False)
+        prev = grp["e"].cummax().shift(1)
+        prev[grp.cumcount() == 0] = d["s"]  # no prior interval: own start
+        s = d["s"].to_numpy(np.int64)
+        e = d["e"].to_numpy(np.int64)
+        contrib = np.maximum(e - np.maximum(s, prev.to_numpy(np.int64)), 0)
+        g = pd.DataFrame(
+            {"user_id": d["user_id"].to_numpy(np.int64), "c": contrib}
+        ).groupby("user_id", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"user_id": g.index.to_numpy(np.int64),
+             "covered_us": g.to_numpy(np.int64)}
+        )
+
+    out = (
+        tagged.groupby(_BUCKET)
+        .map_groups(cover, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["covered_us"] = out["covered_us"].astype("int64")
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)[
+        ["user_id", "covered_us"]
+    ]
+
+
+VIEW_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL 30 MINUTE) AS e
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(prev_max, s)), 0))
+            AS BIGINT) AS covered_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -9378,6 +9458,7 @@ _PRIORITY: tuple = (
     "er_clusters_snm",
     "weighted_sample_docs",
     "linear_attribution",
+    "view_coverage_per_user",
     "q8_market_share",
     "q4_priority_late",
     "q21_waiting_supplier",
@@ -9413,6 +9494,7 @@ def _registry_entries() -> dict:
         "er_clusters_snm": (er_clusters_snm, ER_CLUSTERS_SNM_SQL),
         "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
         "linear_attribution": (linear_attribution, LINEAR_ATTRIBUTION_SQL),
+        "view_coverage_per_user": (view_coverage_per_user, VIEW_COVERAGE_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),
