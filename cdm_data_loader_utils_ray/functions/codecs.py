@@ -291,6 +291,56 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# BMP — REAL decode/encode (Windows BITMAPINFOHEADER, uncompressed
+# BI_RGB): 24-bit BGR and 32-bit BGRA, bottom-up or top-down rows,
+# 4-byte row padding.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> 24-bit bottom-up BMP bytes."""
+    import struct
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> uint8 (h, w, 3) RGB (alpha dropped)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (_sig, _size, _r1, _r2, off) = struct.unpack("<2sIHHI", payload[:14])
+    (hsz, w, h, _planes, bpp, comp) = struct.unpack("<IiiHHI", payload[14:34])
+    if hsz < 40 or comp != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (header={hsz}, bpp={bpp}, compression={comp}): "
+            "uncompressed 24/32-bit only"
+        )
+    topdown = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    px = raw[:, : w * ch].reshape(h, w, ch)
+    if not topdown:
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+# ---------------------------------------------------------------------------
 # GIF — REAL first-frame decode/encode (GIF87a/89a): LZW with variable
 # code width, global/local color tables, interlace; extensions skipped.
 # ---------------------------------------------------------------------------
@@ -508,6 +558,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     return decode_ppm(payload)
 
 

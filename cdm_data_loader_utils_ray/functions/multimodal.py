@@ -85,7 +85,7 @@ class MediaFeatureExtractor:
         c = self._codecs
         if mime == "audio/wav":
             f = c.wav_features(payload)
-        elif mime in ("image/png", "image/jpeg", "image/gif",
+        elif mime in ("image/png", "image/jpeg", "image/gif", "image/bmp",
                       "image/x-portable-pixmap", "image/x-portable-graymap"):
             # PNG (stdlib zlib + scanline filters) and baseline JPEG
             # (functions/jpeg: Huffman + IDCT, pure numpy) are REAL —

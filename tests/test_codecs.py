@@ -213,3 +213,28 @@ def test_gif_roundtrip_and_interlace():
                    + np.arange(2, dtype=np.uint8)[:, None, None])
     with pytest.raises(ValueError, match="signature"):
         decode_gif(b"GIF10abcdef")
+
+
+def test_bmp_roundtrip_and_variants():
+    import struct
+
+    from cdm_data_loader_utils_ray.functions.codecs import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(6)
+    for h, w in [(1, 1), (7, 5), (13, 3), (9, 8)]:  # odd widths hit padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+    # top-down variant: negate the height field
+    img = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(img))
+    (hh,) = struct.unpack_from("<i", payload, 22)
+    struct.pack_into("<i", payload, 22, -hh)
+    # rows were written bottom-up; flagging top-down flips the result
+    assert np.array_equal(decode_bmp(bytes(payload)), img[::-1])
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"nope")
