@@ -126,3 +126,57 @@ def test_hex_threshold_monotone(a, b):
 
     lo, hi = sorted([a, b])
     assert _hex_threshold(lo) <= _hex_threshold(hi)
+
+
+# ---------------------------------------------------------------------------
+# real image codecs: lossless round-trip properties (no Ray)
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    from cdm_data_loader_utils_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 12),
+       st.integers(0, 2**31 - 1))
+def test_gif_roundtrip_property(h, w, ncol, seed):
+    from cdm_data_loader_utils_ray.functions.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    from cdm_data_loader_utils_ray.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1),
+       st.sampled_from([False, "420", "422"]))
+def test_jpeg_structural_property(h, w, seed, subsample):
+    """JPEG is lossy — the invariant is structural: any size (including
+    non-multiple-of-MCU), any sampling mode, output shape and dtype match
+    and the decode never raises."""
+    from cdm_data_loader_utils_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
