@@ -9393,6 +9393,76 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# 161. ANALYZE TABLE under the driver gate: replay the CDC log, run
+#      analyze_table over the committed live state, and return the
+#      persisted statistics as a table — the SQL twin recomputes
+#      rows/nulls/exact-distinct per column from the replayed state
+#      directly.  Exercises the stats pipeline (shuffle-free min/max pass
+#      + one (column, value) distinct shuffle) end-to-end.
+# ---------------------------------------------------------------------------
+def lake_analyze_read(sf_dir: str):
+    import tempfile
+
+    import __ray_entry__ as entrymod
+
+    from cdm_data_loader_utils_ray.pipelines.cdc import run_replay
+    from cdm_data_loader_utils_ray.pipelines.maintenance import analyze_table
+    from cdm_data_loader_utils_ray.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdm_ray_q_")
+    ev = entrymod._derive_cdc_events(sf_dir, os.path.join(work, "events.parquet"))
+    lake_dir = os.path.join(work, "lake")
+    run_replay(ev, lake_dir, num_partitions=8)
+    stats = analyze_table(
+        LakeTable(lake_dir), columns=["repo", "path", "content_sha256"]
+    )
+    rows = [
+        {
+            "column": c,
+            "n_rows": v["n_rows"],
+            "n_nulls": v["n_nulls"],
+            "n_distinct": v["n_distinct"],
+        }
+        for c, v in sorted(stats["columns"].items())
+    ]
+    out = pd.DataFrame(rows)
+    for c in ("n_rows", "n_nulls", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+LAKE_ANALYZE_SQL = """
+WITH ev AS (
+  SELECT event_id + 1 AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'org0/stream' AS repo,
+         'users/user-' || CAST(user_id AS VARCHAR) || '.json' AS path,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content
+  FROM events
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM ev),
+state AS (
+  SELECT repo, path, sha256(content) AS content_sha256
+  FROM r WHERE rn = 1 AND op <> 'delete'
+)
+SELECT * FROM (
+  SELECT 'content_sha256' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(content_sha256) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT content_sha256) AS BIGINT) AS n_distinct
+  FROM state
+  UNION ALL
+  SELECT 'path', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(path) AS BIGINT),
+         CAST(count(DISTINCT path) AS BIGINT) FROM state
+  UNION ALL
+  SELECT 'repo', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(repo) AS BIGINT),
+         CAST(count(DISTINCT repo) AS BIGINT) FROM state
+) ORDER BY "column"
+"""
+
+
 # ORDER MATTERS: the verify driver checks entries in registry order up to a
 # per-round budget (~50; r1-r4 checked 24/32/50/50).  _PRIORITY pins the
 # front of the window explicitly: first the 32 entries that had never been
@@ -9459,6 +9529,7 @@ _PRIORITY: tuple = (
     "weighted_sample_docs",
     "linear_attribution",
     "view_coverage_per_user",
+    "lake_analyze_read",
     "q8_market_share",
     "q4_priority_late",
     "q21_waiting_supplier",
@@ -9495,6 +9566,7 @@ def _registry_entries() -> dict:
         "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
         "linear_attribution": (linear_attribution, LINEAR_ATTRIBUTION_SQL),
         "view_coverage_per_user": (view_coverage_per_user, VIEW_COVERAGE_SQL),
+        "lake_analyze_read": (lake_analyze_read, LAKE_ANALYZE_SQL),
         "interval_overlap_events": (interval_overlap_events, INTERVAL_OVERLAP_SQL),
         "q6_revenue_delta": (q6_revenue_delta, Q6_REVENUE_SQL),
         "q4_priority_late": (q4_priority_late, Q4_PRIORITY_LATE_SQL),
